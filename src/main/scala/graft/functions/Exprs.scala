@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Column-expression helpers shared across the engine.
+  *
+  * Everything here stays inside Catalyst (built-in functions + higher-order
+  * functions, no Scala UDFs), so plans remain codegen-friendly and the same
+  * expression works identically in batch and Structured Streaming.
+  */
+object Exprs {
+
+  /** Order-independent floating-point sum: route the double through an exact
+    * DECIMAL accumulator so the result does not depend on partial-aggregation
+    * order. This is what makes double aggregates hash-comparable against an
+    * external oracle (and run-to-run deterministic at any partition count).
+    */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Deterministic mean built from [[dsum]] / count (both sides exact). */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(lit(1)).cast(DoubleType)
+
+  /** Sequential left-fold dot product over two numeric array columns.
+    * Higher-order functions evaluate per-row with a fixed order, so the result
+    * is deterministic and engine-portable (matches DuckDB's list_dot_product).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Cosine similarity between two double-array columns (0.0 for zero vectors —
+    * the reference emits a guard value for those, KNNMapper.java:139-143). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Reference tokenizer (TF_IDF_Compute.java:79-99 semantics): lowercase,
+    * non-alphanumerics to spaces, split on runs of spaces, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +"), t => t =!= "")
+
+  /** Token n-gram shingles of an array column (space-joined), for near-dup
+    * detection; empty array when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Epoch seconds of a timestamp truncated to the given unit — the portable
+    * way to ship time buckets across engines (no tz/precision ambiguity). */
+  def epochTrunc(unit: String, ts: Column): Column =
+    unix_timestamp(date_trunc(unit, ts)).cast(LongType)
+}

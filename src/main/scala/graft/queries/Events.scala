@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
+
+/** Log/event analytics (SURVEY.md §2.4 A10/A13, §2.7 G3): tumbling-window
+  * counts and averages, per-user stats, global top-k, and mean-model traffic
+  * forecasting scored by RMSE — the PDF1 workload re-expressed over the
+  * `events` table with event-time columns, streaming-compatible by shape
+  * (same `date_trunc` buckets work under readStream + watermark, see
+  * graft.streaming.StreamingWindows).
+  */
+object Events {
+
+  /** Train/test split point for the forecasting workload (events span 2024-01). */
+  private val splitDate = "2024-01-25"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q12_hourly_counts",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(epochTrunc("hour", col("ts")).as("hour_epoch"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+          event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    QueryDef("q13_per_second_counts",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(epochTrunc("second", col("ts")).as("sec_epoch"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec_epoch, COUNT(*) AS cnt
+        FROM events GROUP BY 1""")),
+
+    QueryDef("q14_hourly_avg_value",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(epochTrunc("hour", col("ts")).as("hour_epoch"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), davg(col("value"), 8).as("avg_value"))
+      },
+      oracle = Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+          event_type, COUNT(*) AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_value
+        FROM events GROUP BY 1, 2""")),
+
+    QueryDef("q15_user_stats",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            dsum(col("value"), 8).as("sum_value"),
+            unix_timestamp(date_trunc("second", min(col("ts")))).cast(LongType).as("first_sec"),
+            unix_timestamp(date_trunc("second", max(col("ts")))).cast(LongType).as("last_sec"))
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
+          CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+          CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS first_sec,
+          CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) AS last_sec
+        FROM events GROUP BY 1""")),
+
+    QueryDef("q16_forecast_rmse",
+      (s, dir) => {
+        // Mean model: per (event_type, hour-of-day), avg hourly count over train
+        // days predicts each test-day cell; RMSE per event_type (PDF1 p.3).
+        val cells = Tables(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast(DateType).as("d"),
+            hour(col("ts")).cast(LongType).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val train = cells.filter(col("d") < lit(splitDate).cast(DateType))
+        val test = cells.filter(col("d") >= lit(splitDate).cast(DateType))
+        val model = train.groupBy(col("event_type"), col("h"))
+          .agg((sum(col("cnt")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("pred"))
+        val diffs = test.join(model, Seq("event_type", "h"))
+          .select(col("event_type"), (col("pred") - col("cnt").cast(DoubleType)).as("diff"))
+        diffs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cells"),
+            sqrt(dsum(col("diff") * col("diff"), 10) / count(lit(1)).cast(DoubleType)).as("rmse"))
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        train AS (SELECT * FROM cells WHERE d < DATE '$splitDate'),
+        test AS (SELECT * FROM cells WHERE d >= DATE '$splitDate'),
+        model AS (
+          SELECT event_type, h, CAST(SUM(cnt) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS pred
+          FROM train GROUP BY 1, 2),
+        diffs AS (
+          SELECT t.event_type, m.pred - CAST(t.cnt AS DOUBLE) AS diff
+          FROM test t JOIN model m ON t.event_type = m.event_type AND t.h = m.h)
+        SELECT event_type, COUNT(*) AS n_cells,
+          sqrt(CAST(SUM(CAST(diff*diff AS DECIMAL(30,10))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)) AS rmse
+        FROM diffs GROUP BY 1"""),
+      bench = true),
+
+    QueryDef("q17_top_users",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id").asc)
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+        ORDER BY cnt DESC, user_id ASC LIMIT 10"""))
+  )
+}

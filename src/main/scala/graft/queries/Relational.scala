@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Relational core: scans, filters (pushed to the parquet scan), broadcast and
+  * shuffle joins, grouped/rollup aggregation, window functions, top-k, union,
+  * distinct, semi/anti joins — SURVEY.md §2.1-2.6 re-expressed declaratively.
+  *
+  * Scale notes: dimension joins (nation/region/part) are explicit `broadcast`s;
+  * the orders⋈lineitem join shuffles on the join key only after the scan has
+  * pruned columns; aggregates all partial-aggregate map-side automatically.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pricing_agg",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2"""),
+      bench = true),
+
+    QueryDef("q02_filter_project",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+            col("l_discount") >= 0.05 && col("l_quantity") < 25)
+          .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_quantity < 25"""),
+      bench = true),
+
+    QueryDef("q03_dim_join",
+      (s, dir) => {
+        Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2""")),
+
+    QueryDef("q04_fact_join",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1"""),
+      bench = true),
+
+    QueryDef("q05_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables(s, dir, "orders")
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+          FROM orders) t
+        WHERE rk <= 3""")),
+
+    QueryDef("q06_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast(LongType).as("rn"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+          lag(o_totalprice) OVER w AS prev_price,
+          o_totalprice - lag(o_totalprice) OVER w AS delta
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    QueryDef("q07_union_buckets",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val hi = o.filter(col("o_totalprice") >= 200000.0)
+          .select(lit("high").as("bucket"), col("o_totalprice"))
+        val lo = o.filter(col("o_totalprice") < 50000.0)
+          .select(lit("low").as("bucket"), col("o_totalprice"))
+        hi.union(lo).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+      },
+      oracle = Some("""
+        SELECT bucket, COUNT(*) AS cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 200000.0
+          UNION ALL
+          SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000.0) t
+        GROUP BY 1""")),
+
+    QueryDef("q08_distinct_agg",
+      (s, dir) => {
+        Tables(s, dir, "part").groupBy(col("p_brand"))
+          .agg(countDistinct(col("p_type")).as("n_types"),
+            countDistinct(col("p_size")).as("n_sizes"),
+            count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
+          COUNT(DISTINCT p_size) AS n_sizes, COUNT(*) AS cnt
+        FROM part GROUP BY 1""")),
+
+    QueryDef("q09_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast(TimestampType))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"))
+          .agg(count(lit(1)).as("n_inactive"))
+      },
+      oracle = Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_inactive
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate < TIMESTAMP '1996-01-01')
+        GROUP BY 1""")),
+
+    QueryDef("q10_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_active"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_active
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1""")),
+
+    QueryDef("q11_rollup",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast(LongType).as("gid"),
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("sum_price"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+  )
+}
