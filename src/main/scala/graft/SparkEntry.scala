@@ -13,7 +13,11 @@ object SparkEntry {
   /** Every implemented, verifiable query of the engine. */
   def all: Seq[QueryDef] =
     cat.Relational.defs ++
-      cat.Events.defs
+      cat.Events.defs ++
+      cat.Text.defs ++
+      cat.Graph.defs ++
+      cat.Ml.defs ++
+      cat.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics from the character-network spec (SURVEY.md §2.4 A11-A12,
+  * §2.7 G1-G2): pairwise co-occurrence, out-edge normalization, and iterative
+  * PageRank / Label Propagation as driver-controlled DataFrame loops.
+  *
+  * Iterations localCheckpoint() every few rounds to truncate plan growth
+  * (SURVEY.md §7 risk 3); edges persist across iterations. At cluster scale
+  * the edge table would be pre-partitioned on src so every iteration's join
+  * reuses one shuffle-free partitioning.
+  */
+object Graphs {
+
+  /** A11: directed co-occurrence counts — for each group (paragraph/document),
+    * every ordered pair of distinct items that appear together, counted over
+    * groups (PDF2 pp. 2-3 worked example in FIXTURES.md F6).
+    * Input: (group, item) rows; output: (src, dst, cnt). */
+  def coOccurrence(items: DataFrame, group: String = "doc_id", item: String = "term"): DataFrame = {
+    val dt = items.select(col(group).as("g"), col(item).as("i")).distinct()
+    val a = dt.as("a")
+    val b = dt.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("src"), col("b.i").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A12: normalize out-edge weights to a probability distribution per src
+    * (PDF2 p. 4). Integer-ratio arithmetic: deterministic across engines. */
+  def normalizeEdges(edges: DataFrame): DataFrame =
+    edges.withColumn("w",
+      col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("src"))).cast(DoubleType))
+
+  /** G1: PageRank over normalized edges (src, dst, w), fixed iteration count.
+    * r_{k+1}(v) = (1-d)/n + d * Σ_{(u,v)} r_k(u)·w(u,v).
+    * The co-occurrence graph is symmetric, so no dangling-mass handling is
+    * needed (every vertex has in- and out-edges). */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    var ranks = verts.withColumn("rank", lit(1.0d / n))
+    for (i <- 1 to iterations) {
+      ranks = e.join(ranks, e("src") === ranks("v"))
+        .groupBy(col("dst").as("v2"))
+        .agg((lit((1.0d - damping) / n) + lit(damping) * sum(col("rank") * col("w"))).as("rank"))
+        .withColumnRenamed("v2", "v")
+      if (i % 3 == 0) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** G2: synchronous Label Propagation with deterministic tie-breaking
+    * (max total *integer* edge weight, then smallest label — integer weights
+    * keep the argmax engine-portable). Labels start as the vertex id. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cnt")).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("v")).distinct().withColumn("label", col("v"))
+    for (i <- 1 to iterations) {
+      val byLabel = e.join(labels, e("dst") === labels("v"))
+        .groupBy(col("src").as("v2"), col("label"))
+        .agg(sum(col("cnt")).as("wsum"))
+      val w = Window.partitionBy(col("v2")).orderBy(col("wsum").desc, col("label").asc)
+      labels = byLabel.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v2").as("v"), col("label"))
+      if (i % 3 == 0) labels = labels.localCheckpoint(eager = true)
+    }
+    labels
+  }
+}

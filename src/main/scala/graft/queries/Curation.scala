@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.{Dedup, Similarity, TextStats}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries: dedup family, embedding similarity search, text
+  * analysis (language-ID, quality, token stats, fingerprints). MinHash/SimHash/
+  * LSH variants have no SQL oracle (engine-specific hashes) — they are
+  * fixture-tested in ScalaTest instead and recorded rows-only by the driver.
+  */
+object Curation {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  /** Shared DuckDB trigram-shingle CTE (mirrors Dedup.shingleSet(n=3)). */
+  private val shCte = s"""
+    WITH seq AS (
+      SELECT doc_id, lang,
+        string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang AS block,
+        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM (SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM seq) g),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q32_dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir)),
+      oracle = Some("""
+        WITH norm AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash
+          FROM documents)
+        SELECT text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+        FROM norm GROUP BY 1""")),
+
+    QueryDef("q33_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05),
+      oracle = Some(s"""$shCte,
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.block = b.block AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+          CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05"""),
+      bench = true),
+
+    QueryDef("q34_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05)),
+
+    QueryDef("q35_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 24)),
+
+    QueryDef("q36_embedding_neardup",
+      (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3),
+      oracle = Some("""
+        WITH emb AS (SELECT vec_id, CAST(label AS BIGINT) AS block, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+            THEN 0.0
+            ELSE list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) END, 6) AS sim
+        FROM emb a JOIN emb b ON a.block = b.block AND a.vec_id < b.vec_id
+        WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+            THEN 0.0
+            ELSE list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) END, 6) >= 0.3""")),
+
+    QueryDef("q37_ann_brute_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteTopK(e.filter(col("vec_id") % 20 === 0), e, k = 10)
+      },
+      oracle = Some("""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM emb WHERE vec_id % 20 = 0),
+        sims AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) END, 6) AS sim
+          FROM q CROSS JOIN emb c WHERE q.vec_id <> c.vec_id)
+        SELECT q_id, n_id, sim, rk FROM (
+          SELECT q_id, n_id, sim,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+          FROM sims) s
+        WHERE rk <= 10"""),
+      bench = true),
+
+    QueryDef("q38_ann_lsh_topk",
+      (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10)),
+
+    QueryDef("q39_lang_id",
+      (s, dir) => TextStats.languageId(docs(s, dir)),
+      oracle = Some {
+        val scoreCols = TextStats.langMarkers.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"CAST(SUM(CASE WHEN term IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+        }.mkString(",\n          ")
+        val bestExpr = TextStats.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val predExpr = TextStats.langMarkers.map { case (l, _) =>
+          s"WHEN s_$l = best AND best > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""
+        WITH ${Text.toksCte},
+        scored AS (
+          SELECT doc_id,
+          $scoreCols
+          FROM toks GROUP BY 1)
+        SELECT doc_id, $predExpr AS pred_lang, best AS best_score
+        FROM (SELECT *, $bestExpr AS best FROM scored) b"""
+      }),
+
+    QueryDef("q40_quality",
+      (s, dir) => TextStats.quality(docs(s, dir)),
+      oracle = Some {
+        val stopList = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""
+        WITH ${Text.toksCte},
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct,
+            CAST(SUM(length(term)) AS BIGINT) AS n_term_chars,
+            CAST(SUM(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks GROUP BY 1),
+        raw AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+            CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS len_clean
+          FROM documents)
+        SELECT p.doc_id, n_tokens, n_distinct,
+          CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+          CAST(n_term_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+          CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+          CAST(len_raw - len_clean AS DOUBLE)/CAST(len_raw AS DOUBLE) AS nonalnum_ratio,
+          CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) * 0.4 +
+            CAST(least(n_tokens, 100) AS DOUBLE)/100.0 * 0.4 +
+            (1.0 - CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.2 AS quality
+        FROM per_doc p JOIN raw r ON p.doc_id = r.doc_id"""
+      }),
+
+    QueryDef("q41_token_stats",
+      (s, dir) => TextStats.tokenCounts(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents""")),
+
+    QueryDef("q42_fingerprint",
+      (s, dir) => TextStats.fingerprint(docs(s, dir)),
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                          t -> t <> ''),
+              t -> CAST(length(t)*31 + ascii(t) AS BIGINT)) AS vals
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(vals) = 0 THEN 0
+               ELSE list_reduce(vals, (a, v) -> (a*131 + v) % 1000000007) END AS fingerprint
+        FROM seq"""))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.graph.Graphs
+import graft.operators.TextPipeline
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Graph-mining queries (PDF2 workload): co-occurrence network of terms over
+  * documents, normalized adjacency, PageRank, Label Propagation. The PageRank
+  * and LPA oracles are fixed-iteration loop *unrollings* into chained CTEs —
+  * same dataflow the Spark driver loop executes, so results are comparable.
+  */
+object Graph {
+
+  private def edgesCte: String = s"""
+    WITH ${Text.toksCte},
+    dt AS (SELECT DISTINCT doc_id, term FROM toks),
+    cooc AS (
+      SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst, cnt,
+        CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS w
+      FROM cooc),
+    verts AS (SELECT DISTINCT src AS v FROM cooc),
+    nv AS (SELECT COUNT(*) AS n FROM verts)"""
+
+  /** Unrolled PageRank oracle: r0 … r{iters} as chained aggregating CTEs. */
+  private def pageRankSql(iters: Int, d: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT e.dst AS v, (SELECT (1.0-$d)/n FROM nv) + $d*SUM(r.rank*e.w) AS rank
+        FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""$edgesCte,
+    r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts),
+    $rounds
+    SELECT v AS term, round(rank, 6) AS rank FROM r$iters"""
+  }
+
+  /** Unrolled synchronous LPA oracle with (max integer weight, min label)
+    * tie-breaking — bit-exact across engines because weights stay integral. */
+  private def lpaSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+        SELECT v, label FROM (
+          SELECT e.src AS v, l.label, SUM(e.cnt) AS wsum,
+            row_number() OVER (PARTITION BY e.src ORDER BY SUM(e.cnt) DESC, l.label ASC) AS rn
+          FROM edges e JOIN l${i - 1} l ON e.dst = l.v GROUP BY e.src, l.label) t
+        WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""$edgesCte,
+    l0 AS (SELECT v, v AS label FROM verts),
+    $rounds
+    SELECT v AS term, label FROM l$iters"""
+  }
+
+  private def termEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Graphs.normalizeEdges(
+      Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents"))))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q23_cooccurrence",
+      (s, dir) => Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+        .select(col("src"), col("dst"), col("cnt")),
+      oracle = Some(s"""
+        ${Text.toksCte.replaceFirst("^\\s*", "WITH ")},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks)
+        SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+        GROUP BY 1, 2"""),
+      bench = true),
+
+    QueryDef("q24_edge_weights",
+      (s, dir) => termEdges(s, dir).select(col("src"), col("dst"), col("cnt"), col("w")),
+      oracle = Some(s"""$edgesCte
+        SELECT src, dst, cnt, w FROM edges""")),
+
+    QueryDef("q25_pagerank",
+      (s, dir) => Graphs.pageRank(termEdges(s, dir), iterations = 10)
+        .select(col("v").as("term"), round(col("rank"), 6).as("rank")),
+      oracle = Some(pageRankSql(10, 0.85)),
+      bench = true),
+
+    QueryDef("q26_label_propagation",
+      (s, dir) => Graphs.labelPropagation(
+        Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents"))), iterations = 5)
+        .select(col("v").as("term"), col("label")),
+      oracle = Some(lpaSql(5)))
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ml.{Evaluate, Knn, NaiveBayes}
+import graft.operators.TextPipeline
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Classifier queries (SURVEY.md §2.7 M1/M2 + A7): kNN over the embeddings
+  * table, multinomial NB over documents (label = lang), each with an accuracy
+  * query. Splits are deterministic (`id % 10 == 0` → test).
+  */
+object Ml {
+
+  private val embCte = """
+    emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+    test AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+    train AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+    sims AS (
+      SELECT t.vec_id AS q_id, r.vec_id AS n_id, r.label AS n_label,
+        round(CASE WHEN sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(r.e, r.e)) = 0
+          THEN 0.0
+          ELSE list_dot_product(t.e, r.e) /
+               (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(r.e, r.e))) END, 6) AS sim
+      FROM test t CROSS JOIN train r),
+    topk AS (
+      SELECT * FROM (
+        SELECT q_id, n_id, n_label, sim,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        FROM sims) s
+      WHERE rk <= 5),
+    votes AS (SELECT q_id, n_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2),
+    knn_pred AS (
+      SELECT q_id AS vec_id, n_label AS pred FROM (
+        SELECT q_id, n_label,
+          row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS rn
+        FROM votes) v
+      WHERE rn = 1)"""
+
+  private def embSplit(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("label").cast(LongType).as("label"), col("embedding").cast("array<double>").as("vec"))
+    (e.filter(col("id") % 10 === 0), e.filter(col("id") % 10 =!= 0))
+  }
+
+  private val nbCte = s"""
+    ${Text.toksCte},
+    train_toks AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+    test_toks AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+    tc AS (SELECT lang AS label, term, COUNT(*) AS tcnt FROM train_toks GROUP BY 1, 2),
+    ct AS (SELECT label, CAST(SUM(tcnt) AS BIGINT) AS total FROM tc GROUP BY 1),
+    tdocs AS (SELECT DISTINCT doc_id, lang FROM train_toks),
+    nd AS (SELECT COUNT(*) AS n FROM tdocs),
+    pr AS (SELECT lang AS label, CAST(COUNT(*) AS DOUBLE)/CAST((SELECT n FROM nd) AS DOUBLE) AS prior
+           FROM tdocs GROUP BY 1),
+    vs AS (SELECT COUNT(DISTINCT term) AS v FROM tc),
+    tcnts AS (
+      SELECT c.doc_id, c.term, c.cnt FROM
+        (SELECT doc_id, term, COUNT(*) AS cnt FROM test_toks GROUP BY 1, 2) c
+      JOIN (SELECT DISTINCT term FROM tc) vt ON c.term = vt.term),
+    classes AS (SELECT ct.label, ct.total, pr.prior FROM ct JOIN pr ON ct.label = pr.label),
+    scored AS (
+      SELECT x.doc_id, c.label,
+        SUM(CAST(x.cnt AS DOUBLE) *
+            ln((CAST(COALESCE(m.tcnt, 0) AS DOUBLE) + 1.0) /
+               (CAST(c.total AS DOUBLE) + CAST((SELECT v FROM vs) AS DOUBLE)))) +
+          ln(MAX(c.prior)) AS score
+      FROM tcnts x
+      CROSS JOIN classes c
+      LEFT JOIN tc m ON m.label = c.label AND m.term = x.term
+      GROUP BY 1, 2),
+    nb_pred AS (
+      SELECT doc_id, label AS pred FROM (
+        SELECT doc_id, label,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        FROM scored) t
+      WHERE rn = 1)"""
+
+  private def nbParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = TextPipeline.tokenize(Tables(s, dir, "documents"), keep = Seq("doc_id", "lang"))
+      .withColumnRenamed("lang", "label")
+    (toks.filter(col("doc_id") % 10 =!= 0), toks.filter(col("doc_id") % 10 === 0))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q27_knn_neighbors",
+      (s, dir) => {
+        val (test, train) = embSplit(s, dir)
+        Knn.neighbors(test, train, k = 5)
+      },
+      oracle = Some(s"""
+        WITH $embCte
+        SELECT q_id, n_id, n_label, sim, rk FROM topk"""),
+      bench = true),
+
+    QueryDef("q28_knn_predict",
+      (s, dir) => {
+        val (test, train) = embSplit(s, dir)
+        Knn.classify(test, train, k = 5)
+          .select(col("q_id").as("vec_id"), col("pred"))
+      },
+      oracle = Some(s"""
+        WITH $embCte
+        SELECT vec_id, pred FROM knn_pred""")),
+
+    QueryDef("q29_knn_accuracy",
+      (s, dir) => {
+        val (test, train) = embSplit(s, dir)
+        val scored = Knn.classify(test, train, k = 5)
+          .join(test.select(col("id").as("q_id"), col("label").as("truth")), "q_id")
+        Evaluate.accuracy(scored)
+      },
+      oracle = Some(s"""
+        WITH $embCte
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          CAST(SUM(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM knn_pred p JOIN test t ON p.vec_id = t.vec_id""")),
+
+    QueryDef("q30_nb_predict",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        val model = NaiveBayes.train(train)
+        NaiveBayes.predict(test.drop("label"), model)
+      },
+      oracle = Some(s"""
+        WITH $nbCte
+        SELECT doc_id, pred FROM nb_pred"""),
+      bench = true),
+
+    QueryDef("q31_nb_accuracy",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        val model = NaiveBayes.train(train)
+        val truth = test.select(col("doc_id"), col("label").as("truth")).distinct()
+        Evaluate.accuracy(NaiveBayes.predict(test.drop("label"), model).join(truth, "doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        truth AS (SELECT DISTINCT doc_id, lang FROM test_toks)
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN p.pred = t.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          CAST(SUM(CASE WHEN p.pred = t.lang THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM nb_pred p JOIN truth t ON p.doc_id = t.doc_id"""))
+  )
+}
