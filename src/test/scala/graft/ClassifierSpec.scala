@@ -1,0 +1,89 @@
+package graft
+
+import graft.ml.{Evaluate, Knn, NaiveBayes}
+import graft.operators.TextPipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end classifier tests on hand-separable fixtures: the SURVEY.md §7
+  * first-milestone slice (corpus → vectors → kNN → accuracy 1.0) and an
+  * exactly-hand-computed Naive Bayes posterior. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kNN on numeric vectors: hand-checked neighbors and vote") {
+    val train = Seq(
+      (1L, "A", Array(1.0, 0.0)), (2L, "A", Array(0.9, 0.1)),
+      (3L, "B", Array(0.0, 1.0)), (4L, "B", Array(0.1, 0.9))
+    ).toDF("id", "label", "vec")
+    val test = Seq((10L, "A", Array(1.0, 0.05)), (11L, "B", Array(0.05, 1.0)))
+      .toDF("id", "label", "vec")
+    val pred = Knn.classify(test, train, k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(pred == Map(10L -> "A", 11L -> "B"))
+    val acc = Evaluate.accuracy(
+      Knn.classify(test, train, k = 3)
+        .join(test.select($"id".as("q_id"), $"label".as("truth")), "q_id"))
+      .select($"accuracy").as[Double].head()
+    assert(acc == 1.0)
+  }
+
+  test("kNN end-to-end over the text pipeline (mini corpus, accuracy 1.0)") {
+    val docs = Seq(
+      (1L, "space", "rocket orbit launch star rocket"),
+      (2L, "space", "orbit star rocket nebula"),
+      (3L, "autos", "engine car wheel road engine"),
+      (4L, "autos", "car road wheel gear"),
+      (10L, "space", "rocket star orbit"),
+      (11L, "autos", "engine wheel car")
+    ).toDF("doc_id", "label", "text")
+    val toks = TextPipeline.tokenize(docs)
+    val tfidf = TextPipeline.tfidf(
+      TextPipeline.tf(TextPipeline.termCounts(toks)), TextPipeline.idf(toks))
+    val vocab = TextPipeline.vocab(toks)
+    val vSize = vocab.count().toInt
+    // densify the sparse map to an array vector for the cosine kernel
+    val dense = TextPipeline.docVectorMap(tfidf, vocab)
+      .withColumn("vec", transform(sequence(lit(1L), lit(vSize.toLong)),
+        i => coalesce(element_at(col("features"), i), lit(0.0))))
+      .join(docs.select($"doc_id", $"label"), "doc_id")
+      .select($"doc_id".as("id"), $"label", $"vec")
+    val test = dense.filter($"id" >= 10L)
+    val train = dense.filter($"id" < 10L)
+    val scored = Knn.classify(test, train, k = 3)
+      .join(test.select($"id".as("q_id"), $"label".as("truth")), "q_id")
+    assert(Evaluate.accuracy(scored).select($"accuracy").as[Double].head() == 1.0)
+  }
+
+  test("NB matches a hand-computed posterior argmax") {
+    // train: c1 = "a a b", c2 = "b b c"; test doc "a b"
+    // score(c1) = ln(.5) + ln(3/6) + ln(2/6) = ln(.5) + ln(1/6)·…  → c1 wins
+    val train = Seq(
+      (1L, "c1", "a"), (1L, "c1", "a"), (1L, "c1", "b"),
+      (2L, "c2", "b"), (2L, "c2", "b"), (2L, "c2", "c")
+    ).toDF("doc_id", "label", "term")
+    val test = Seq((10L, "a"), (10L, "b")).toDF("doc_id", "term")
+    val model = NaiveBayes.train(train)
+    assert(model.vocabSize == 3L)
+    val pred = NaiveBayes.predict(test, model).as[(Long, String)].collect().toMap
+    assert(pred == Map(10L -> "c1"))
+  }
+
+  test("NB reference-compat scoring (abs of log-product, argmin) still separates") {
+    val train = Seq(
+      (1L, "c1", "a"), (1L, "c1", "a"), (1L, "c1", "b"),
+      (2L, "c2", "b"), (2L, "c2", "b"), (2L, "c2", "c")
+    ).toDF("doc_id", "label", "term")
+    val test = Seq((10L, "a"), (10L, "a"), (10L, "b")).toDF("doc_id", "term")
+    val model = NaiveBayes.train(train)
+    val pred = NaiveBayes.predict(test, model, referenceCompat = true)
+      .as[(Long, String)].collect().toMap
+    assert(pred.contains(10L))
+  }
+
+  test("out-of-vocabulary test terms are dropped (J2 inner-join semantics)") {
+    val train = Seq((1L, "c1", "a"), (2L, "c2", "b")).toDF("doc_id", "label", "term")
+    val test = Seq((10L, "zzz")).toDF("doc_id", "term")
+    val model = NaiveBayes.train(train)
+    assert(NaiveBayes.predict(test, model).count() == 0L)
+  }
+}

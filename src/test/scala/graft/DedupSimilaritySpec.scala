@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 ≡ doc 2 (exact after normalization), doc 3 near-dup of 1, doc 4 unrelated
+  private def docs = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog today"),
+    (2L, "en", "The quick brown fox jumps over the lazy dog today!"),
+    (3L, "en", "the quick brown fox jumps over the lazy cat today"),
+    (4L, "en", "completely different content with no overlap at all whatsoever")
+  ).toDF("doc_id", "lang", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val groups = Dedup.exact(docs).as[(String, Long, Long)].collect()
+    val dup = groups.filter(_._3 > 1)
+    assert(dup.length == 1 && dup.head._2 == 1L && dup.head._3 == 2L)
+  }
+
+  test("n-gram jaccard: hand-computed similarity for the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // docs 1,2 identical: 8 trigrams, jaccard 1.0
+    assert(pairs((1L, 2L)) == ((8L, 1.0)))
+    // docs 1,3 differ in token 9 ("dog"→"cat"): shared trigrams = 6 of 10 distinct
+    assert(pairs((1L, 3L))._2 == 6.0 / 10.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds the exact and near duplicates, with true jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)  // identical docs always collide in every band
+    pairs.get((1L, 3L)).foreach(j => assert(j == 0.6)) // found iff a band collides
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups are close") {
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val dist13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val dist14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(dist13 < dist14)
+    val pairs = Dedup.simhashPairs(docs, maxDist = dist13)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("brute-force top-k: hand-checked neighbor order") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.99f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(emb.filter($"vec_id" === 1L), emb, k = 2)
+      .orderBy($"rk").as[(Long, Long, Double, Long)].collect()
+    assert(top.map(_._2).toSeq == Seq(4L, 2L)) // cos(1,4)≈0.99995 > cos(1,2)=0.8
+  }
+
+  test("LSH top-k returns true cosine values for the pairs it finds") {
+    val emb = (0L until 40L).map { i =>
+      val angle = (i % 8).toDouble / 8.0 * math.Pi / 2
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(emb, emb, k = 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(emb, k = 5)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH-reported sim equals the exact cosine for that pair
+    lsh.foreach { case (q, n, sim, _) =>
+      brute.get((q, n)).foreach(exact => assert(exact == sim))
+    }
+  }
+}

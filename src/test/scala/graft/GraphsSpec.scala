@@ -1,0 +1,59 @@
+package graft
+
+import graft.graph.Graphs
+import org.apache.spark.sql.functions._
+
+/** Golden test from the PDF2 spec's worked example (FIXTURES.md F6) plus
+  * PageRank/LPA structural invariants. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two "paragraphs" of person names (the spec's exact example).
+  private def paragraphs = Seq(
+    (1L, "狄云"), (1L, "戚芳"), (1L, "戚芳"), (1L, "戚长发"), (1L, "卜垣"),
+    (2L, "戚芳"), (2L, "卜垣"), (2L, "卜垣")
+  ).toDF("pid", "name")
+
+  test("co-occurrence matches the PDF2 golden pair counts") {
+    val pairs = Graphs.coOccurrence(paragraphs, "pid", "name")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val golden = Map(
+      ("狄云", "戚芳") -> 1L, ("狄云", "戚长发") -> 1L, ("狄云", "卜垣") -> 1L,
+      ("戚芳", "狄云") -> 1L, ("戚芳", "戚长发") -> 1L, ("戚芳", "卜垣") -> 2L,
+      ("戚长发", "狄云") -> 1L, ("戚长发", "戚芳") -> 1L, ("戚长发", "卜垣") -> 1L,
+      ("卜垣", "狄云") -> 1L, ("卜垣", "戚芳") -> 2L, ("卜垣", "戚长发") -> 1L)
+    assert(pairs == golden)
+  }
+
+  test("normalized out-edge weights match the PDF2 golden adjacency") {
+    val w = Graphs.normalizeEdges(Graphs.coOccurrence(paragraphs, "pid", "name"))
+      .select($"src", $"dst", $"w").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w(("狄云", "戚芳")) == 1.0 / 3.0)
+    assert(w(("戚芳", "卜垣")) == 0.5)
+    assert(w(("卜垣", "戚芳")) == 0.5)
+    assert(w(("卜垣", "狄云")) == 0.25)
+  }
+
+  test("edge weights sum to 1 per source") {
+    val sums = Graphs.normalizeEdges(Graphs.coOccurrence(paragraphs, "pid", "name"))
+      .groupBy($"src").agg(sum($"w").as("s")).as[(String, Double)].collect()
+    assert(sums.forall { case (_, s) => math.abs(s - 1.0) < 1e-12 })
+  }
+
+  test("pagerank: ranks sum to ~1 and the most-connected vertex ranks highest") {
+    val edges = Graphs.normalizeEdges(Graphs.coOccurrence(paragraphs, "pid", "name"))
+    val ranks = Graphs.pageRank(edges, iterations = 20).as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    // 戚芳 and 卜垣 share the heaviest edges; both must outrank 狄云/戚长发
+    assert(ranks("戚芳") > ranks("狄云") && ranks("卜垣") > ranks("戚长发"))
+  }
+
+  test("label propagation converges to a single community on this graph") {
+    val labels = Graphs.labelPropagation(
+      Graphs.coOccurrence(paragraphs, "pid", "name"), iterations = 4)
+      .as[(String, String)].collect().toMap
+    assert(labels.size == 4)
+    assert(labels.values.toSet.size == 1)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.graph.Graphs
+import graft.ml.{Evaluate, Knn}
+import graft.operators.TextPipeline
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5): TF normalization, edge-weight
+  * normalization, accuracy bounds, top-k permutation invariance.
+  * ScalaCheck generators drive fixed-seed cases (5 per property — each case
+  * materializes a Spark job, so counts stay small and runs deterministic). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  test("TF sums to 1 per document for any corpus") {
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.nonEmptyListOf(docGen), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sums = TextPipeline.tf(TextPipeline.termCounts(TextPipeline.tokenize(docs)))
+        .groupBy($"doc_id").agg(sum($"tf").as("s")).select($"s").as[Double].collect()
+      assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9), s"seed=$seed")
+    }
+  }
+
+  test("normalized out-edge weights sum to 1 per source for any graph") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      s <- Gen.choose(0, 5); d <- Gen.choose(0, 5); c <- Gen.choose(1L, 9L)
+    } yield (s.toString, d.toString, c)).map(_.filter(e => e._1 != e._2))
+    for (seed <- 1L to 5L) {
+      val edges = sample(edgeGen, seed)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst", "cnt")
+          .groupBy($"src", $"dst").agg(sum($"cnt").as("cnt"))
+        val sums = Graphs.normalizeEdges(df)
+          .groupBy($"src").agg(sum($"w").as("s")).select($"s").as[Double].collect()
+        assert(sums.forall(s => math.abs(s - 1.0) < 1e-9), s"seed=$seed")
+      }
+    }
+  }
+
+  test("accuracy is always within [0, 1]") {
+    val rowGen = Gen.nonEmptyListOf(
+      for { t <- Gen.oneOf("x", "y"); p <- Gen.oneOf("x", "y") } yield (t, p))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed)
+      val acc = Evaluate.accuracy(rows.toDF("truth", "pred"))
+        .select($"accuracy").as[Double].head()
+      assert(acc >= 0.0 && acc <= 1.0, s"seed=$seed")
+    }
+  }
+
+  test("kNN prediction is invariant under train-set row order") {
+    val train = Seq(
+      (1L, "A", Array(1.0, 0.1)), (2L, "A", Array(0.9, 0.2)),
+      (3L, "B", Array(0.1, 1.0)), (4L, "B", Array(0.2, 0.8)))
+    val test = Seq((9L, "?", Array(0.95, 0.15))).toDF("id", "label", "vec")
+    val p1 = Knn.classify(test, train.toDF("id", "label", "vec"), 3)
+      .as[(Long, String)].collect().toMap
+    val p2 = Knn.classify(test, train.reverse.toDF("id", "label", "vec"), 3)
+      .as[(Long, String)].collect().toMap
+    assert(p1 == p2 && p1(9L) == "A")
+  }
+}

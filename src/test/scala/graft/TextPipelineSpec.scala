@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.TextPipeline
+import org.apache.spark.sql.functions._
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def miniDocs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "a dog ran")
+  ).toDF("doc_id", "text")
+
+  test("tokenize lowercases, strips punctuation, drops empties") {
+    val toks = TextPipeline.tokenize(Seq((1L, "Hello, World!  x2")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toSeq
+    assert(toks == Seq((1L, "hello"), (1L, "world"), (1L, "x2")))
+  }
+
+  test("term counts match hand count") {
+    val counts = TextPipeline.termCounts(TextPipeline.tokenize(miniDocs))
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts((1L, "the")) == 1L && counts((2L, "cat")) == 1L && counts((3L, "ran")) == 1L)
+    assert(counts.size == 9)
+  }
+
+  test("tf is count over doc length; sums to 1 per doc") {
+    val tf = TextPipeline.tf(TextPipeline.termCounts(TextPipeline.tokenize(miniDocs)))
+    val byDoc = tf.groupBy($"doc_id").agg(sum($"tf").as("s")).as[(Long, Double)].collect().toMap
+    assert(byDoc.values.forall(s => math.abs(s - 1.0) < 1e-12))
+    val row = tf.filter($"doc_id" === 1L && $"term" === "the").select($"tf").as[Double].head()
+    assert(row == 1.0 / 3.0)
+  }
+
+  test("idf: reference N/df semantics and log variant") {
+    val idf = TextPipeline.idf(TextPipeline.tokenize(miniDocs))
+      .select($"term", $"df", $"idf_ref").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(idf("the") == ((2L, 1.5)))  // N=3, df=2 → 3/2, no logarithm
+    assert(idf("dog") == ((1L, 3.0)))
+  }
+
+  test("tfidf = tf * idf via broadcast join") {
+    val toks = TextPipeline.tokenize(miniDocs)
+    val out = TextPipeline.tfidf(TextPipeline.tf(TextPipeline.termCounts(toks)), TextPipeline.idf(toks))
+    val v = out.filter($"doc_id" === 3L && $"term" === "dog").select($"tfidf").as[Double].head()
+    assert(v == (1.0 / 3.0) * 3.0)
+  }
+
+  test("vocab indices are stable lexicographic positions") {
+    val v = TextPipeline.vocab(TextPipeline.tokenize(miniDocs))
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("a" -> 1L, "cat" -> 2L, "dog" -> 3L, "ran" -> 4L, "sat" -> 5L, "the" -> 6L))
+  }
+
+  test("docVectors renders sorted idx:scaled entries") {
+    val toks = TextPipeline.tokenize(Seq((1L, "b a")).toDF("doc_id", "text"))
+    val tfidf = TextPipeline.tfidf(TextPipeline.tf(TextPipeline.termCounts(toks)), TextPipeline.idf(toks))
+    val vec = TextPipeline.docVectors(tfidf, TextPipeline.vocab(toks))
+      .select($"vec").as[String].head()
+    // tf = 0.5 each, idf = 1.0 each → 0.5*1e6 = 500000
+    assert(vec == "1:500000 2:500000")
+  }
+}
