@@ -47,7 +47,9 @@ object Graphs {
     val n = verts.count()
     var ranks = verts.withColumn("rank", lit(1.0d / n))
     for (i <- 1 to iterations) {
-      ranks = e.join(ranks, e("src") === ranks("v"))
+      // ranks is vertex-sized (small relative to edges): broadcast it so the
+      // cached edge table never reshuffles across iterations
+      ranks = e.join(broadcast(ranks), e("src") === ranks("v"))
         .groupBy(col("dst").as("v2"))
         .agg((lit((1.0d - damping) / n) + lit(damping) * sum(col("rank") * col("w"))).as("rank"))
         .withColumnRenamed("v2", "v")
@@ -63,7 +65,7 @@ object Graphs {
     val e = edges.select(col("src"), col("dst"), col("cnt")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("v")).distinct().withColumn("label", col("v"))
     for (i <- 1 to iterations) {
-      val byLabel = e.join(labels, e("dst") === labels("v"))
+      val byLabel = e.join(broadcast(labels), e("dst") === labels("v"))
         .groupBy(col("src").as("v2"), col("label"))
         .agg(sum(col("cnt")).as("wsum"))
       val w = Window.partitionBy(col("v2")).orderBy(col("wsum").desc, col("label").asc)
