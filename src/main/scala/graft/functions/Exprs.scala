@@ -55,6 +55,20 @@ object Exprs {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Sparse cosine over two MapType(idx → weight) columns — the reference's
+    * kNN kernel shape (KNNMapper.java:118-143 iterates a HashMap<Int,Double>).
+    * Dot is over the key intersection; norms over each map's own values. */
+  def mapCosine(a: Column, b: Column): Column = {
+    def dotMaps(x: Column, y: Column): Column =
+      aggregate(
+        map_values(map_zip_with(x, y, (_, u, v) => coalesce(u, lit(0.0d)) * coalesce(v, lit(0.0d)))),
+        lit(0.0d), (acc, p) => acc + p)
+    def norm(m: Column): Column =
+      sqrt(aggregate(map_values(m), lit(0.0d), (acc, v) => acc + v * v))
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dotMaps(a, b) / denom)
+  }
+
   /** Epoch seconds of a timestamp truncated to the given unit — the portable
     * way to ship time buckets across engines (no tz/precision ambiguity). */
   def epochTrunc(unit: String, ts: Column): Column =

@@ -38,14 +38,34 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("n_label"), col("sim"), col("rk"))
   }
 
-  /** Majority vote over the k neighbors (A8): most votes, then highest total
-    * similarity is *not* used (the reference votes by count only,
-    * KNNMapper.java:161-184) — ties break on smallest label. */
-  def classify(test: DataFrame, train: DataFrame, k: Int): DataFrame = {
-    val votes = neighbors(test, train, k)
-      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("votes"))
+  /** Top-k neighbors over sparse MapType(idx → weight) feature columns — the
+    * reference's own vector representation (KNNMapper.java:20). Same plan
+    * shape as [[neighbors]], kernel swapped for [[mapCosine]]. */
+  def neighborsSparse(test: DataFrame, train: DataFrame, k: Int): DataFrame = {
+    val t = test.select(col("id").as("q_id"), col("features").as("q_f"))
+    val tr = train.select(col("id").as("n_id"), col("label").as("n_label"), col("features").as("n_f"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    t.crossJoin(broadcast(tr))
+      .withColumn("sim", round(mapCosine(col("q_f"), col("n_f")), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label"), col("sim"), col("rk"))
+  }
+
+  private def vote(nbrs: DataFrame): DataFrame = {
+    val votes = nbrs.groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("n_label").asc)
     votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("q_id"), col("n_label").as("pred"))
   }
+
+  /** Majority vote over the k neighbors (A8): most votes, then highest total
+    * similarity is *not* used (the reference votes by count only,
+    * KNNMapper.java:161-184) — ties break on smallest label. */
+  def classify(test: DataFrame, train: DataFrame, k: Int): DataFrame =
+    vote(neighbors(test, train, k))
+
+  /** [[classify]] over sparse MapType feature vectors. */
+  def classifySparse(test: DataFrame, train: DataFrame, k: Int): DataFrame =
+    vote(neighborsSparse(test, train, k))
 }

@@ -27,8 +27,10 @@ object Graph {
     verts AS (SELECT DISTINCT src AS v FROM cooc),
     nv AS (SELECT COUNT(*) AS n FROM verts)"""
 
-  /** Unrolled PageRank oracle: r0 … r{iters} as chained aggregating CTEs. */
-  private def pageRankSql(iters: Int, d: Double): String = {
+  /** Unrolled PageRank oracle: r0 … r{iters} as chained aggregating CTEs;
+    * `finalSelect` runs over the last round aliased as (term, rank). */
+  private def pageRankSql(iters: Int, d: Double,
+                          finalSelect: String = "SELECT term, rank FROM result"): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
         SELECT e.dst AS v, (SELECT (1.0-$d)/n FROM nv) + $d*SUM(r.rank*e.w) AS rank
@@ -36,8 +38,9 @@ object Graph {
     }.mkString(",\n")
     s"""$edgesCte,
     r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts),
-    $rounds
-    SELECT v AS term, round(rank, 6) AS rank FROM r$iters"""
+    $rounds,
+    result AS (SELECT v AS term, round(rank, 6) AS rank FROM r$iters)
+    $finalSelect"""
   }
 
   /** Unrolled synchronous LPA oracle with (max integer weight, min label)
@@ -53,8 +56,8 @@ object Graph {
     }.mkString(",\n")
     s"""$edgesCte,
     l0 AS (SELECT v, v AS label FROM verts),
-    $rounds
-    SELECT v AS term, label FROM l$iters"""
+    $rounds,
+    result AS (SELECT v AS term, label FROM l$iters)"""
   }
 
   private def termEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -89,6 +92,27 @@ object Graph {
       (s, dir) => Graphs.labelPropagation(
         Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents"))), iterations = 5)
         .select(col("v").as("term"), col("label")),
-      oracle = Some(lpaSql(5)))
+      oracle = Some(lpaSql(5) + "\n    SELECT term, label FROM result")),
+
+    // T4: global rank sort + limit — "find the protagonists" (PDF2 p.6 task 6)
+    QueryDef("q43_top_ranked",
+      (s, dir) => Graphs.pageRank(termEdges(s, dir), iterations = 10)
+        .select(col("v").as("term"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("term").asc)
+        .limit(10),
+      oracle = Some(pageRankSql(10, 0.85,
+        "SELECT term, rank FROM result ORDER BY rank DESC, term ASC LIMIT 10"))),
+
+    // T5: group-by-label collation of community members (PDF2 p.6 task 6)
+    QueryDef("q44_communities",
+      (s, dir) => Graphs.labelPropagation(
+        Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents"))), iterations = 5)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("size"),
+          array_join(array_sort(collect_list(col("v"))), ",").as("members")),
+      oracle = Some(lpaSql(5) + """
+        SELECT label, COUNT(*) AS size,
+          string_agg(term, ',' ORDER BY term) AS members
+        FROM result GROUP BY label"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.TextPipeline
+import graft.operators.{TextPipeline, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,25 @@ object Text {
         SELECT doc_id,
           string_agg(CAST(idx AS VARCHAR) || ':' ||
             CAST(CAST(round(tfidf*1000000.0) AS BIGINT) AS VARCHAR), ' ' ORDER BY idx) AS vec
-        FROM tfidf JOIN vocab USING (term) GROUP BY doc_id"""))
+        FROM tfidf JOIN vocab USING (term) GROUP BY doc_id""")),
+
+    // P4/U2: stop-word removal as a broadcast left-anti join (the scalable
+    // form for large stop sets; the reference loads a side file per task)
+    QueryDef("q45_stopword_filter",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val stop = s.createDataFrame(
+          TextStats.stopwords.map(Tuple1(_))).toDF("sw")
+        t.join(broadcast(stop), t("term") === stop("sw"), "left_anti")
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some {
+        val list = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""
+        WITH $toksCte
+        SELECT term, COUNT(*) AS cnt FROM toks
+        WHERE term NOT IN ($list)
+        GROUP BY 1"""
+      })
   )
 }
