@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class ExtensionsSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(v == 11.0)
+  }
+
+  test("registerViews exposes the tables to spark.sql") {
+    GraftExtensions.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head()
+    assert(n == 6000L)
+    val joined = spark.sql(
+      """SELECT r_name, COUNT(*) AS c FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey GROUP BY 1""")
+    assert(joined.count() == 5L)
+  }
+
+  test("salted join equals the plain join") {
+    val left = (1L to 1000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val right = Seq(("hot", 1), ("k1", 2), ("k5", 3)).toDF("key", "w")
+    val plain = left.join(right, "key").select($"key", $"v", $"w")
+      .as[(String, Long, Int)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "key", salts = 8)
+      .select($"key", $"v", $"w").as[(String, Long, Int)].collect().toSet
+    assert(salted == plain && plain.size == 102)
+  }
+
+  test("salted group count equals the plain group count") {
+    val df = (1L to 500L).map(i => if (i % 3 == 0) "hot" else s"k${i % 7}").toDF("key")
+    val plain = df.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedGroupCount(df, "key", salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
