@@ -21,19 +21,29 @@ import org.apache.spark.sql.types.DoubleType
   */
 object NaiveBayes {
 
-  /** Model tables from labeled tokens (label, term). */
-  case class Model(termCounts: DataFrame, classTotals: DataFrame, priors: DataFrame, vocabSize: Long)
+  /** Model tables from labeled tokens (label, term). `vocabSizeDf` is a
+    * 1-row (v: Long) frame — the vocabulary size stays a lazy scalar inside
+    * the plan instead of an eager driver action. */
+  case class Model(termCounts: DataFrame, classTotals: DataFrame, priors: DataFrame,
+                   vocabSizeDf: DataFrame) {
+    /** Eager convenience accessor (tests, reporting). */
+    def vocabSize: Long = vocabSizeDf.collect().head.getLong(0)
+  }
 
-  /** A6: train from a labeled token stream (doc_id, label, term). */
+  /** A6: train from a labeled token stream (doc_id, label, term).
+    * Fully lazy — no driver-side actions; scalars (doc count, vocabulary
+    * size) are 1-row broadcast frames folded into the scoring plan. */
   def train(toks: DataFrame): Model = {
     val termCounts = toks.groupBy(col("label"), col("term")).agg(count(lit(1)).as("tcnt"))
     val classTotals = termCounts.groupBy(col("label")).agg(sum(col("tcnt")).as("total"))
     val docs = toks.select(col("doc_id"), col("label")).distinct()
-    val nDocs = docs.count()
-    val priors = docs.groupBy(col("label"))
-      .agg((count(lit(1)).cast(DoubleType) / lit(nDocs.toDouble)).as("prior"))
-    val vocabSize = termCounts.select(col("term")).distinct().count()
-    Model(termCounts, classTotals, priors, vocabSize)
+    val nDocsDf = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col("label")).agg(count(lit(1)).as("n_d"))
+      .crossJoin(broadcast(nDocsDf))
+      .select(col("label"),
+        (col("n_d").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("prior"))
+    val vocabSizeDf = termCounts.agg(countDistinct(col("term")).as("v"))
+    Model(termCounts, classTotals, priors, vocabSizeDf)
   }
 
   /** A9: score + argmax. Input: test tokens (doc_id, term). Output (doc_id, pred). */
@@ -42,13 +52,14 @@ object NaiveBayes {
       // vocabulary restriction: J2 inner-join semantics (out-of-vocab dropped)
       .join(broadcast(model.termCounts.select(col("term")).distinct()), "term")
     val classes = model.classTotals.join(model.priors, "label")
+      .crossJoin(broadcast(model.vocabSizeDf))
     val scored = testCounts
       .crossJoin(broadcast(classes))
       .join(broadcast(model.termCounts), Seq("label", "term"), "left")
       .na.fill(0L, Seq("tcnt"))
       .withColumn("logp",
         log((col("tcnt").cast(DoubleType) + lit(1.0d)) /
-          (col("total").cast(DoubleType) + lit(model.vocabSize.toDouble))))
+          (col("total").cast(DoubleType) + col("v").cast(DoubleType))))
     val score =
       if (referenceCompat)
         // Π of logs over terms (count-weighted by pow), × log prior, abs, argmin
