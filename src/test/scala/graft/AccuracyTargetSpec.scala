@@ -1,0 +1,58 @@
+package graft
+
+import graft.ml.{Evaluate, Knn, NaiveBayes}
+import graft.operators.TextPipeline
+import org.apache.spark.sql.functions._
+
+/** BASELINE.md targets on 20-Newsgroups-shaped data: kNN (K=3) ≥ 0.866 and
+  * NB ≥ 0.897. A deterministic synthetic corpus with class-specific
+  * vocabulary + shared noise (60/40 mix — the separability regime of topical
+  * newsgroup text) must clear both published numbers.
+  */
+class AccuracyTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val classes = Seq("sci.space", "rec.autos", "talk.politics", "comp.graphics")
+  private val shared = (0 until 30).map(i => s"common$i")
+
+  private def corpus: Seq[(Long, String, String, String)] = {
+    val rnd = new scala.util.Random(42)
+    val classWords = classes.map(c => c -> (0 until 20).map(i => s"${c.replace('.', '_')}_w$i")).toMap
+    (0 until 200).map { i =>
+      val cls = classes(i % classes.length)
+      val words = (0 until 30).map { _ =>
+        if (rnd.nextDouble() < 0.6) classWords(cls)(rnd.nextInt(20))
+        else shared(rnd.nextInt(shared.length))
+      }
+      val split = if (i < 160) "train" else "test"
+      (i.toLong, cls, split, words.mkString(" "))
+    }
+  }
+
+  test("kNN (K=3) beats the reference's 0.866 on newsgroup-shaped data") {
+    val docs = corpus.toDF("doc_id", "label", "split", "text")
+    val toks = TextPipeline.tokenize(docs)
+    val tfidf = TextPipeline.tfidf(
+      TextPipeline.tf(TextPipeline.termCounts(toks)), TextPipeline.idf(toks))
+    val sparse = TextPipeline.docVectorMap(tfidf, TextPipeline.vocab(toks))
+      .join(docs.select($"doc_id", $"label", $"split"), "doc_id")
+      .select($"doc_id".as("id"), $"label", $"split", $"features")
+    val scored = Knn.classifySparse(
+      sparse.filter($"split" === "test"), sparse.filter($"split" === "train"), k = 3)
+      .join(sparse.filter($"split" === "test")
+        .select($"id".as("q_id"), $"label".as("truth")), "q_id")
+    val acc = Evaluate.accuracy(scored).select($"accuracy").as[Double].head()
+    assert(acc >= 0.866, s"kNN accuracy $acc below the reference baseline")
+  }
+
+  test("NB beats the reference's 0.897 on newsgroup-shaped data") {
+    val docs = corpus.toDF("doc_id", "label", "split", "text")
+    val toks = TextPipeline.tokenize(docs, keep = Seq("doc_id", "label", "split"))
+    val model = NaiveBayes.train(toks.filter($"split" === "train").drop("split"))
+    val pred = NaiveBayes.predict(toks.filter($"split" === "test").select($"doc_id", $"term"), model)
+    val truth = docs.filter($"split" === "test").select($"doc_id", $"label".as("truth"))
+    val acc = Evaluate.accuracy(pred.join(truth, "doc_id"))
+      .select($"accuracy").as[Double].head()
+    assert(acc >= 0.897, s"NB accuracy $acc below the reference baseline")
+  }
+}
