@@ -147,7 +147,8 @@ object Curation {
             CAST(least(n_tokens, 100) AS DOUBLE)/100.0 * 0.4 +
             (1.0 - CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.2 AS quality
         FROM per_doc p JOIN raw r ON p.doc_id = r.doc_id"""
-      }),
+      },
+      bench = true),
 
     QueryDef("q41_token_stats",
       (s, dir) => TextStats.tokenCounts(docs(s, dir)),
@@ -170,6 +171,7 @@ object Curation {
         SELECT doc_id,
           CASE WHEN len(vals) = 0 THEN 0
                ELSE list_reduce(vals, (a, v) -> (a*131 + v) % 1000000007) END AS fingerprint
-        FROM seq"""))
+        FROM seq"""),
+      bench = true)
   )
 }

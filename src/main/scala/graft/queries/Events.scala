@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs._
+import graft.operators.{AsOf, Sessions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
@@ -115,6 +116,60 @@ object Events {
       },
       oracle = Some("""
         SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
-        ORDER BY cnt DESC, user_id ASC LIMIT 10"""))
+        ORDER BY cnt DESC, user_id ASC LIMIT 10""")),
+
+    // As-of join: each click matched to the user's most recent prior purchase
+    // (second granularity; right side deduped per (user, sec) by max value)
+    QueryDef("q46_asof_join",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("id"), col("user_id").as("key"),
+            epochTrunc("second", col("ts")).as("ord"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("key"), epochTrunc("second", col("ts")).as("ord"))
+          .agg(max(col("value")).as("value"))
+        AsOf.joinAsOf(clicks, purchases)
+          .select(col("id").as("event_id"), col("key").as("user_id"),
+            col("ord").as("click_sec"), col("matched_ord").as("purchase_sec"),
+            col("matched_value").as("purchase_value"))
+      },
+      oracle = Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+          FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+            MAX(value) AS value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.sec AS click_sec,
+          p.sec AS purchase_sec, p.value AS purchase_value
+        FROM clicks c ASOF JOIN purch p ON c.user_id = p.user_id AND c.sec >= p.sec""")),
+
+    // Inactivity-gap sessionization (30 min) — one row per session
+    QueryDef("q47_sessionize",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id").as("key"), epochTrunc("second", col("ts")).as("sec"))
+        Sessions.sessionize(e, gapSec = 1800L)
+          .select(col("key").as("user_id"), col("session_id"), col("session_start"),
+            col("duration_sec"), col("n_events"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        gaps AS (
+          SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC)),
+        sess AS (
+          SELECT user_id, sec,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec ASC) AS BIGINT) AS session_id
+          FROM gaps)
+        SELECT user_id, session_id, MIN(sec) AS session_start,
+          MAX(sec) - MIN(sec) AS duration_sec, COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2"""),
+      bench = true)
   )
 }

@@ -97,7 +97,8 @@ object Text {
         SELECT doc_id,
           string_agg(CAST(idx AS VARCHAR) || ':' ||
             CAST(CAST(round(tfidf*1000000.0) AS BIGINT) AS VARCHAR), ' ' ORDER BY idx) AS vec
-        FROM tfidf JOIN vocab USING (term) GROUP BY doc_id""")),
+        FROM tfidf JOIN vocab USING (term) GROUP BY doc_id"""),
+      bench = true),
 
     // P4/U2: stop-word removal as a broadcast left-anti join (the scalable
     // form for large stop sets; the reference loads a side file per task)
