@@ -53,7 +53,8 @@ object Graphs {
         .groupBy(col("dst").as("v2"))
         .agg((lit((1.0d - damping) / n) + lit(damping) * sum(col("rank") * col("w"))).as("rank"))
         .withColumnRenamed("v2", "v")
-      if (i % 3 == 0) ranks = ranks.localCheckpoint(eager = true)
+      // truncate lineage sparingly — each eager checkpoint costs a job
+      if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
   }

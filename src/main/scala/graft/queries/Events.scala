@@ -170,6 +170,21 @@ object Events {
         SELECT user_id, session_id, MIN(sec) AS session_start,
           MAX(sec) - MIN(sec) AS duration_sec, COUNT(*) AS n_events
         FROM sess GROUP BY 1, 2"""),
-      bench = true)
+      bench = true),
+
+    // Ordered-set aggregates: exact interpolated percentiles per event type
+    QueryDef("q48_percentiles",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            round(expr("percentile(value, 0.5)"), 8).as("p50"),
+            round(expr("percentile(value, 0.9)"), 8).as("p90"))
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+          round(quantile_cont(value, 0.5), 8) AS p50,
+          round(quantile_cont(value, 0.9), 8) AS p90
+        FROM events GROUP BY 1"""))
   )
 }

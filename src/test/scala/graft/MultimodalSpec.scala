@@ -22,6 +22,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).features.forall(_ == 0.0f))
   }
 
+  test("binaryFiles ingests payloads as binary columns with glob filtering") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(new java.io.File(dir, "b.txt").toPath, Array[Byte](9))
+    val df = Multimodal.binaryFiles(spark, dir.getAbsolutePath, "*.png")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("length") == 3L)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("frame sampling is a 1-row → N-rows generator over the payload") {
     val frames = Multimodal.sampleFrames(records, stride = 2)
       .as[(Long, Int, Array[Byte])].collect()
