@@ -32,7 +32,8 @@ object Bench {
     val results = SparkEntry.benchQueries.map { q =>
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
-        q.name -> runOnce(q)
+        // min of two timed passes — damps scheduler/GC noise in local mode
+        q.name -> math.min(runOnce(q), runOnce(q))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
