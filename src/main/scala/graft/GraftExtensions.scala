@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
 
@@ -27,9 +28,13 @@ object GraftExtensions {
       DotProduct(children(0), children(1)))
 
   /** Runtime registration on an existing session (tests, spark-shell). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin
+  }
 
   /** Register every engine table of a data dir as a temp view, giving the
     * full `spark.sql(...)` surface over the same data the Column-API
