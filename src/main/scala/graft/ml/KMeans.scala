@@ -1,0 +1,57 @@
+package graft.ml
+
+import graft.functions.Exprs._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Lloyd's k-means over embedding columns, as pure DataFrame
+  * dataflow: assignment is an argmin over the broadcast centroid table;
+  * the update step re-averages element-wise via posexplode + groupBy.
+  *
+  * Deterministic by construction: initial centroids are the k lowest-id
+  * vectors, argmin ties break on centroid id, and element averages are
+  * exact-sum/count — so clusterings are reproducible run-to-run (a property
+  * the IVF index below inherits).
+  *
+  * Per iteration: one broadcast (k×d doubles) + one shuffle of n×d
+  * (cluster, pos, value) triples — linear in data size, no pairwise terms.
+  */
+object KMeans {
+
+  /** emb: (vec_id, vec: array<double>). Returns (centroid_id, centroid). */
+  def fit(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("vec")).persist(StorageLevel.MEMORY_AND_DISK)
+    val idW = Window.orderBy(col("vec_id").asc)
+    var centroids = e.orderBy(col("vec_id").asc).limit(k)
+      .select(row_number().over(idW).cast(LongType).as("centroid_id"), col("vec").as("centroid"))
+    for (_ <- 1 to iterations) {
+      val assigned = assign(e, centroids)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("entries"))
+        .select(col("centroid_id"),
+          transform(col("entries"), x => x.getField("m")).as("centroid"))
+        .localCheckpoint(eager = true)
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector (squared L2, ties on centroid id). */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val dist2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("centroid_id").asc)
+    emb.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("centroid_id"))
+  }
+}

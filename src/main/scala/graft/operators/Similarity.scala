@@ -61,6 +61,37 @@ object Similarity {
       }),
       lit(0L), (acc, x) => acc + x)
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means coarse
+    * quantizer buckets the corpus; each query probes its `nprobe` nearest
+    * centroids and exact-ranks only those buckets' vectors. The other scale
+    * path next to [[lshTopK]] — cost is Σ(query × probed-bucket sizes)
+    * instead of n², with recall controlled by nprobe. */
+  def ivfTopK(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val centroids = graft.ml.KMeans.fit(e, nlist, kmeansIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.ml.KMeans.assign(e, centroids)
+    // each query probes its nprobe nearest centroid buckets
+    val dist2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("centroid_id").asc)
+    val probes = e.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    probes
+      .join(buckets.select(col("vec_id").as("n_id"), col("vec").as("n_vec"), col("centroid_id")),
+        "centroid_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
+  }
+
   /** Approximate top-k via LSH buckets + exact re-rank inside each bucket.
     * Recall < 1 by design; union of several plane-sets (repetitions) raises it. */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4): DataFrame = {

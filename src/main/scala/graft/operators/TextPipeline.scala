@@ -77,6 +77,33 @@ object TextPipeline {
       .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("entry")))),
         x => x.getField("entry")), " ").as("vec"))
 
+  /** BM25 relevance scoring of every document against a fixed query term
+    * set (Robertson/Sparck-Jones, public formula): the search-shaped
+    * capability on top of the same token stream. All inputs are exact
+    * integer ratios; ln() is rounded for engine portability. */
+  def bm25(toks: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val counts = termCounts(toks)
+    val docLen = counts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val dfT = counts.filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    counts.filter(col("term").isInCollection(queryTerms))
+      .join(broadcast(dfT), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf", round(log(
+        (col("n_docs").cast(DoubleType) - col("df") + 0.5d) / (col("df").cast(DoubleType) + 0.5d) + 1.0d), 10))
+      .withColumn("tf_part",
+        (col("cnt").cast(DoubleType) * (k1 + 1.0d)) /
+          (col("cnt").cast(DoubleType) + lit(k1) *
+            (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("idf") * col("tf_part")), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+  }
+
   /** Per-doc sparse feature map (idx -> weight) — the typed surface classifiers
     * consume (MapType mirrors KNNMapper.java:20's HashMap<Integer,Double>). */
   def docVectorMap(tfidfDF: DataFrame, vocabDF: DataFrame): DataFrame =

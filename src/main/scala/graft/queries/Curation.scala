@@ -102,6 +102,9 @@ object Curation {
     QueryDef("q38_ann_lsh_topk",
       (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10)),
 
+    QueryDef("q50_ann_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"), k = 10)),
+
     QueryDef("q39_lang_id",
       (s, dir) => TextStats.languageId(docs(s, dir)),
       oracle = Some {

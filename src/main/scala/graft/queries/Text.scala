@@ -117,6 +117,34 @@ object Text {
         SELECT term, COUNT(*) AS cnt FROM toks
         WHERE term NOT IN ($list)
         GROUP BY 1"""
-      })
+      }),
+
+    // BM25 relevance: top-20 docs for a fixed query term set
+    QueryDef("q49_bm25",
+      (s, dir) => {
+        TextPipeline.bm25(toks(s, dir), Seq("spark", "query", "fast"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM counts GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        dft AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM counts
+          WHERE term IN ('spark', 'query', 'fast') GROUP BY 1),
+        scored AS (
+          SELECT c.doc_id,
+            round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)/(CAST(df AS DOUBLE) + 0.5) + 1.0), 10) *
+            (CAST(cnt AS DOUBLE) * (1.2 + 1.0)) /
+              (CAST(cnt AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+                0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE)/CAST(n_docs AS DOUBLE)))) AS s
+          FROM counts c
+          JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          WHERE c.term IN ('spark', 'query', 'fast'))
+        SELECT doc_id, round(SUM(s), 6) AS score, COUNT(*) AS n_matched
+        FROM scored GROUP BY 1
+        ORDER BY score DESC, doc_id ASC LIMIT 20"""))
   )
 }
