@@ -185,6 +185,21 @@ object Events {
         SELECT event_type, COUNT(*) AS cnt,
           round(quantile_cont(value, 0.5), 8) AS p50,
           round(quantile_cont(value, 0.9), 8) AS p90
+        FROM events GROUP BY 1""")),
+
+    // Semi-structured columns: extract a field from the JSON props payload
+    QueryDef("q51_json_stats",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("n_distinct_k"))
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
         FROM events GROUP BY 1"""))
   )
 }
