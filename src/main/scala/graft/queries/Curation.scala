@@ -105,6 +105,24 @@ object Curation {
     QueryDef("q50_ann_ivf_topk",
       (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"), k = 10)),
 
+    // Fuzzy dedup by edit distance on doc prefixes (lang-blocked pair space)
+    QueryDef("q55_levenshtein_pairs",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("prefix"))
+        d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist", levenshtein(col("a.prefix"), col("b.prefix")).cast(org.apache.spark.sql.types.LongType))
+          .filter(col("dist") <= 20)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, lang, substr(text, 1, 40) AS prefix FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 20""")),
+
     QueryDef("q39_lang_id",
       (s, dir) => TextStats.languageId(docs(s, dir)),
       oracle = Some {

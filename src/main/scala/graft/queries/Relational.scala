@@ -197,6 +197,69 @@ object Relational {
           CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
           COUNT(*) AS cnt,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
-        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
+
+    // Pivot: status × priority revenue matrix (conditional-aggregation form)
+    QueryDef("q52_pivot",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(dsum(col("o_totalprice")))
+          .withColumnRenamed("1-URGENT", "p1").withColumnRenamed("2-HIGH", "p2")
+          .withColumnRenamed("3-MEDIUM", "p3").withColumnRenamed("4-NOT SPECIFIED", "p4")
+          .withColumnRenamed("5-LOW", "p5")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p1,
+          CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p2,
+          CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p3,
+          CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p4,
+          CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p5
+        FROM orders GROUP BY 1""")),
+
+    // Rank-family windows: ntile / percent_rank / cume_dist
+    QueryDef("q53_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(percent_rank().over(w), 10).as("pct_rank"),
+          round(cume_dist().over(w), 10).as("cume"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          round(percent_rank() OVER w, 10) AS pct_rank,
+          round(cume_dist() OVER w, 10) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+
+    // Correlated-aggregate filter: customers above their nation's average balance
+    QueryDef("q54_above_nation_avg",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg((sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            count(lit(1)).cast(org.apache.spark.sql.types.DoubleType)).as("nat_avg"))
+        c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
+          .filter(col("c_acctbal") > col("nat_avg"))
+          .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"))
+          .agg(count(lit(1)).as("n_above"))
+      },
+      oracle = Some("""
+        WITH na AS (
+          SELECT c_nationkey AS nk,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS nat_avg
+          FROM customer GROUP BY 1)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_above
+        FROM customer JOIN na ON c_nationkey = nk
+        WHERE c_acctbal > nat_avg
+        GROUP BY 1"""))
   )
 }
