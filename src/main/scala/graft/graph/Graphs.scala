@@ -53,8 +53,10 @@ object Graphs {
         .groupBy(col("dst").as("v2"))
         .agg((lit((1.0d - damping) / n) + lit(damping) * sum(col("rank") * col("w"))).as("rank"))
         .withColumnRenamed("v2", "v")
-      // truncate lineage sparingly — each eager checkpoint costs a job
-      if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(eager = true)
+      // checkpoint every round: the next iteration *broadcasts* ranks, which
+      // executes its plan — without materialization that re-runs the whole
+      // chain since the last checkpoint (quadratic re-execution)
+      if (i < iterations) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
   }
@@ -73,7 +75,7 @@ object Graphs {
       labels = byLabel.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("v2").as("v"), col("label"))
-      if (i % 3 == 0) labels = labels.localCheckpoint(eager = true)
+      if (i < iterations) labels = labels.localCheckpoint(eager = true)
     }
     labels
   }

@@ -200,6 +200,38 @@ object Events {
         SELECT event_type, COUNT(*) AS cnt,
           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // Dense time-grid resample: every (event_type × hour) cell over the full
+    // span, zero-filled — the gap-filling step a forecasting pipeline needs
+    QueryDef("q56_dense_hourly",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val counts = e.groupBy(col("event_type"), epochTrunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val span = e.agg(min(epochTrunc("hour", col("ts"))).as("lo"),
+          max(epochTrunc("hour", col("ts"))).as("hi"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+        grid.join(counts, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+                 CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM span) g)
+        SELECT grid.event_type, grid.h, COALESCE(c.cnt, 0) AS cnt
+        FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h"""))
   )
 }
