@@ -27,9 +27,10 @@ object LogSource {
       regexp_extract(l, re, 3).as("method"),
       regexp_extract(l, re, 4).as("url"),
       regexp_extract(l, re, 6).as("method2"),
-      regexp_extract(l, re, 7).cast(IntegerType).as("status"),
-      regexp_extract(l, re, 8).cast(LongType).as("bytes"),
-      regexp_extract(l, re, 9).cast(LongType).as("response_ms"))
+      // try_cast: a malformed line yields nulls, not an ANSI cast error
+      regexp_extract(l, re, 7).try_cast(IntegerType).as("status"),
+      regexp_extract(l, re, 8).try_cast(LongType).as("bytes"),
+      regexp_extract(l, re, 9).try_cast(LongType).as("response_ms"))
   }
 
   /** Valid records only (ts parsed, status present). */

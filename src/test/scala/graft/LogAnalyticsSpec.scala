@@ -22,6 +22,14 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2015-09-15T16:22:23Z")
   }
 
+  test("observe metrics count malformed records during the existing job") {
+    val raw = Seq(f5Line, "garbage", f5Line).toDF("line")
+    val (df, obs) = graft.operators.Monitoring.observedParse(LogSource.parse(raw))
+    assert(df.count() == 3L)
+    val m = obs.get
+    assert(m("rows") == 3L && m("null_ts") == 1L && m("null_status") == 1L)
+  }
+
   test("malformed lines are dropped by the valid-record filter") {
     val lines = Seq(f5Line, "garbage line", "")
     val tmp = java.nio.file.Files.createTempDirectory("logs").toFile
