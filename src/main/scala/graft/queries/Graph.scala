@@ -113,6 +113,35 @@ object Graph {
       oracle = Some(lpaSql(5) + """
         SELECT label, COUNT(*) AS size,
           string_agg(term, ',' ORDER BY term) AS members
-        FROM result GROUP BY label"""))
+        FROM result GROUP BY label""")),
+
+    // A11 at token-window granularity: co-occurrence within a ±3-token
+    // window (a range join on positions, PDF2's sliding-scope alternative)
+    QueryDef("q58_cooccur_window",
+      (s, dir) => {
+        val pos = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.Exprs.tokens(col("text"))).as(Seq("pos", "term")))
+        val a = pos.as("a")
+        val b = pos.as("b")
+        a.join(b, col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") =!= col("b.term") &&
+            abs(col("a.pos") - col("b.pos")) <= 3)
+          .groupBy(col("a.term").as("src"), col("b.term").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some(s"""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                        t -> t <> '') AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS term
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM seq) g)
+        SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND a.term <> b.term AND abs(a.pos - b.pos) <= 3
+        GROUP BY 1, 2"""))
   )
 }

@@ -260,6 +260,20 @@ object Relational {
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_above
         FROM customer JOIN na ON c_nationkey = nk
         WHERE c_acctbal > nat_avg
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // Calendar rollup: orders per (year, month) with revenue
+    QueryDef("q57_monthly_orders",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
+            month(col("o_orderdate")).cast(LongType).as("m"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2"""))
   )
 }
