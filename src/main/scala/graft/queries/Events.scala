@@ -232,6 +232,25 @@ object Events {
           FROM (SELECT DISTINCT event_type FROM events) t
           CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM span) g)
         SELECT grid.event_type, grid.h, COALESCE(c.cnt, 0) AS cnt
-        FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h"""))
+        FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h""")),
+
+    // Sketches: HLL distinct-count estimates differ per engine, so the
+    // comparable outputs are the exact count plus an engine-local
+    // "estimate within 10% of exact" flag (both engines' sketches must hold it)
+    QueryDef("q59_approx_distinct",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            (abs(approx_count_distinct(col("user_id")).cast(org.apache.spark.sql.types.DoubleType) -
+              countDistinct(col("user_id")).cast(org.apache.spark.sql.types.DoubleType)) <=
+              countDistinct(col("user_id")).cast(org.apache.spark.sql.types.DoubleType) * 0.1d)
+              .as("approx_within_10pct"))
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+          abs(CAST(approx_count_distinct(user_id) AS DOUBLE) - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+            <= CAST(COUNT(DISTINCT user_id) AS DOUBLE) * 0.1 AS approx_within_10pct
+        FROM events GROUP BY 1"""))
   )
 }
