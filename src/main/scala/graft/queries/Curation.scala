@@ -123,6 +123,28 @@ object Curation {
         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE levenshtein(a.prefix, b.prefix) <= 20""")),
 
+    // Array analytics over the embedding column: per-label vector stats
+    QueryDef("q60_embedding_stats",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val e = Tables(s, dir, "embeddings")
+          .select(col("label").cast(org.apache.spark.sql.types.LongType).as("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(Exprs.dot(col("v"), col("v"))))
+          .withColumn("dim", size(col("v")).cast(org.apache.spark.sql.types.LongType))
+        e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+            Exprs.dsum(col("norm"), 8).as("sum_norm"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v,
+            CAST(len(embedding) AS BIGINT) AS dim
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n, MAX(dim) AS dim,
+          CAST(SUM(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(30,8))) AS DOUBLE) AS sum_norm
+        FROM e GROUP BY 1""")),
+
     QueryDef("q39_lang_id",
       (s, dir) => TextStats.languageId(docs(s, dir)),
       oracle = Some {
