@@ -50,6 +50,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("minhash signatures: numHashes rows per doc, stable across runs") {
+    val sh = Dedup.shingleSet(docs, 3)
+    val sig1 = Dedup.minhashSignatures(sh, 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sig1.groupBy(_._1).forall(_._2.size == 16))
+    val sig2 = Dedup.minhashSignatures(Dedup.shingleSet(docs, 3), 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sig1 == sig2)
+    // identical docs → identical signatures
+    val byDoc = sig1.groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    assert(byDoc(1L) == byDoc(2L))
+  }
+
+  test("LSH buckets are deterministic across evaluations") {
+    val emb = Seq((1L, Array(0.5f, -0.2f, 0.9f)), (2L, Array(-0.1f, 0.8f, 0.3f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val b1 = emb.select($"vec_id", Similarity.lshBucket($"vec", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = emb.select($"vec_id", Similarity.lshBucket($"vec", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+  }
+
   test("brute-force top-k: hand-checked neighbor order") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)),
