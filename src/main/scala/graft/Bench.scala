@@ -29,7 +29,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.benchQueries.map { q =>
+    // Optional subset for local iteration (unset → all, as the driver runs it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
         // min of two timed passes — damps scheduler/GC noise in local mode

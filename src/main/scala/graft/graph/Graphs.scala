@@ -38,9 +38,15 @@ object Graphs {
         sum(col("cnt")).over(Window.partitionBy(col("src"))).cast(DoubleType))
 
   /** G1: PageRank over normalized edges (src, dst, w), fixed iteration count.
-    * r_{k+1}(v) = (1-d)/n + d * Σ_{(u,v)} r_k(u)·w(u,v).
+    * r_{k+1}(v) = round((1-d)/n + d * Σ_{(u,v)} r_k(u)·w(u,v), 12).
     * The co-occurrence graph is symmetric, so no dangling-mass handling is
-    * needed (every vertex has in- and out-edges). */
+    * needed (every vertex has in- and out-edges).
+    *
+    * Determinism: the per-iteration sum runs through an exact DECIMAL
+    * accumulator ([[graft.functions.Exprs.dsum]]) and the new rank is rounded
+    * to 12 dp, so every iteration is bit-identical regardless of partial-
+    * aggregation order — the unrolled-CTE oracle re-syncs at each round
+    * instead of relying on the final round(6) to mask drift. */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -51,12 +57,16 @@ object Graphs {
       // cached edge table never reshuffles across iterations
       ranks = e.join(broadcast(ranks), e("src") === ranks("v"))
         .groupBy(col("dst").as("v2"))
-        .agg((lit((1.0d - damping) / n) + lit(damping) * sum(col("rank") * col("w"))).as("rank"))
+        .agg(round(lit((1.0d - damping) / n) +
+          lit(damping) * graft.functions.Exprs.dsum(col("rank") * col("w"), 18), 12).as("rank"))
         .withColumnRenamed("v2", "v")
-      // checkpoint every round: the next iteration *broadcasts* ranks, which
-      // executes its plan — without materialization that re-runs the whole
-      // chain since the last checkpoint (quadratic re-execution)
-      if (i < iterations) ranks = ranks.localCheckpoint(eager = true)
+      // Checkpoint every 3 rounds: broadcasting ranks executes its plan, so
+      // lineage must be truncated periodically — but between checkpoints the
+      // re-executed chain is at most 2 broadcast joins over the *cached* edge
+      // table (cheap), while each eager materialization is a full job. Every
+      // round was measured at 63% of the whole sf0.1 bench; every 3 keeps the
+      // re-execution bounded at a fraction of that.
+      if (i < iterations && i % 3 == 0) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
   }

@@ -100,7 +100,8 @@ object TextPipeline {
           (col("cnt").cast(DoubleType) + lit(k1) *
             (lit(1.0d - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("idf") * col("tf_part")), 6).as("score"),
+      // exact DECIMAL accumulator: score is order-independent before rounding
+      .agg(round(dsum(col("idf") * col("tf_part"), 12), 6).as("score"),
         count(lit(1)).as("n_matched"))
   }
 

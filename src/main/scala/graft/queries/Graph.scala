@@ -28,16 +28,21 @@ object Graph {
     nv AS (SELECT COUNT(*) AS n FROM verts)"""
 
   /** Unrolled PageRank oracle: r0 … r{iters} as chained aggregating CTEs;
-    * `finalSelect` runs over the last round aliased as (term, rank). */
+    * `finalSelect` runs over the last round aliased as (term, rank).
+    * Mirrors [[Graphs.pageRank]]'s determinism contract: exact DECIMAL sum of
+    * the double products + round(…, 12) per iteration, so both engines re-sync
+    * each round regardless of aggregation order. */
   private def pageRankSql(iters: Int, d: Double,
                           finalSelect: String = "SELECT term, rank FROM result"): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
-        SELECT e.dst AS v, (SELECT (1.0-$d)/n FROM nv) + $d*SUM(r.rank*e.w) AS rank
+        SELECT e.dst AS v,
+          round((SELECT CAST(1.0-$d AS DOUBLE)/n FROM nv) +
+            $d*CAST(SUM(CAST(r.rank*e.w AS DECIMAL(30,18))) AS DOUBLE), 12) AS rank
         FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst)"""
     }.mkString(",\n")
     s"""$edgesCte,
-    r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nv) AS rank FROM verts),
     $rounds,
     result AS (SELECT v AS term, round(rank, 6) AS rank FROM r$iters)
     $finalSelect"""

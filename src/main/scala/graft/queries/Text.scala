@@ -143,7 +143,7 @@ object Text {
           FROM counts c
           JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
           WHERE c.term IN ('spark', 'query', 'fast'))
-        SELECT doc_id, round(SUM(s), 6) AS score, COUNT(*) AS n_matched
+        SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(30,12))) AS DOUBLE), 6) AS score, COUNT(*) AS n_matched
         FROM scored GROUP BY 1
         ORDER BY score DESC, doc_id ASC LIMIT 20"""))
   )
