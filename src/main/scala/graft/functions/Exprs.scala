@@ -69,6 +69,15 @@ object Exprs {
     when(denom === 0.0d, lit(0.0d)).otherwise(dotMaps(a, b) / denom)
   }
 
+  /** Portable 60-bit hash: the first 15 hex chars of md5 as a non-negative
+    * long. The hash-based operators (MinHash, SimHash, sign-LSH) take this as
+    * their *verification-mode* hash because an external engine can compute the
+    * identical value — DuckDB: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` —
+    * which turns "engine-specific hash, no oracle" into a full cross-engine
+    * hash-match. Their production default stays xxhash64 (≈4× faster). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Epoch seconds of a timestamp truncated to the given unit — the portable
     * way to ship time buckets across engines (no tz/precision ambiguity). */
   def epochTrunc(unit: String, ts: Column): Column =

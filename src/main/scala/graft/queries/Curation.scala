@@ -55,11 +55,58 @@ object Curation {
         WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05"""),
       bench = true),
 
+    // MinHash+LSH in portable-hash mode: the oracle replays the ENTIRE
+    // pipeline (md5-60 minhash → 8×4 band signatures → bucket join → exact
+    // Jaccard verify) in DuckDB, so this is a full hash-match row, not a
+    // rows-only check. h60(x) ≡ CAST('0x' || substr(md5(x),1,15) AS BIGINT).
     QueryDef("q34_minhash_lsh_pairs",
-      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05)),
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05, portable = true),
+      oracle = Some(s"""$shCte,
+        seeds AS (SELECT unnest(range(0, 32)) AS seed),
+        sig AS (
+          SELECT doc_id, seed,
+            MIN(CAST('0x' || substr(md5(seed || ':' || shingle),1,15) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        banded AS (
+          SELECT doc_id, seed // 4 AS band,
+            string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS band_sig
+          FROM sig GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        pc AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) AS jaccard
+        FROM pc JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) >= 0.05""")),
 
+    // SimHash in portable-hash mode (60-bit md5-derived fingerprint). The
+    // Spark plan is banded (pigeonhole over maxDist+1 bit-bands); the oracle
+    // recomputes the ALL-PAIRS answer in SQL — a hash match therefore also
+    // proves the banding is lossless on the actual corpus.
     QueryDef("q35_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 24)),
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 4, portable = true),
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        tc AS (SELECT doc_id, lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+        th AS (SELECT doc_id, lang, cnt,
+                 CAST('0x' || substr(md5(term),1,15) AS BIGINT) AS h FROM tc),
+        bits AS (
+          SELECT doc_id, lang, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+          FROM (SELECT *, unnest(range(0,60)) AS j FROM th) g GROUP BY 1, 2, 3),
+        fp AS (SELECT doc_id, lang,
+                 SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS f
+               FROM bits GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS dist
+        FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 4""")),
 
     QueryDef("q36_embedding_neardup",
       (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3),

@@ -50,6 +50,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("simhash banded candidate generation is lossless vs all-pairs") {
+    // 60 docs drawn from a small pool with point mutations → correlated
+    // fingerprints and real near-dup clusters, the adversarial case for
+    // banding. Brute-force all-pairs hamming is recomputed locally.
+    val pool = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val many = (0 until 60).map { i =>
+      val base = (0 until 12).map(j => pool((i / 6 + j) % pool.length))
+      val txt = if (i % 3 == 0) base.updated(5, pool((i + 3) % pool.length)) else base
+      (i.toLong, if (i % 2 == 0) "en" else "de", txt.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    for (portable <- Seq(false, true); maxDist <- Seq(2, 4, 8)) {
+      val fps = Dedup.simhash(many, portable).as[(Long, Long)].collect().toMap
+      val langOf = many.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+      val expected = (for {
+        a <- fps.keys; b <- fps.keys
+        if a < b && langOf(a) == langOf(b) &&
+          java.lang.Long.bitCount(fps(a) ^ fps(b)) <= maxDist
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashPairs(many, maxDist, portable)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+      assert(banded == expected, s"portable=$portable maxDist=$maxDist")
+    }
+  }
+
+  test("minhash portable mode finds the same pairs with md5-60 hashes") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, portable = true)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("minhash signatures: numHashes rows per doc, stable across runs") {
     val sh = Dedup.shingleSet(docs, 3)
     val sig1 = Dedup.minhashSignatures(sh, 16)

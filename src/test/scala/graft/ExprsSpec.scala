@@ -29,6 +29,18 @@ class ExprsSpec extends SparkSpec {
     assert(df.select(Exprs.cosine($"a", $"b")).as[Double].head() == 0.0)
   }
 
+  test("h60 matches the cross-engine md5 prefix value") {
+    // Golden values independently computed by DuckDB 1.0
+    // (CAST('0x'||substr(md5(x),1,15) AS BIGINT)) and Python hashlib —
+    // pins Spark's conv(substr(md5,1,15),16,10) to the portable contract.
+    val df = Seq("abc", "hello world", "42:some shingle text").toDF("s")
+    val got = df.select($"s", Exprs.h60($"s")).as[(String, Long)].collect().toMap
+    assert(got("abc") == 648541476951500027L)
+    assert(got("hello world") == 426544247714475757L)
+    assert(got("42:some shingle text") == 685363433132350180L)
+    assert(got.values.forall(_ >= 0L)) // 60-bit: always non-negative
+  }
+
   test("shingles builds space-joined n-grams, empty under n tokens") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
     val sh = df.select($"doc_id", Exprs.shingles(Exprs.tokens($"text"), 3).as("s"))
