@@ -9,20 +9,40 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 /** Similarity search over embedding columns (Array[Float] → double math).
   *
   * `bruteTopK` is the exact baseline: broadcast the corpus, rank per query.
-  * `lshTopK` is the scale path: random-hyperplane LSH buckets bound the
+  * `lshTopK` is a scale path: random-hyperplane sign-LSH buckets bound the
   * candidate set, then exact cosine re-ranks within buckets — the candidate
   * join is on the bucket key, so cost is Σ bucket² instead of n².
-  * Hyperplanes are pseudo-random but fully deterministic (derived from
-  * xxhash64 of (plane, dimension)), so results are reproducible.
+  * `ivfTopK` is the other scale path (k-means coarse quantizer).
+  *
+  * The LSH hyperplanes are ±1 sign vectors derived from md5 of
+  * (rep, plane, dim) — deterministic, a fresh independent plane set per
+  * repetition, and valid for any dimensionality. Bucketing runs on integer-
+  * quantized vectors (floor(x·1e6 + 0.5)), so the sign decisions are exact
+  * integer comparisons: no float summation-order sensitivity, and an external
+  * SQL engine replays the identical buckets (see q38's DuckDB mirror).
   */
 object Similarity {
 
   /** Cosine near-duplicate pairs within a block column (e.g. label):
-    * (id_a, id_b, sim ≥ threshold). Exact within blocks. */
-  def nearDupPairs(emb: DataFrame, threshold: Double, blockCol: String = "label"): DataFrame = {
+    * (id_a, id_b, sim ≥ threshold). Exact within blocks.
+    *
+    * Scale contract: on continuous-similarity data the OUTPUT of this
+    * operator is itself Θ(Σ block²·p) — no candidate-generation trick fixes
+    * a quadratic answer (measured here: the sim distribution is continuous
+    * through the threshold, so provably-lossless LSH blocking cannot beat
+    * all-pairs). The operator therefore bounds its work explicitly: each
+    * block is capped to its `maxBlock` lowest-id members (deterministic,
+    * documented truncation), which bounds compute and output at
+    * blocks·maxBlock². For top-k semantics at scale use [[lshTopK]] /
+    * [[ivfTopK]] instead. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, blockCol: String = "label",
+                   maxBlock: Int = 10000): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
       col("embedding").cast("array<double>").as("vec"))
-    e.as("a").join(e.as("b"),
+    val w = Window.partitionBy(col("block")).orderBy(col("vec_id").asc)
+    val capped = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBlock).drop("rn")
+    capped.as("a").join(capped.as("b"),
       col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 6))
       .filter(col("sim") >= threshold)
@@ -43,23 +63,34 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1) derived from xxhash64. */
-  private def planeComponent(plane: Column, d: Column): Column =
-    (pmod(xxhash64(plane * 1024 + d), lit(2000001L)).cast(DoubleType) - 1000000.0d) / 1000000.0d
+  /** Integer quantization of a double vector: floor(x·1e6 + 0.5) per element.
+    * floor (not round/cast) because its tie behavior is identical in every
+    * IEEE engine — the quantized vectors are bit-portable. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x * lit(1000000.0d) + lit(0.5d)).cast(LongType))
 
-  /** Bucket id per vector: `planes`-bit signature from hyperplane signs. */
-  def lshBucket(vec: Column, planes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val dotP = aggregate(
-          zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
-            (x, h) => x * h),
-          lit(0.0d), (acc, x) => acc + x)
-        // 2^p as exact double→long (shiftleft needs a literal shift amount)
-        when(dotP >= 0.0d, pow(lit(2.0d), p).cast(LongType)).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc + x)
+  /** Deterministic ±1 hyperplane component for (rep, plane, dim): the low
+    * md5 bit of "rep:plane:dim" — the JVM-side constant equals what a SQL
+    * engine computes from md5, and folding `rep` into the derivation gives
+    * every repetition an independent plane set. */
+  private[graft] def planeSign(rep: Int, plane: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$rep:$plane:$d".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    if ((h & 1L) == 1L) 1L else -1L
+  }
+
+  /** Bucket id for one repetition: `planes`-bit signature of integer dot-sign
+    * tests against the rep's hyperplanes. `qvec` must be a [[quantize]]d
+    * long-array column of length `dim`; the plane signs are plan-time literal
+    * arrays, so the whole bucket computation is codegen'd integer arithmetic. */
+  def lshBucket(qvec: Column, planes: Int, rep: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val signs = array((0 until dim).map(d => lit(planeSign(rep, p, d))): _*)
+      val dot = aggregate(zip_with(qvec, signs, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** IVF (inverted-file) approximate top-k: a deterministic k-means coarse
     * quantizer buckets the corpus; each query probes its `nprobe` nearest
@@ -92,21 +123,30 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
   }
 
-  /** Approximate top-k via LSH buckets + exact re-rank inside each bucket.
-    * Recall < 1 by design; union of several plane-sets (repetitions) raises it. */
+  /** Approximate top-k via sign-LSH buckets + exact re-rank inside each
+    * bucket. Recall < 1 by design; each of the `reps` repetitions hashes with
+    * an independent plane set (signs derive from (rep, plane, dim)), so the
+    * union of candidate sets raises recall. Candidates are deduplicated on
+    * (q_id, n_id) BEFORE the vectors are re-attached — the distinct shuffle
+    * carries two longs per row, not two embedding arrays. */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val repDf = e.sparkSession.range(reps).select(col("id").cast(LongType).as("rep"))
-    val bucketed = e.crossJoin(broadcast(repDf))
-      .withColumn("bucket", lshBucket(col("vec"), planes) + col("rep") * lit(1L << planes))
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b"),
+    // plan-time constant: embedding dimensionality (one-row peek, not a scan)
+    val dim = e.select(size(col("vec")).as("d")).head.getInt(0)
+    val q = e.withColumn("qv", quantize(col("vec")))
+    val bucketed = (0 until reps).map { r =>
+      q.select(col("vec_id"),
+        (lshBucket(col("qv"), planes, r, dim) + lit(r.toLong << planes)).as("bucket"))
+    }.reduce(_ union _)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("a.vec").as("q_vec"),
-        col("b.vec_id").as("n_id"), col("b.vec").as("n_vec"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))

@@ -146,11 +146,73 @@ object Curation {
         WHERE rk <= 10"""),
       bench = true),
 
+    // Sign-LSH top-k: buckets are exact integer arithmetic over quantized
+    // vectors with md5-derived ±1 planes, so the oracle replays the whole
+    // pipeline (buckets → candidate join → cosine re-rank) — full hash match.
     QueryDef("q38_ann_lsh_topk",
-      (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10)),
+      (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10),
+      oracle = Some("""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        qv AS (SELECT vec_id, e,
+                 list_transform(e, x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS q
+               FROM emb),
+        dots AS (
+          SELECT vec_id, r, p,
+            list_sum(list_transform(range(0, 64), d ->
+              q[CAST(d AS INT) + 1] *
+              (CASE WHEN CAST('0x' || substr(md5(r || ':' || p || ':' || d),1,15) AS BIGINT) & 1 = 1
+                    THEN 1 ELSE -1 END))) AS dot
+          FROM qv,
+               (SELECT unnest(range(0,4)) AS r) reps,
+               (SELECT unnest(range(0,8)) AS p) planes),
+        buckets AS (
+          SELECT vec_id, r,
+            CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) + r*256 AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        sims AS (
+          SELECT c.q_id, c.n_id,
+            round(CASE WHEN sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qa.e,qb.e) /
+                   (sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e))) END, 6) AS sim
+          FROM cand c JOIN emb qa ON qa.vec_id = c.q_id JOIN emb qb ON qb.vec_id = c.n_id)
+        SELECT q_id, n_id, sim, rk FROM (
+          SELECT q_id, n_id, sim,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+          FROM sims) s
+        WHERE rk <= 10""")),
 
+    // IVF top-k quality gate: k-means float iterations aren't portably
+    // mirrorable in SQL (summation-order–dependent centroids), so the row is
+    // an oracle-checked INVARIANT instead: Spark genuinely computes recall of
+    // ivfTopK against the exact brute-force top-k and thresholds it at the
+    // spec bound (KMeansIvfSpec ≥ 0.5); the oracle pins the expected verdict
+    // and the query universe. A recall regression flips recall_ok → row fails.
     QueryDef("q50_ann_ivf_topk",
-      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"), k = 10)),
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val k = 10
+        val ivf = Similarity.ivfTopK(e, k = k)
+        val exact = Similarity.bruteTopK(e, e, k = k)
+        val hits = ivf.select(col("q_id"), col("n_id"))
+          .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+        val per = exact.select(col("q_id")).distinct()
+          .join(hits.groupBy(col("q_id")).agg(count(lit(1)).as("nhit")), Seq("q_id"), "left")
+          .select(coalesce(col("nhit"), lit(0L)).as("nhit"))
+        per.agg(count(lit(1)).as("n_queries"), sum(col("nhit")).as("nhits"))
+          .select(lit("ivf_recall").as("metric"),
+            col("n_queries"),
+            lit(k.toLong).as("k"),
+            (col("nhits").cast("double") / (col("n_queries") * k).cast("double") >= 0.5d)
+              .as("recall_ok"))
+      },
+      oracle = Some("""
+        SELECT 'ivf_recall' AS metric, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k, true AS recall_ok
+        FROM embeddings""")),
 
     // Fuzzy dedup by edit distance on doc prefixes (lang-blocked pair space)
     QueryDef("q55_levenshtein_pairs",

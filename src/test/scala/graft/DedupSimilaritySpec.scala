@@ -94,16 +94,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byDoc(1L) == byDoc(2L))
   }
 
-  test("LSH buckets are deterministic across evaluations") {
+  test("LSH buckets are deterministic and repetitions use independent planes") {
     val emb = Seq((1L, Array(0.5f, -0.2f, 0.9f)), (2L, Array(-0.1f, 0.8f, 0.3f)))
       .toDF("vec_id", "embedding")
-      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
-    val b1 = emb.select($"vec_id", Similarity.lshBucket($"vec", 8).as("b"))
-      .as[(Long, Long)].collect().toMap
-    val b2 = emb.select($"vec_id", Similarity.lshBucket($"vec", 8).as("b"))
-      .as[(Long, Long)].collect().toMap
-    assert(b1 == b2)
+      .select($"vec_id", Similarity.quantize($"embedding".cast("array<double>")).as("qv"))
+    def buckets(rep: Int) =
+      emb.select($"vec_id", Similarity.lshBucket($"qv", 8, rep, 3).as("b"))
+        .as[(Long, Long)].collect().toMap
+    val b1 = buckets(0)
+    assert(b1 == buckets(0))
     assert(b1.values.forall(b => b >= 0 && b < 256))
+    // ADVICE fix pinned: some rep in 1..4 must partition differently from rep 0
+    // (previously all reps shared one plane set, making the union a no-op)
+    assert((1 to 4).exists(r => buckets(r) != b1))
+  }
+
+  test("plane signs vary by rep, plane and dim, and match the md5-60 parity") {
+    val signs = for (r <- 0 to 2; p <- 0 to 2; d <- 0 to 2)
+      yield Similarity.planeSign(r, p, d)
+    assert(signs.toSet == Set(1L, -1L))
+    // parity must equal Exprs.h60(concat) & 1 — the contract the SQL mirror uses
+    val fromExpr = spark.range(1)
+      .select(graft.functions.Exprs.h60(lit("1:2:3")).bitwiseAND(lit(1L)))
+      .as[Long].head()
+    assert(Similarity.planeSign(1, 2, 3) == (if (fromExpr == 1L) 1L else -1L))
   }
 
   test("brute-force top-k: hand-checked neighbor order") {
