@@ -214,14 +214,26 @@ object Curation {
                CAST(10 AS BIGINT) AS k, true AS recall_ok
         FROM embeddings""")),
 
-    // Fuzzy dedup by edit distance on doc prefixes (lang-blocked pair space)
+    // Fuzzy dedup by edit distance on doc prefixes. Pair space is blocked on
+    // (lang, prefix-length band of width maxDist+1): lev ≥ |len_a − len_b|,
+    // so a true pair's bands differ by at most 1 — side a probes its own and
+    // both adjacent bands (lossless). On this corpus every text exceeds 40
+    // chars so all prefixes land in one band (blocking degenerates — see
+    // SCALE.md); q63_edit_blocked is the segment-blocked form that stays
+    // sub-quadratic regardless of length distribution.
     QueryDef("q55_levenshtein_pairs",
       (s, dir) => {
+        import org.apache.spark.sql.types.LongType
         val d = docs(s, dir).select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("prefix"))
-        d.as("a").join(d.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-          .withColumn("dist", levenshtein(col("a.prefix"), col("b.prefix")).cast(org.apache.spark.sql.types.LongType))
+          .withColumn("band", (length(col("prefix")) / 21).cast(LongType))
+        val probes = d.withColumn("pband",
+          explode(array(col("band") - 1, col("band"), col("band") + 1)))
+        probes.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.pband") === col("b.band") &&
+            abs(length(col("a.prefix")) - length(col("b.prefix"))) <= 20 &&
+            col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist", levenshtein(col("a.prefix"), col("b.prefix")).cast(LongType))
           .filter(col("dist") <= 20)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
       },
@@ -231,6 +243,18 @@ object Curation {
           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE levenshtein(a.prefix, b.prefix) <= 20""")),
+
+    // Segment-blocked edit-distance dedup (PassJoin-style): the Spark plan
+    // joins on (segment, content, lang) keys only; the oracle recomputes the
+    // ALL-PAIRS answer, so a hash match also proves the blocking is lossless.
+    QueryDef("q63_edit_blocked",
+      (s, dir) => Dedup.editDistancePairs(docs(s, dir), prefixLen = 40, maxDist = 4),
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, lang, substr(text, 1, 40) AS prefix FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 4""")),
 
     // Array analytics over the embedding column: per-label vector stats
     QueryDef("q60_embedding_stats",

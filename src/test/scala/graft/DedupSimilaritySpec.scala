@@ -81,6 +81,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("segment-blocked edit distance equals all-pairs, including indel shifts") {
+    // mutations exercise every pigeonhole case: substitution, deletion and
+    // insertion (which displace segment copies), plus unrelated strings
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789abcd" // 40 chars
+    val fixture = Seq(
+      (1L, "en", base),
+      (2L, "en", base.updated(5, 'X').toString),              // 1 substitution
+      (3L, "en", base.take(3) + base.drop(4)),                // 1 deletion
+      (4L, "en", base.take(30) + "ZZ" + base.drop(30)),       // 2 insertions
+      (5L, "en", "a completely different forty char string"),
+      (6L, "de", base)                                        // other block
+    ).toDF("doc_id", "lang", "text")
+    for (maxDist <- Seq(2, 4)) {
+      val got = Dedup.editDistancePairs(fixture, prefixLen = 40, maxDist = maxDist)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val rows = fixture.as[(Long, String, String)].collect()
+      val expected = (for {
+        (ia, la, ta) <- rows; (ib, lb, tb) <- rows
+        if ia < ib && la == lb
+        dist = {
+          val (a, b) = (ta.take(40), tb.take(40))
+          val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => 0))
+          for (i <- 0 to a.length) dp(i)(0) = i
+          for (j <- 0 to b.length) dp(0)(j) = j
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+              dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          dp(a.length)(b.length).toLong
+        }
+        if dist <= maxDist
+      } yield (ia, ib) -> dist).toMap
+      assert(got == expected, s"maxDist=$maxDist")
+    }
+  }
+
   test("minhash signatures: numHashes rows per doc, stable across runs") {
     val sh = Dedup.shingleSet(docs, 3)
     val sig1 = Dedup.minhashSignatures(sh, 16)
