@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{TextPipeline, TextStats}
+import graft.operators.{Segment, TextPipeline, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,13 @@ object Text {
 
   private def toks(s: org.apache.spark.sql.SparkSession, dir: String) =
     TextPipeline.tokenize(Tables(s, dir, "documents"))
+
+  /** Name dictionary for q61 (P11): corpus words incl. nested/overlapping
+    * entries ("spark" ⊃ "a", "sort"/"scan" share prefixes) so the query
+    * genuinely exercises longest-match precedence. */
+  private val segDict =
+    Seq("spark", "stream", "query", "table", "order", "sort", "scan", "part",
+      "data", "row", "key", "a")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -117,6 +124,41 @@ object Text {
         SELECT term, COUNT(*) AS cnt FROM toks
         WHERE term NOT IN ($list)
         GROUP BY 1"""
+      }),
+
+    // P11: dictionary segmentation of UNSEGMENTED text (PDF2's Chinese-novel
+    // tokenization shape). The text is de-spaced first — a whitespace
+    // tokenizer yields nothing on this input — then greedily longest-matched
+    // against the name dictionary. The oracle replays the identical MaxMatch
+    // walk in DuckDB as a recursive CTE: one iteration per scan step,
+    // vectorized across documents (a list_reduce fold is semantically
+    // equivalent but O(100×) slower in DuckDB 1.0).
+    QueryDef("q61_dict_segment",
+      (s, dir) => Segment.segment(Tables(s, dir, "documents"), segDict)
+        .groupBy(col("doc_id"), col("name")).agg(count(lit(1)).as("cnt")),
+      oracle = Some {
+        val ordered = segDict.distinct.sortBy(w => (-w.length, w))
+        val dictSql = ordered.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""
+        WITH RECURSIVE ds AS (
+          SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents),
+        walk(doc_id, pos, names) AS (
+          SELECT doc_id, CAST(1 AS BIGINT), []::VARCHAR[] FROM ds
+          UNION ALL
+          SELECT doc_id,
+            CASE WHEN m IS NOT NULL THEN pos + length(m) ELSE pos + 1 END,
+            CASE WHEN m IS NOT NULL THEN list_append(names, m) ELSE names END
+          FROM (
+            SELECT w.doc_id, w.pos, w.names,
+              list_filter($dictSql, wd -> substr(d.s, CAST(w.pos AS INT), length(wd)) = wd)[1] AS m
+            FROM walk w JOIN ds d USING (doc_id)
+            WHERE w.pos <= length(d.s)) t)
+        SELECT doc_id, name, COUNT(*) AS cnt
+        FROM (SELECT w.doc_id, unnest(w.names) AS name
+              FROM walk w JOIN ds d USING (doc_id)
+              WHERE w.pos > length(d.s)) u
+        GROUP BY 1, 2"""
       }),
 
     // BM25 relevance: top-20 docs for a fixed query term set

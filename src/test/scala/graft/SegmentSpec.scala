@@ -1,0 +1,56 @@
+package graft
+
+import graft.graph.Graphs
+import graft.operators.Segment
+
+/** P11: dictionary segmentation of whitespace-free text (the PDF2 workload
+  * shape — name extraction from unsegmented novels, then the character
+  * co-occurrence network). Goldens are hand-computed. */
+class SegmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dict = Seq("guojing", "huangrong", "hong", "rong", "qigong")
+
+  // no whitespace anywhere: a whitespace tokenizer produces zero tokens here
+  private def docs = Seq(
+    (1L, "guojingandhuangrongmeethongqigong"),
+    (2L, "ronghong"),
+    (3L, "nothinginthedictionaryhere")
+  ).toDF("doc_id", "text")
+
+  test("greedy longest-match golden: covered and nested words") {
+    val got = Segment.segment(docs, dict)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // "huangrong" consumes chars 11-19, so the "rong" inside it is NOT emitted
+    assert(got(1L) == Seq("guojing", "huangrong", "hong", "qigong"))
+    // at pos 1 "rong" wins (no longer word matches), then "hong"
+    assert(got(2L) == Seq("rong", "hong"))
+    assert(!got.contains(3L))
+  }
+
+  test("longest match beats shorter prefix word at the same position") {
+    val d = Seq((1L, "huangrongx")).toDF("doc_id", "text")
+    // "huang" AND "huangrong" both match at pos 1 — longest must win
+    val got = Segment.segment(d, Seq("huang", "huangrong")).as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "huangrong")))
+  }
+
+  test("whitespace tokenizer yields nothing on unsegmented text, segment() does not") {
+    val t = graft.operators.TextPipeline.tokenize(docs.filter($"doc_id" === 1L))
+    // one giant token (no separators) that matches no dictionary entry —
+    // the failure mode dictionary segmentation exists to fix
+    assert(t.as[(Long, String)].collect().map(_._2).toSeq == Seq("guojingandhuangrongmeethongqigong"))
+    assert(Segment.segment(docs.filter($"doc_id" === 1L), dict).count() == 4L)
+  }
+
+  test("segmented names feed the A11 co-occurrence chain (PDF2 pipeline)") {
+    val edges = Graphs.coOccurrence(Segment.segment(docs, dict), item = "name")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // doc1 contributes ordered pairs over 4 names (12), doc2 over 2 (2)
+    assert(edges.size == 14)
+    assert(edges(("guojing", "huangrong")) == 1L)
+    assert(edges(("rong", "hong")) == 1L)
+    // hong appears in both docs but with different partners — no double count
+    assert(edges(("hong", "qigong")) == 1L)
+  }
+}
