@@ -63,6 +63,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
   }
 
+  /** [[bruteTopK]]'s scale twin via the bounded-heap [[graft.ml.TopK]]
+    * Aggregator: identical output contract (sim desc, id asc, rk ≤ k), but
+    * where the window form shuffles EVERY scored candidate row to rank it,
+    * this partial-aggregates map-side so at most k rows per query reach the
+    * shuffle — |queries|·k shuffle volume instead of |queries|·|corpus|, the
+    * difference that matters at 100 TB. Oracle-shared with q37. */
+  def bruteTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+    q.crossJoin(broadcast(c))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
+      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      // the buffer is kept sorted (score desc, id asc), so position = rank
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("sim"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   /** Integer quantization of a double vector: floor(x·1e6 + 0.5) per element.
     * floor (not round/cast) because its tie behavior is identical in every
     * IEEE engine — the quantized vectors are bit-portable. */

@@ -27,6 +27,24 @@ object Curation {
       FROM (SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM seq) g),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)"""
 
+  /** Exact ANN top-k oracle, shared by q37 (window form) and q62 (bounded-
+    * heap Aggregator form) — both must produce this same result. */
+  private val annTopkOracle: String = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM emb WHERE vec_id % 20 = 0),
+    sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        round(CASE WHEN sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) = 0
+          THEN 0.0
+          ELSE list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) END, 6) AS sim
+      FROM q CROSS JOIN emb c WHERE q.vec_id <> c.vec_id)
+    SELECT q_id, n_id, sim, rk FROM (
+      SELECT q_id, n_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+      FROM sims) s
+    WHERE rk <= 10"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q32_dedup_exact",
@@ -129,22 +147,19 @@ object Curation {
         val e = Tables(s, dir, "embeddings")
         Similarity.bruteTopK(e.filter(col("vec_id") % 20 === 0), e, k = 10)
       },
-      oracle = Some("""
-        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        q AS (SELECT * FROM emb WHERE vec_id % 20 = 0),
-        sims AS (
-          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-            round(CASE WHEN sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) = 0
-              THEN 0.0
-              ELSE list_dot_product(q.e, c.e) /
-                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) END, 6) AS sim
-          FROM q CROSS JOIN emb c WHERE q.vec_id <> c.vec_id)
-        SELECT q_id, n_id, sim, rk FROM (
-          SELECT q_id, n_id, sim,
-            CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
-          FROM sims) s
-        WHERE rk <= 10"""),
+      oracle = Some(annTopkOracle),
       bench = true),
+
+    // The same exact top-k through the bounded-heap Aggregator (ml.TopK): at
+    // most k rows per query survive partial aggregation, vs the window form
+    // shuffling every candidate. Same oracle as q37 — a green row proves the
+    // kNN scale path end-to-end, not just in ScalaTest.
+    QueryDef("q62_ann_topk_agg",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteTopKAgg(e.filter(col("vec_id") % 20 === 0), e, k = 10)
+      },
+      oracle = Some(annTopkOracle)),
 
     // Sign-LSH top-k: buckets are exact integer arithmetic over quantized
     // vectors with md5-derived ±1 planes, so the oracle replays the whole
