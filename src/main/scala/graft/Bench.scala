@@ -19,7 +19,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NB: driver heap can't be set here (the JVM is already running in
+      // local mode) — pass -J-Xmx/JAVA_OPTS at launch instead
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

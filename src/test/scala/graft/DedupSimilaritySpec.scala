@@ -81,6 +81,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("hot-shingle cap prunes boilerplate-only matches, keeps true near-dups") {
+    // every doc shares a boilerplate opening (a hot shingle in 100% of docs);
+    // docs 1/2 are genuine near-dups beyond it, docs 3..8 are unrelated
+    val boiler = "this document is provided as is without warranty"
+    val fixture = (Seq(
+      (1L, "en", s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, "en", s"$boiler alpha beta gamma delta epsilon eta")) ++
+      (3L to 8L).map(i => (i, "en", s"$boiler unique$i content$i words$i here$i now$i end$i"))
+    ).toDF("doc_id", "lang", "text")
+    val uncapped = Dedup.ngramJaccardPairs(fixture, n = 3, threshold = 0.1)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // without the cap, boilerplate alone pushes unrelated docs over threshold
+    assert(uncapped.exists { case (a, b) => a >= 3L || b >= 3L })
+    val capped = Dedup.ngramJaccardPairs(fixture, n = 3, threshold = 0.1,
+      maxShingleDocFrac = Some(0.5))
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // with shingles in >50% of docs dropped, only the true near-dup survives
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("segment-blocked edit distance equals all-pairs, including indel shifts") {
     // mutations exercise every pigeonhole case: substitution, deletion and
     // insertion (which displace segment copies), plus unrelated strings
