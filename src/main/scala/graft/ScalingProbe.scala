@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling regression probe (NOT part of the driver contract, NOT a
+  * correctness input): times headline queries at sf0.1 and at a synthetic
+  * ×`factor` replica of the same tables, to catch super-linear (quadratic)
+  * creep early — the check VERDICT r1 asked for, since no sf1 parquet is
+  * provided in /root/testdata.
+  *
+  * The replica is derived mechanically from the driver's own sf0.1 tables
+  * (id-shifted unions — same value distributions, ×factor cardinality) and
+  * lives under /tmp; it is used for TIMING ONLY, never for correctness
+  * comparison. Run: `sbt "runMain graft.ScalingProbe"`; results → SCALING.md.
+  */
+object ScalingProbe {
+
+  private val Offset = 1000000000L
+
+  private def replicate(spark: SparkSession, baseDir: String, outDir: String,
+                        factor: Int): Unit = {
+    val shifts = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "documents" -> Seq("doc_id"))
+    shifts.foreach { case (table, keys) =>
+      val path = s"$outDir/$table.parquet"
+      if (!new java.io.File(path).exists()) {
+        val base = graft.sources.Tables(spark, baseDir, table)
+        val copies = (0 until factor).map { i =>
+          keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * Offset)))
+        }
+        copies.reduce(_ union _).write.mode("overwrite").parquet(path)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse("/tmp/graft_scale_probe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, baseDir, outDir, factor)
+
+    val probeQueries = Seq("q01_pricing_agg", "q04_fact_join", "q22_doc_vectors",
+      "q25_pagerank", "q33_ngram_jaccard_pairs", "q35_simhash_pairs")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = probeQueries.map { name =>
+      time(name, baseDir) // warm-up
+      val base = math.min(time(name, baseDir), time(name, baseDir))
+      val big = time(name, outDir)
+      val ratio = big / base
+      println(f"""{"query":"$name","base_sec":$base%.2f,"x${factor}_sec":$big%.2f,"ratio":$ratio%.1f}""")
+      (name, base, big, ratio)
+    }
+    println(rows.map { case (n, _, _, r) => f"$n=$r%.1fx" }.mkString("SUMMARY ", " ", s" (linear=$factor.0x)"))
+    spark.stop()
+  }
+}
