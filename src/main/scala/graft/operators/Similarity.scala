@@ -110,12 +110,15 @@ object Similarity {
     * tests against the rep's hyperplanes. `qvec` must be a [[quantize]]d
     * long-array column of length `dim`; the plane signs are plan-time literal
     * arrays, so the whole bucket computation is codegen'd integer arithmetic. */
-  def lshBucket(qvec: Column, planes: Int, rep: Int, dim: Int): Column =
+  def lshBucket(qvec: Column, planes: Int, rep: Int, dim: Int): Column = {
+    require(planes >= 1 && planes <= 62, s"planes=$planes must fit a long bucket id")
+    require(dim >= 1, s"dim=$dim")
     (0 until planes).map { p =>
       val signs = array((0 until dim).map(d => lit(planeSign(rep, p, d))): _*)
       val dot = aggregate(zip_with(qvec, signs, (x, s) => x * s), lit(0L), (a, x) => a + x)
       when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** IVF (inverted-file) approximate top-k: a deterministic k-means coarse
     * quantizer buckets the corpus; each query probes its `nprobe` nearest
@@ -155,6 +158,7 @@ object Similarity {
     * (q_id, n_id) BEFORE the vectors are re-attached — the distinct shuffle
     * carries two longs per row, not two embedding arrays. */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4): DataFrame = {
+    require(reps >= 1 && k >= 1, s"reps=$reps, k=$k")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     // plan-time constant: embedding dimensionality (one-row peek, not a scan)
     val dim = e.select(size(col("vec")).as("d")).head.getInt(0)
