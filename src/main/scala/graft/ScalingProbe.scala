@@ -39,7 +39,10 @@ object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outDir = args.lift(2).getOrElse("/tmp/graft_scale_probe")
+    // factor + base are part of the path: a re-run with different parameters
+    // must never silently reuse a stale replica
+    val outDir = args.lift(2).getOrElse(
+      s"/tmp/graft_scale_probe_${new java.io.File(baseDir).getName}_x$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -160,9 +160,23 @@ object Similarity {
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4): DataFrame = {
     require(reps >= 1 && k >= 1, s"reps=$reps, k=$k")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    // plan-time constant: embedding dimensionality (one-row peek, not a scan)
-    val dim = e.select(size(col("vec")).as("d")).head.getInt(0)
-    val q = e.withColumn("qv", quantize(col("vec")))
+    // plan-time constant: embedding dimensionality (one-row peek, not a scan).
+    // Contract: a fixed-dim embedding column — enforced below rather than
+    // silently null-bucketing ragged rows out of the result.
+    val first = e.select(size(col("vec")).as("d")).head(1)
+    if (first.isEmpty) {
+      import org.apache.spark.sql.types._
+      return emb.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
+          StructField("sim", DoubleType), StructField("rk", LongType))))
+    }
+    val dim = first.head.getInt(0)
+    val q = e.withColumn("qv",
+      when(size(col("vec")) === dim, quantize(col("vec")))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK requires fixed dim=$dim embeddings; got dim "),
+          size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string")))))
     val bucketed = (0 until reps).map { r =>
       q.select(col("vec_id"),
         (lshBucket(col("qv"), planes, r, dim) + lit(r.toLong << planes)).as("bucket"))

@@ -126,11 +126,19 @@ object Curation {
         FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.f, b.f)) <= 4""")),
 
+    // The oracle mirrors the operator's deterministic block cap (row_number
+    // by vec_id ≤ maxBlock), so the contract stays oracle-exact even on data
+    // where a block exceeds the cap — not just at SFs where the cap is moot.
     QueryDef("q36_embedding_neardup",
-      (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3),
+      (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3,
+        maxBlock = 10000),
       oracle = Some("""
-        WITH emb AS (SELECT vec_id, CAST(label AS BIGINT) AS block, CAST(embedding AS DOUBLE[]) AS e
-                     FROM embeddings)
+        WITH emb AS (
+          SELECT vec_id, block, e FROM (
+            SELECT vec_id, CAST(label AS BIGINT) AS block, CAST(embedding AS DOUBLE[]) AS e,
+              row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) AS rn
+            FROM embeddings) capped
+          WHERE rn <= 10000)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
             THEN 0.0

@@ -136,6 +136,58 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("segment-blocked edit distance handles short and ragged-length strings") {
+    // strings shorter than the later segment offsets (and shorter than
+    // maxDist+1) — the degenerate regime for fixed-offset segmentation
+    val fixture = Seq(
+      (1L, "en", "abcdefghij"),              // 10 chars
+      (2L, "en", "abcdeXghij"),              // 1 sub of doc 1
+      (3L, "en", "abcdefghijklmnop"),        // 16 chars (len gap 6 > d from doc 1)
+      (4L, "en", "abcdefghijklmnoX"),        // 1 sub of doc 3
+      (5L, "en", "ab"),                      // tiny
+      (6L, "en", "abc"),                     // tiny, dist 1 from doc 5
+      (7L, "en", ""),                        // empty
+      (8L, "en", "zzzzzzzzzz")               // unrelated 10 chars
+    ).toDF("doc_id", "lang", "text")
+    for (maxDist <- Seq(1, 2, 4)) {
+      val got = Dedup.editDistancePairs(fixture, prefixLen = 40, maxDist = maxDist)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val rows = fixture.as[(Long, String, String)].collect()
+      val expected = (for {
+        (ia, _, ta) <- rows; (ib, _, tb) <- rows
+        if ia < ib
+        dist = {
+          val (a, b) = (ta.take(40), tb.take(40))
+          val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+              dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          dp(a.length)(b.length).toLong
+        }
+        if dist <= maxDist
+      } yield (ia, ib) -> dist).toMap
+      assert(got == expected, s"maxDist=$maxDist")
+    }
+  }
+
+  test("degenerate configs are refused, single-band simhash mask is correct") {
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, prefixLen = 3, maxDist = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, numHashes = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDist = 64, portable = false)
+    }
+    // maxDist=0 non-portable: one 64-bit band — 1L<<64 wraps in Scala, so the
+    // mask must be all-ones, making this exact-fingerprint dedup (docs 1≡2)
+    val exact = Dedup.simhashPairs(docs, maxDist = 0)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
   test("minhash signatures: numHashes rows per doc, stable across runs") {
     val sh = Dedup.shingleSet(docs, 3)
     val sig1 = Dedup.minhashSignatures(sh, 16)
