@@ -6,9 +6,12 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries: dedup family, embedding similarity search, text
-  * analysis (language-ID, quality, token stats, fingerprints). MinHash/SimHash/
-  * LSH variants have no SQL oracle (engine-specific hashes) — they are
-  * fixture-tested in ScalaTest instead and recorded rows-only by the driver.
+  * analysis (language-ID, quality, token stats, fingerprints), and the
+  * composed curation pipeline. The hash-based family (MinHash/SimHash/LSH)
+  * runs in portable md5-60 hash mode so DuckDB replays the full pipelines —
+  * every query here is oracle-checked; the one approximation without a SQL
+  * mirror (IVF's float k-means) is verified through an oracle-checked recall
+  * invariant instead (q50).
   */
 object Curation {
 
@@ -124,7 +127,8 @@ object Curation {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS dist
         FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.f, b.f)) <= 4""")),
+        WHERE bit_count(xor(a.f, b.f)) <= 4"""),
+      bench = true),
 
     // The oracle mirrors the operator's deterministic block cap (row_number
     // by vec_id ≤ maxBlock), so the contract stays oracle-exact even on data
@@ -277,7 +281,8 @@ object Curation {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.prefix, b.prefix) <= 4""")),
+        WHERE levenshtein(a.prefix, b.prefix) <= 4"""),
+      bench = true),
 
     // Array analytics over the embedding column: per-label vector stats
     QueryDef("q60_embedding_stats",
@@ -300,6 +305,65 @@ object Curation {
         SELECT label, COUNT(*) AS n, MAX(dim) AS dim,
           CAST(SUM(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(30,8))) AS DOUBLE) AS sum_norm
         FROM e GROUP BY 1""")),
+
+    // End-to-end curation pipeline — the composability proof: exact-dedup
+    // representatives ⋈ quality gate ⋈ language-agreement filter, one plan.
+    // Every stage reuses an already-oracle-checked operator, and the oracle
+    // composes the same CTEs, so the chain is verified as a whole.
+    QueryDef("q64_curation_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val reps = Dedup.exact(d).select(col("rep_doc_id").as("doc_id"))
+        val q = TextStats.quality(d).select(col("doc_id"), col("n_tokens"), col("quality"))
+        val lid = TextStats.languageId(d).select(col("doc_id"), col("pred_lang"))
+        d.select(col("doc_id"), col("lang"))
+          .join(reps, "doc_id")
+          .join(q, "doc_id").filter(col("quality") >= 0.6)
+          .join(lid, "doc_id").filter(col("pred_lang") === col("lang"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      },
+      oracle = Some {
+        val stopList = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+        val scoreCols = TextStats.langMarkers.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"CAST(SUM(CASE WHEN term IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+        }.mkString(",\n          ")
+        val bestExpr = TextStats.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val predExpr = TextStats.langMarkers.map { case (l, _) =>
+          s"WHEN s_$l = best AND best > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""
+        WITH ${Text.toksCte},
+        norm AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash
+          FROM documents),
+        reps AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY text_hash),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct,
+            CAST(SUM(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks GROUP BY 1),
+        qual AS (
+          SELECT doc_id, n_tokens,
+            CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) * 0.4 +
+              CAST(least(n_tokens, 100) AS DOUBLE)/100.0 * 0.4 +
+              (1.0 - CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.2 AS quality
+          FROM per_doc),
+        scored AS (
+          SELECT doc_id,
+          $scoreCols
+          FROM toks GROUP BY 1),
+        pred AS (
+          SELECT doc_id, $predExpr AS pred_lang
+          FROM (SELECT *, $bestExpr AS best FROM scored) b)
+        SELECT d.doc_id, d.lang, qual.n_tokens, qual.quality
+        FROM documents d
+        JOIN reps USING (doc_id)
+        JOIN qual USING (doc_id)
+        JOIN pred USING (doc_id)
+        WHERE qual.quality >= 0.6 AND pred.pred_lang = d.lang"""
+      },
+      bench = true),
 
     QueryDef("q39_lang_id",
       (s, dir) => TextStats.languageId(docs(s, dir)),
