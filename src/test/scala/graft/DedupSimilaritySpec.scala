@@ -171,6 +171,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fuzz: segment-blocked edit distance equals DP all-pairs on random corpora") {
+    // deterministic seeds; alphabet of 2 symbols + lengths 0..25 force dense
+    // near-dup structure, hitting every geometry case (tiny bucket, ragged
+    // lengths, shifts) far beyond the hand fixtures
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length).toLong
+    }
+    for (seed <- 1 to 2; maxDist <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 40).map { i =>
+        val len = rnd.nextInt(26)
+        (i.toLong, if (i % 2 == 0) "en" else "de",
+          (1 to len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      }
+      val df = corpus.toDF("doc_id", "lang", "text")
+      val got = Dedup.editDistancePairs(df, prefixLen = 20, maxDist = maxDist)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expected = (for {
+        (ia, la, ta) <- corpus; (ib, lb, tb) <- corpus
+        if ia < ib && la == lb
+        d = lev(ta.take(20), tb.take(20))
+        if d <= maxDist
+      } yield (ia, ib) -> d).toMap
+      assert(got == expected, s"seed=$seed maxDist=$maxDist")
+    }
+  }
+
   test("degenerate configs are refused, single-band simhash mask is correct") {
     intercept[IllegalArgumentException] {
       Dedup.editDistancePairs(docs, prefixLen = 3, maxDist = 4)
