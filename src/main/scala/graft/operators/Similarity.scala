@@ -172,11 +172,13 @@ object Similarity {
           StructField("sim", DoubleType), StructField("rk", LongType))))
     }
     val dim = first.head.getInt(0)
+    // the quantized frame feeds all `reps` union branches — materialize once
     val q = e.withColumn("qv",
       when(size(col("vec")) === dim, quantize(col("vec")))
         .otherwise(raise_error(concat(
           lit(s"lshTopK requires fixed dim=$dim embeddings; got dim "),
           size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = (0 until reps).map { r =>
       q.select(col("vec_id"),
         (lshBucket(col("qv"), planes, r, dim) + lit(r.toLong << planes)).as("bucket"))

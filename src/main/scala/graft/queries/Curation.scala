@@ -185,7 +185,7 @@ object Curation {
                FROM emb),
         dots AS (
           SELECT vec_id, r, p,
-            list_sum(list_transform(range(0, 64), d ->
+            list_sum(list_transform(range(0, CAST(len(q) AS BIGINT)), d ->
               q[CAST(d AS INT) + 1] *
               (CASE WHEN CAST('0x' || substr(md5(r || ':' || p || ':' || d),1,15) AS BIGINT) & 1 = 1
                     THEN 1 ELSE -1 END))) AS dot

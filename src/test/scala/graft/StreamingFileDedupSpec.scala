@@ -55,6 +55,40 @@ class StreamingFileDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup by content hash matches batch representatives") {
+    implicit val ctx = spark.sqlContext
+    // docs 1≡3 and 2≡5 after normalization; arrival order = doc_id order so
+    // streaming first-wins equals batch min(doc_id) representatives
+    val docs = Seq(
+      (1L, "The quick brown fox!"), (2L, "something else entirely"),
+      (3L, "the QUICK brown fox"), (4L, "a third distinct text"),
+      (5L, "Something ELSE entirely...")
+    )
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val hashed = ms.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "1 hour")
+      .withColumn("text_hash",
+        md5(array_join(graft.functions.Exprs.tokens($"text"), " ")))
+      .dropDuplicates("text_hash")
+    val q = hashed.writeStream.format("memory").queryName("cdedup")
+      .outputMode("append").start()
+    try {
+      // duplicates arrive in LATER micro-batches — state must span batches
+      ms.addData(docs.take(2).map { case (id, tx) => (t(id.toInt), id, tx) }: _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2).map { case (id, tx) => (t(id.toInt), id, tx) }: _*)
+      q.processAllAvailable()
+      ms.addData((t(59), 99L, "flush the watermark forward"))
+      q.processAllAvailable()
+      val streamed = spark.table("cdedup").filter($"doc_id" =!= 99L)
+        .select($"doc_id").as[Long].collect().toSet
+      val batchReps = graft.operators.Dedup.exact(
+        docs.toDF("doc_id", "text")).select($"rep_doc_id").as[Long].collect().toSet
+      assert(streamed == batchReps && batchReps == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("text operators are total on empty and degenerate inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.TextPipeline.termCounts(
