@@ -43,6 +43,20 @@ class SegmentSpec extends SparkSpec {
     assert(Segment.segment(docs.filter($"doc_id" === 1L), dict).count() == 4L)
   }
 
+  test("native GreedySegment expression equals the HOF fold on real corpus data") {
+    val d = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    val dict = Seq("spark", "stream", "query", "table", "order", "sort", "scan",
+      "part", "data", "row", "key", "a")
+    val native = Segment.segment(d, dict)
+      .groupBy($"doc_id", $"name").count()
+      .as[(Long, String, Long)].collect().toSet
+    val hof = Segment.segmentHof(d, dict)
+      .groupBy($"doc_id", $"name").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == hof && native.nonEmpty)
+  }
+
   test("segmented names feed the A11 co-occurrence chain (PDF2 pipeline)") {
     val edges = Graphs.coOccurrence(Segment.segment(docs, dict), item = "name")
       .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
