@@ -131,6 +131,61 @@ object Ml {
         SELECT doc_id, pred FROM nb_pred"""),
       bench = true),
 
+    // Evaluation beyond accuracy: the confusion matrix and per-class
+    // precision/recall/F1 — the metrics a classifier user actually reads.
+    QueryDef("q65_nb_confusion",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        val truth = test.select(col("doc_id"), col("label").as("truth")).distinct()
+        Evaluate.confusion(
+          NaiveBayes.predict(test.drop("label"), NaiveBayes.train(train)).join(truth, "doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        truth AS (SELECT DISTINCT doc_id, lang FROM test_toks)
+        SELECT t.lang AS truth, p.pred, COUNT(*) AS n
+        FROM nb_pred p JOIN truth t ON p.doc_id = t.doc_id
+        GROUP BY 1, 2""")),
+
+    QueryDef("q66_nb_class_metrics",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        val truth = test.select(col("doc_id"), col("label").as("truth")).distinct()
+        Evaluate.classMetrics(
+          NaiveBayes.predict(test.drop("label"), NaiveBayes.train(train)).join(truth, "doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        truth AS (SELECT DISTINCT doc_id, lang FROM test_toks),
+        ev AS (
+          SELECT t.lang AS truth, p.pred FROM nb_pred p JOIN truth t ON p.doc_id = t.doc_id),
+        ev_classes AS (
+          SELECT DISTINCT truth AS label FROM ev
+          UNION SELECT DISTINCT pred FROM ev),
+        ev_tp AS (SELECT truth AS label, COUNT(*) AS tp FROM ev WHERE truth = pred GROUP BY 1),
+        ev_tr AS (SELECT truth AS label, COUNT(*) AS n_truth FROM ev GROUP BY 1),
+        ev_pr AS (SELECT pred AS label, COUNT(*) AS n_pred FROM ev GROUP BY 1),
+        base AS (
+          SELECT c.label,
+            CAST(COALESCE(ev_tp.tp, 0) AS BIGINT) AS tp,
+            CAST(COALESCE(ev_pr.n_pred, 0) - COALESCE(ev_tp.tp, 0) AS BIGINT) AS fp,
+            CAST(COALESCE(ev_tr.n_truth, 0) - COALESCE(ev_tp.tp, 0) AS BIGINT) AS fn
+          FROM ev_classes c
+          LEFT JOIN ev_tp ON ev_tp.label = c.label
+          LEFT JOIN ev_tr ON ev_tr.label = c.label
+          LEFT JOIN ev_pr ON ev_pr.label = c.label),
+        pr2 AS (
+          SELECT label, tp, fp, fn,
+            CASE WHEN tp + fp = 0 THEN 0.0
+                 ELSE CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END AS "precision",
+            CASE WHEN tp + fn = 0 THEN 0.0
+                 ELSE CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END AS recall
+          FROM base)
+        SELECT label, tp, fp, fn, "precision", recall,
+          CASE WHEN "precision" + recall = 0.0 THEN 0.0
+               ELSE 2.0 * "precision" * recall / ("precision" + recall) END AS f1
+        FROM pr2""")),
+
     QueryDef("q31_nb_accuracy",
       (s, dir) => {
         val (train, test) = nbParts(s, dir)
