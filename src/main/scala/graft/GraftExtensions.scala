@@ -1,9 +1,12 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, GreedySegment}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... graft_dot(a, b) ...")`
@@ -16,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.segmentFunction)
     ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
@@ -24,13 +28,38 @@ object GraftExtensions {
   private val dotFunction = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      DotProduct(children(0), children(1)))
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** SQL surface for dictionary segmentation:
+    * `graft_segment(text, array('w1', 'w2', …))`. The dictionary argument
+    * must fold to a string-array constant — it parameterizes the compiled
+    * scan, it is not per-row data. */
+  private val segmentFunction = (
+    FunctionIdentifier("graft_segment"),
+    new ExpressionInfo(classOf[GreedySegment].getName, "graft_segment"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_segment(text, dict_array)")
+      val dict = children(1) match {
+        case e if e.foldable && (e.dataType == ArrayType(StringType, false) ||
+                  e.dataType == ArrayType(StringType, true)) =>
+          e.eval() match {
+            case a: ArrayData =>
+              a.toArray[UTF8String](StringType).map(u => String.valueOf(u)).toSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_segment dictionary must be an array literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_segment dictionary must be a foldable string array, got $other")
+      }
+      GreedySegment(children(0), dict)
+    })
 
   /** Runtime registration on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      segmentFunction._1, segmentFunction._2, segmentFunction._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin

@@ -13,6 +13,19 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("graft_segment is callable from SQL with a literal dictionary") {
+    GraftExtensions.register(spark)
+    val names = spark.sql(
+      "SELECT graft_segment('guojingandhuangrong', array('guojing', 'huangrong', 'rong')) AS n")
+      .as[Seq[String]].head()
+    assert(names == Seq("guojing", "huangrong"))
+    // non-literal dictionary is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_segment(s, array(s)) FROM (SELECT 'ab' AS s)").collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
+
   test("registerViews exposes the tables to spark.sql") {
     GraftExtensions.registerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head()
