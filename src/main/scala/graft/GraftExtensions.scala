@@ -44,7 +44,10 @@ object GraftExtensions {
                   e.dataType == ArrayType(StringType, true)) =>
           e.eval() match {
             case a: ArrayData =>
-              a.toArray[UTF8String](StringType).map(u => String.valueOf(u)).toSeq
+              val words = a.toArray[UTF8String](StringType).toSeq
+              require(words.forall(_ != null),
+                "graft_segment dictionary must not contain NULL entries")
+              words.map(_.toString)
             case other => throw new IllegalArgumentException(
               s"graft_segment dictionary must be an array literal, got $other")
           }

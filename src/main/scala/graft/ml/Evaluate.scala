@@ -30,8 +30,8 @@ object Evaluate {
     * precision 0, one never true gets recall 0); ratios are exact integer
     * divisions, F1 a fixed expression over them → engine-portable. */
   def classMetrics(scored: DataFrame): DataFrame = {
-    val classes = scored.select(col("truth").as("label")).distinct()
-      .unionByName(scored.select(col("pred").as("label")).distinct()).distinct()
+    val classes = scored.select(col("truth").as("label"))
+      .unionByName(scored.select(col("pred").as("label"))).distinct()
     val tp = scored.filter(col("truth") === col("pred"))
       .groupBy(col("truth").as("label")).agg(count(lit(1)).as("tp"))
     val truths = scored.groupBy(col("truth").as("label")).agg(count(lit(1)).as("n_truth"))

@@ -32,10 +32,10 @@ object KMeans {
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
-        // exact DECIMAL accumulator: the mean (and so every later assignment)
-        // is independent of partial-aggregation order / partition count —
-        // without it, "deterministic by construction" held only per-layout
-        .agg((graft.functions.Exprs.dsum(col("x"), 12) / count(lit(1)).cast("double")).as("m"))
+        // exact DECIMAL mean: independent of partial-aggregation order /
+        // partition count — without it, "deterministic by construction"
+        // held only per-layout
+        .agg(graft.functions.Exprs.davg(col("x"), 12).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("entries"))
         .select(col("centroid_id"),

@@ -172,7 +172,10 @@ object Similarity {
           StructField("sim", DoubleType), StructField("rk", LongType))))
     }
     val dim = first.head.getInt(0)
-    // the quantized frame feeds all `reps` union branches — materialize once
+    // the quantized frame feeds all `reps` bucket branches AND both re-rank
+    // joins — materialize once. (Per call, one cached copy of the embedding
+    // table stays pinned until the session ends or the caller unpersists; an
+    // acceptable trade for not re-scanning the source reps+2 times.)
     val q = e.withColumn("qv",
       when(size(col("vec")) === dim, quantize(col("vec")))
         .otherwise(raise_error(concat(
@@ -189,8 +192,8 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     cand
-      .join(e.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .join(q.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
