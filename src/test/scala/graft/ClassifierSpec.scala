@@ -80,6 +80,28 @@ class ClassifierSpec extends SparkSpec {
     assert(pred.contains(10L))
   }
 
+  test("class metrics golden: hand-computed P/R/F1 incl. a never-predicted class") {
+    // truths: a×3, b×2, c×1; preds: a→a,a,b ; b→a,b ; c→a
+    // a: tp=2 fp=2 fn=1 → P=0.5  R=2/3  F1=4/7
+    // b: tp=1 fp=1 fn=1 → P=0.5  R=0.5  F1=0.5
+    // c: tp=0 fp=0 fn=1 → P=0 (never predicted) R=0 F1=0
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "a"), ("b", "b"),
+      ("c", "a")
+    ).toDF("truth", "pred")
+    val m = graft.ml.Evaluate.classMetrics(scored)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m("a") == (("a", 2L, 2L, 1L, 0.5, 2.0 / 3.0, 2.0 * 0.5 * (2.0 / 3.0) / (0.5 + 2.0 / 3.0))))
+    assert(m("b") == (("b", 1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    assert(m("c") == (("c", 0L, 0L, 1L, 0.0, 0.0, 0.0)))
+    val conf = graft.ml.Evaluate.confusion(scored)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(conf == Map(("a", "a") -> 2L, ("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "b") -> 1L, ("c", "a") -> 1L))
+  }
+
   test("out-of-vocabulary test terms are dropped (J2 inner-join semantics)") {
     val train = Seq((1L, "c1", "a"), (2L, "c2", "b")).toDF("doc_id", "label", "term")
     val test = Seq((10L, "zzz")).toDF("doc_id", "term")
