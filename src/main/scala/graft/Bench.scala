@@ -43,6 +43,13 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           q.name -> -1.0
+      } finally {
+        // release operator pins and drop all cached data between queries:
+        // each query is measured against a clean cache, not against the
+        // accumulated pins of every query before it (the round-2 bench ran
+        // 3-17x slower than isolated runs from exactly this leak)
+        Caching.release()
+        spark.catalog.clearCache()
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -59,7 +59,11 @@ object ScalingProbe {
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // same hygiene as Bench: no pinned-cache carry-over between measurements
+      Caching.release()
+      spark.catalog.clearCache()
+      sec
     }
     val rows = probeQueries.map { name =>
       time(name, baseDir) // warm-up

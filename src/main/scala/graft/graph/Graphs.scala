@@ -68,6 +68,12 @@ object Graphs {
       // re-execution bounded at a fraction of that.
       if (i < iterations && i % 3 == 0) ranks = ranks.localCheckpoint(eager = true)
     }
+    // the result is vertex-sized: materialize it eagerly (cheap) so the pinned
+    // edge/vertex caches can be released HERE instead of leaking for the rest
+    // of the session (round-2 bench pollution)
+    ranks = ranks.localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     ranks
   }
 
@@ -85,8 +91,11 @@ object Graphs {
       labels = byLabel.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("v2").as("v"), col("label"))
-      if (i < iterations) labels = labels.localCheckpoint(eager = true)
+      // checkpoint every round INCLUDING the last: the final materialization
+      // (vertex-sized, cheap) is what lets the edge cache release below
+      labels = labels.localCheckpoint(eager = true)
     }
+    e.unpersist(blocking = false)
     labels
   }
 }

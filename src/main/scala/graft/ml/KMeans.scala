@@ -42,6 +42,8 @@ object KMeans {
           transform(col("entries"), x => x.getField("m")).as("centroid"))
         .localCheckpoint(eager = true)
     }
+    // centroids are checkpointed (k rows) — the cached input is dead: release
+    e.unpersist(blocking = false)
     centroids
   }
 

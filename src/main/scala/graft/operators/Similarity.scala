@@ -128,8 +128,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
               kmeansIters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val centroids = graft.ml.KMeans.fit(e, nlist, kmeansIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = graft.Caching.pin(graft.ml.KMeans.fit(e, nlist, kmeansIters))
     val buckets = graft.ml.KMeans.assign(e, centroids)
     // each query probes its nprobe nearest centroid buckets
     val dist2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
@@ -173,15 +172,14 @@ object Similarity {
     }
     val dim = first.head.getInt(0)
     // the quantized frame feeds all `reps` bucket branches AND both re-rank
-    // joins — materialize once. (Per call, one cached copy of the embedding
-    // table stays pinned until the session ends or the caller unpersists; an
-    // acceptable trade for not re-scanning the source reps+2 times.)
-    val q = e.withColumn("qv",
+    // joins — materialize once via Caching.pin; the caller releases it with
+    // graft.Caching.release() once the result is consumed (the round-2
+    // session-lifetime pin is gone).
+    val q = graft.Caching.pin(e.withColumn("qv",
       when(size(col("vec")) === dim, quantize(col("vec")))
         .otherwise(raise_error(concat(
           lit(s"lshTopK requires fixed dim=$dim embeddings; got dim "),
-          size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string")))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string"))))))
     val bucketed = (0 until reps).map { r =>
       q.select(col("vec_id"),
         (lshBucket(col("qv"), planes, r, dim) + lit(r.toLong << planes)).as("bucket"))
