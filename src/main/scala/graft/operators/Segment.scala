@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Segment {
 
-  /** Normalized unsegmented stream: lowercase, every non-alphanumeric
-    * removed (not replaced by spaces — the point is there are no separators). */
+  /** Normalized unsegmented stream: lowercase, every non-letter/non-number
+    * removed (not replaced by spaces — the point is there are no separators).
+    * Unicode classes, not [a-z0-9]: the reference workload's input is Chinese
+    * novel text (PDF2 pp. 2, 6-7), and an ASCII-only normalizer would silently
+    * delete every CJK character — segment() would return zero rows on exactly
+    * the corpus this operator exists for. \p{L}\p{N} keeps all scripts.
+    * (Positions are UTF-16 code units in the native scan — identical to code
+    * points for BMP text; supplementary-plane chars can't match a BMP
+    * dictionary and are skipped harmlessly.) */
   def despace(text: Column): Column =
-    regexp_replace(lower(text), "[^a-z0-9]", "")
+    regexp_replace(lower(text), "[^\\p{L}\\p{N}]", "")
 
   /** Greedy longest-match segmentation of `textCol` against `dict`, via the
     * native [[graft.functions.GreedySegment]] expression (tight JVM scan, one

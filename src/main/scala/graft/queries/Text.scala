@@ -25,10 +25,21 @@ object Text {
 
   /** Name dictionary for q61 (P11): corpus words incl. nested/overlapping
     * entries ("spark" ⊃ "a", "sort"/"scan" share prefixes) so the query
-    * genuinely exercises longest-match precedence. */
+    * genuinely exercises longest-match precedence — plus the PDF2 workload's
+    * actual input class: CJK character names (郭靖 ⊃ 靖 exercises CJK
+    * longest-match) matched against whitespace-free Chinese text. */
   private val segDict =
     Seq("spark", "stream", "query", "table", "order", "sort", "scan", "part",
-      "data", "row", "key", "a")
+      "data", "row", "key", "a",
+      "郭靖", "黄蓉", "洪七公", "桃花岛", "降龙十八掌", "靖")
+
+  /** Two unsegmented CJK documents unioned into q61's input: the driver's
+    * synthetic corpus is Latin-only, and P11's whole point (reference PDF2
+    * pp. 6-7) is segmenting delimiter-free Chinese — so the query carries its
+    * own CJK fixture rows, mirrored verbatim in the oracle. */
+  private val cjkFixture: Seq[(Long, String)] = Seq(
+    (900000001L, "郭靖和黄蓉在桃花岛遇到洪七公，郭靖学降龙十八掌。"),
+    (900000002L, "洪七公传掌法，黄蓉识破真相，靖字辈排行。"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -134,15 +145,25 @@ object Text {
     // vectorized across documents (a list_reduce fold is semantically
     // equivalent but O(100×) slower in DuckDB 1.0).
     QueryDef("q61_dict_segment",
-      (s, dir) => Segment.segment(Tables(s, dir, "documents"), segDict)
-        .groupBy(col("doc_id"), col("name")).agg(count(lit(1)).as("cnt")),
+      (s, dir) => {
+        import s.implicits._
+        val input = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(cjkFixture.toDF("doc_id", "text"))
+        Segment.segment(input, segDict)
+          .groupBy(col("doc_id"), col("name")).agg(count(lit(1)).as("cnt"))
+      },
       oracle = Some {
         val ordered = segDict.distinct.sortBy(w => (-w.length, w))
         val dictSql = ordered.map(w => s"'$w'").mkString("[", ", ", "]")
+        val fixtureSql = cjkFixture
+          .map { case (id, t) => s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text" }
+          .mkString(" UNION ALL ")
+        // \p escapes can't sit inside an s-interpolated literal — build apart
+        val uniRe = "[^" + "\\p{L}\\p{N}" + "]"
         s"""
         WITH RECURSIVE ds AS (
-          SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-          FROM documents),
+          SELECT doc_id, regexp_replace(lower(text), '$uniRe', '', 'g') AS s
+          FROM (SELECT doc_id, text FROM documents UNION ALL $fixtureSql) input),
         walk(doc_id, pos, names) AS (
           SELECT doc_id, CAST(1 AS BIGINT), []::VARCHAR[] FROM ds
           UNION ALL

@@ -28,6 +28,28 @@ class SegmentSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("CJK golden: unsegmented Chinese text against a name dictionary (PDF2 shape)") {
+    // the reference workload's actual input class: no delimiters, CJK names,
+    // nested entry 郭靖 ⊃ 靖 exercising longest-match across scripts
+    val cjkDict = Seq("郭靖", "黄蓉", "洪七公", "桃花岛", "降龙十八掌", "靖")
+    val d = Seq(
+      (1L, "郭靖和黄蓉在桃花岛遇到洪七公，郭靖学降龙十八掌。"),
+      (2L, "洪七公传掌法，黄蓉识破真相，靖字辈排行。"),
+      (3L, "no cjk here at all")
+    ).toDF("doc_id", "text")
+    val got = Segment.segment(d, cjkDict)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // punctuation （，。）is stripped by the Unicode normalizer, names survive
+    assert(got(1L) == Seq("郭靖", "黄蓉", "桃花岛", "洪七公", "郭靖", "降龙十八掌"))
+    // standalone 靖 matches only where 郭靖 does not (longest-match precedence)
+    assert(got(2L) == Seq("洪七公", "黄蓉", "靖"))
+    assert(!got.contains(3L))
+    // HOF twin agrees on CJK input (same MaxMatch semantics, shared despace)
+    val hof = Segment.segmentHof(d, cjkDict)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(hof == got)
+  }
+
   test("longest match beats shorter prefix word at the same position") {
     val d = Seq((1L, "huangrongx")).toDF("doc_id", "text")
     // "huang" AND "huangrong" both match at pos 1 — longest must win
