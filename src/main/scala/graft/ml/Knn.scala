@@ -68,4 +68,70 @@ object Knn {
   /** [[classify]] over sparse MapType feature vectors. */
   def classifySparse(test: DataFrame, train: DataFrame, k: Int): DataFrame =
     vote(neighborsSparse(test, train, k))
+
+  /** The kNN plan for train sets beyond broadcast size — the scale path the
+    * Scaladoc above names, wired end-to-end: sign-LSH buckets generate the
+    * candidate pairs (both sides hashed with the same deterministic
+    * (rep, plane, dim) hyperplanes from [[graft.operators.Similarity]]), the
+    * bounded-heap [[TopK]] aggregator ranks them so at most k rows per query
+    * survive partial aggregation, and the same A8 majority [[vote]] picks the
+    * label. Every join is equi-key (bucket, then id): nothing is broadcast or
+    * replicated, so the plan holds when train is 100 TB.
+    *
+    * Approximate by design: a true neighbor sharing no bucket in any of the
+    * `reps` repetitions is missed. To keep recall high without extra passes
+    * over the (large) train side, the QUERY side multi-probes: each query
+    * also checks the `planes` buckets at Hamming distance 1 from its own
+    * signature (Lv et al., "Multi-Probe LSH", VLDB'07). A neighbor whose
+    * signature differs in ≤1 bit still collides, which raises per-rep
+    * collision probability roughly (1 + planes·(1-p)/p)× at the cost of
+    * (planes+1)× more QUERY bucket rows — the train side, the side that is
+    * 100 TB, is hashed exactly once per rep. q67 oracle-checks prediction
+    * agreement against the exact broadcast path as an invariant (q50's
+    * pattern). Contract: fixed-dimension `vec` columns (dim is peeked from
+    * one train row, same as [[graft.operators.Similarity.lshTopK]]). */
+  def classifyLsh(test: DataFrame, train: DataFrame, k: Int,
+                  planes: Int = 5, reps: Int = 10): DataFrame = {
+    import graft.operators.Similarity
+    val spark = test.sparkSession
+    import spark.implicits._
+    // both frames feed a bucket branch and a re-rank join → pin; the caller
+    // releases via graft.Caching.release() once the result is consumed
+    val t = graft.Caching.pin(
+      test.select(col("id").as("q_id"), col("vec").as("q_vec")))
+    val tr = graft.Caching.pin(
+      train.select(col("id").as("n_id"), col("label").as("n_label"), col("vec").as("n_vec")))
+    val first = tr.select(size(col("n_vec")).as("d")).head(1)
+    require(first.nonEmpty, "classifyLsh: empty train set")
+    val dim = first.head.getInt(0)
+    // flip masks for multi-probing: 0 (the exact bucket) plus each single bit
+    val probeMasks = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    def buckets(df: DataFrame, idCol: String, vecCol: String, probe: Boolean): DataFrame = {
+      val q = df.select(col(idCol), Similarity.quantize(col(vecCol)).as("qv"))
+      (0 until reps).map { r =>
+        val base = q.select(col(idCol), Similarity.lshBucket(col("qv"), planes, r, dim).as("b0"))
+        val b =
+          if (!probe) base.select(col(idCol), col("b0").as("b"))
+          else base.select(col(idCol), col("b0"), explode(probeMasks).as("m"))
+            .select(col(idCol), col("b0").bitwiseXOR(col("m")).as("b"))
+        b.select(col(idCol), (col("b") + lit(r.toLong << planes)).as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+    val cand = buckets(t, "q_id", "q_vec", probe = true)
+      .join(buckets(tr, "n_id", "n_vec", probe = false), "bucket")
+      // ids only through the distinct shuffle — vectors re-attach below
+      .select(col("q_id"), col("n_id")).distinct()
+    val scored = cand
+      .join(t, "q_id")
+      .join(tr.select(col("n_id"), col("n_vec")), "n_id")
+      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+    val top = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.id").as("n_id"))
+    vote(top.join(tr.select(col("n_id"), col("n_label")), "n_id"))
+  }
 }

@@ -186,6 +186,70 @@ object Ml {
                ELSE 2.0 * "precision" * recall / ("precision" + recall) END AS f1
         FROM pr2""")),
 
+    // The kNN scale path (train beyond broadcast) wired end-to-end and
+    // driver-visible: multi-probe LSH candidates → bounded-heap top-k →
+    // majority vote. Approximate, so the row is an oracle-checked INVARIANT
+    // (q50's pattern): Spark genuinely computes agreement of the LSH
+    // predictions with the exact broadcast-kNN predictions over every test
+    // vector and thresholds it; the oracle pins the expected verdict + query
+    // universe. A recall regression in bucketing, probing, TopK or vote flips
+    // agree_ok → fails. Measured agreement at planes=5/reps=10 with Hamming-1
+    // query probing: 0.98 (sf0.001), 0.98 (sf0.01), 0.96 (sf0.1) — the 0.8
+    // bar has margin at every driver SF. planes scales as log2(N/bucket) on
+    // real corpora; 5 matches these fixture sizes.
+    QueryDef("q67_knn_predict_lsh",
+      (s, dir) => {
+        val (test, train) = embSplit(s, dir)
+        val lsh = Knn.classifyLsh(test, train, k = 5, planes = 5, reps = 10)
+          .withColumnRenamed("pred", "pred_lsh")
+        val exact = Knn.classify(test, train, k = 5)
+          .withColumnRenamed("pred", "pred_exact")
+        // left joins from the full test universe: a query LSH finds no
+        // candidates for counts as disagreement, not as a dropped row
+        test.select(col("id").as("q_id"))
+          .join(lsh, Seq("q_id"), "left")
+          .join(exact, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("pred_lsh") === col("pred_exact"), 1L).otherwise(0L)).as("n_agree"))
+          .select(lit("knn_lsh_agreement").as("metric"),
+            col("n_queries"),
+            (col("n_agree").cast("double") / col("n_queries").cast("double") >= 0.8d)
+              .as("agree_ok"))
+      },
+      oracle = Some("""
+        SELECT 'knn_lsh_agreement' AS metric, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               true AS agree_ok
+        FROM embeddings WHERE vec_id % 10 = 0""")),
+
+    // The reference's aberrant NB scoring preserved behind referenceCompat
+    // (PredictMapper.java:78-86: product of the per-term logs, count-weighted
+    // by pow, times log prior, abs, then argMIN) — driver-visible as its own
+    // oracle row instead of living only behind a flag + ScalaTest.
+    QueryDef("q68_nb_reference_compat",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        NaiveBayes.predict(test.drop("label"), NaiveBayes.train(train), referenceCompat = true)
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        scored_rc AS (
+          SELECT x.doc_id, c.label,
+            abs(product(pow(
+                  ln((CAST(COALESCE(m.tcnt, 0) AS DOUBLE) + 1.0) /
+                     (CAST(c.total AS DOUBLE) + CAST((SELECT v FROM vs) AS DOUBLE))),
+                  x.cnt)) * ln(MAX(c.prior))) AS score
+          FROM tcnts x
+          CROSS JOIN classes c
+          LEFT JOIN tc m ON m.label = c.label AND m.term = x.term
+          GROUP BY 1, 2),
+        rc_pred AS (
+          SELECT doc_id, label AS pred FROM (
+            SELECT doc_id, label,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, label ASC) AS rn
+            FROM scored_rc) t
+          WHERE rn = 1)
+        SELECT doc_id, pred FROM rc_pred""")),
+
     QueryDef("q31_nb_accuracy",
       (s, dir) => {
         val (train, test) = nbParts(s, dir)

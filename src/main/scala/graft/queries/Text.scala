@@ -182,6 +182,29 @@ object Text {
         GROUP BY 1, 2"""
       }),
 
+    // The standard ln(N/df) IDF variant, driver-visible next to q21's
+    // reference-compat N/df semantics (TF_IDF_Compute.java:232 omits the
+    // log; both live behind TextPipeline.idf's two columns). ln is rounded
+    // to 10 dp on both engines — the determinism contract for transcendentals.
+    QueryDef("q69_tfidf_log",
+      (s, dir) => {
+        val t = toks(s, dir)
+        TextPipeline.tfidf(TextPipeline.tf(TextPipeline.termCounts(t)),
+          TextPipeline.idf(t), ref = false)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term,
+          CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        idf AS (SELECT term,
+          round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 10) AS idf
+          FROM toks GROUP BY 1)
+        SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS tfidf
+        FROM tf JOIN idf ON tf.term = idf.term""")),
+
     // BM25 relevance: top-20 docs for a fixed query term set
     QueryDef("q49_bm25",
       (s, dir) => {

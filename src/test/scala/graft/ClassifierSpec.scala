@@ -27,6 +27,25 @@ class ClassifierSpec extends SparkSpec {
     assert(acc == 1.0)
   }
 
+  test("kNN LSH scale path agrees with the exact broadcast path") {
+    // two well-separated clusters, deterministic jitter: multi-probe sign-LSH
+    // (Hamming-1 query probing) recovers the exact kNN vote on every query.
+    // Everything downstream is deterministic (md5 planes, fixed fixture), so
+    // this is a stable golden, not a statistical assertion.
+    def v(axis: Int, i: Int): Array[Double] =
+      Array.tabulate(8)(d => (if (d == axis) 1.0 else 0.0) + 0.01 * ((i * 7 + d * 3) % 5))
+    val train = ((1 to 12).map(i => (i.toLong, "A", v(0, i))) ++
+      (13 to 24).map(i => (i.toLong, "B", v(4, i)))).toDF("id", "label", "vec")
+    val test = Seq((101L, "A", v(0, 99)), (102L, "B", v(4, 98)),
+      (103L, "A", v(0, 97)), (104L, "B", v(4, 96))).toDF("id", "label", "vec")
+    val exact = Knn.classify(test, train, k = 5).as[(Long, String)].collect().toMap
+    val lsh = Knn.classifyLsh(test, train, k = 5, planes = 3, reps = 4)
+      .as[(Long, String)].collect().toMap
+    graft.Caching.release()
+    assert(exact == Map(101L -> "A", 102L -> "B", 103L -> "A", 104L -> "B"))
+    assert(lsh == exact)
+  }
+
   test("kNN end-to-end over the text pipeline (mini corpus, accuracy 1.0)") {
     val docs = Seq(
       (1L, "space", "rocket orbit launch star rocket"),

@@ -68,10 +68,66 @@ class DedupSimilaritySpec extends SparkSpec {
         if a < b && langOf(a) == langOf(b) &&
           java.lang.Long.bitCount(fps(a) ^ fps(b)) <= maxDist
       } yield (a, b)).toSet
-      val banded = Dedup.simhashPairs(many, maxDist, portable)
+      val banded = Dedup.simhashPairs(many, maxDist, portable, maxBucketSize = None)
         .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
       assert(banded == expected, s"portable=$portable maxDist=$maxDist")
     }
+  }
+
+  test("simhash bucket cap drops boilerplate floods, keeps sparse-bucket pairs") {
+    // 70 byte-identical docs flood every band bucket past the cap; one true
+    // near-dup pair with unrelated text lives in sparse buckets. Capped
+    // semantics: a pair survives iff SOME band bucket it agrees in is ≤ cap.
+    val flood = (1L to 70L).map(i => (i, "en",
+      "identical boilerplate header repeated across the whole crawl segment"))
+    val neardup = Seq(
+      (901L, "en", "rare astronomy treatise about stellar parallax measurement"),
+      (902L, "en", "rare astronomy treatise about stellar parallax measurements"))
+    val fixture = (flood ++ neardup).toDF("doc_id", "lang", "text")
+    val capped = Dedup.simhashPairs(fixture, maxDist = 8, maxBucketSize = Some(64))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // every flood pair agreed only in >cap buckets → gone (exact dedup's job);
+    // the near-dup pair's sparse buckets survive
+    assert(capped == Set((901L, 902L)))
+    val uncapped = Dedup.simhashPairs(fixture, maxDist = 8, maxBucketSize = None)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(uncapped.size == 70 * 69 / 2 + 1)
+  }
+
+  test("minhash LSH bucket cap drops boilerplate floods, keeps sparse-bucket pairs") {
+    val flood = (1L to 70L).map(i => (i, "en",
+      "identical boilerplate header repeated across the whole crawl segment"))
+    val base = "rare astronomy treatise about stellar parallax measurement " +
+      "with detailed tables of nearby star distances and proper motions compiled"
+    val neardup = Seq((901L, "en", s"$base today"), (902L, "en", s"$base now"))
+    val fixture = (flood ++ neardup).toDF("doc_id", "lang", "text")
+    val capped = Dedup.minhashLshPairs(fixture, threshold = 0.5, maxBucketSize = Some(64))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(capped == Set((901L, 902L)))
+    val uncapped = Dedup.minhashLshPairs(fixture, threshold = 0.5, maxBucketSize = None)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(uncapped.size == 70 * 69 / 2 + 1)
+  }
+
+  test("absolute shingle-df cap composes with (and defaults like) the frac cap") {
+    val boiler = "this document is provided as is without warranty"
+    val fixture = (Seq(
+      (1L, "en", s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, "en", s"$boiler alpha beta gamma delta epsilon eta")) ++
+      (3L to 8L).map(i => (i, "en", s"$boiler unique$i content$i words$i here$i now$i end$i"))
+    ).toDF("doc_id", "lang", "text")
+    // absolute cap at df ≤ 2: the 8-doc boilerplate shingles drop, the df=2
+    // shared content of the true near-dup pair survives
+    val capped = Dedup.ngramJaccardPairs(fixture, n = 3, threshold = 0.1,
+      maxShingleDf = Some(2))
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(capped == Set((1L, 2L)))
+    // both knobs set: hot = union of either condition (frac catches the
+    // boilerplate here; the loose absolute cap adds nothing)
+    val both = Dedup.ngramJaccardPairs(fixture, n = 3, threshold = 0.1,
+      maxShingleDocFrac = Some(0.5), maxShingleDf = Some(1000))
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(both == Set((1L, 2L)))
   }
 
   test("minhash portable mode finds the same pairs with md5-60 hashes") {
