@@ -36,6 +36,29 @@ object ScalingProbe {
     }
   }
 
+  /** The realistic-corpus regime: ×factor documents whose VOCABULARY also
+    * grows ×factor (each copy suffixes every whitespace token with its copy
+    * index, so copies share no shingles and per-shingle document frequency
+    * stays at its base value instead of growing with N — which is how real
+    * web corpora behave, per-shingle df bounded while N grows). The id-shift
+    * replica above is the opposite, deliberately degenerate regime: constant
+    * 31-word vocabulary, so every shingle's df grows ×factor and uncapped
+    * bucket joins go quadratic. Measuring BOTH regimes is what SCALING.md
+    * needs to claim near-linearity honestly. */
+  private def replicateVocabGrow(spark: SparkSession, baseDir: String, outDir: String,
+                                 factor: Int): Unit = {
+    val path = s"$outDir/documents.parquet"
+    if (!new java.io.File(path).exists()) {
+      val base = graft.sources.Tables(spark, baseDir, "documents")
+      val copies = (0 until factor).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "), t => concat(t, lit(s"v$i"))), " "))
+      }
+      copies.reduce(_ union _).write.mode("overwrite").parquet(path)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -43,6 +66,7 @@ object ScalingProbe {
     // must never silently reuse a stale replica
     val outDir = args.lift(2).getOrElse(
       s"/tmp/graft_scale_probe_${new java.io.File(baseDir).getName}_x$factor")
+    val vgDir = s"${outDir}_vocabgrow"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,9 +77,13 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     replicate(spark, baseDir, outDir, factor)
+    replicateVocabGrow(spark, baseDir, vgDir, factor)
 
     val probeQueries = Seq("q01_pricing_agg", "q04_fact_join", "q22_doc_vectors",
       "q25_pagerank", "q33_ngram_jaccard_pairs", "q35_simhash_pairs")
+    // text-dedup queries get a second ×factor measurement on the
+    // growing-vocabulary replica — the regime real corpora live in
+    val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q35_simhash_pairs")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -70,10 +98,14 @@ object ScalingProbe {
       val base = math.min(time(name, baseDir), time(name, baseDir))
       val big = time(name, outDir)
       val ratio = big / base
-      println(f"""{"query":"$name","base_sec":$base%.2f,"x${factor}_sec":$big%.2f,"ratio":$ratio%.1f}""")
-      (name, base, big, ratio)
+      val vg = if (vocabGrowQueries(name)) Some(time(name, vgDir)) else None
+      val vgJson = vg.map(v => f""","x${factor}_vocabgrow_sec":$v%.2f,"vocabgrow_ratio":${v / base}%.1f""").getOrElse("")
+      println(f"""{"query":"$name","base_sec":$base%.2f,"x${factor}_sec":$big%.2f,"ratio":$ratio%.1f$vgJson}""")
+      (name, base, big, ratio, vg)
     }
-    println(rows.map { case (n, _, _, r) => f"$n=$r%.1fx" }.mkString("SUMMARY ", " ", s" (linear=$factor.0x)"))
+    println(rows.map { case (n, b, _, r, vg) =>
+      f"$n=$r%.1fx" + vg.map(v => f"/vg=${v / b}%.1fx").getOrElse("")
+    }.mkString("SUMMARY ", " ", s" (linear=$factor.0x)"))
     spark.stop()
   }
 }

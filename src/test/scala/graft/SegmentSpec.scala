@@ -79,6 +79,39 @@ class SegmentSpec extends SparkSpec {
     assert(native == hof && native.nonEmpty)
   }
 
+  test("trie big-dict path matches the native expression on a 10k-entry dictionary") {
+    // deterministic 10k-word dictionary (base-26 strings, lengths 3-8, no
+    // accidental duplicates thanks to the distinct pass in both builders)
+    def word(i: Int): String = {
+      val len = 3 + (i % 6)
+      val sb = new StringBuilder
+      var v = i
+      (0 until len).foreach { _ => sb.append(('a' + v % 26).toChar); v = v / 26 + 7 }
+      sb.toString
+    }
+    val bigDict = (0 until 10000).map(word).distinct
+    assert(bigDict.size > 9000)
+    // docs: dictionary words glued back-to-back with noise runs between —
+    // unsegmented text where matches and non-matches interleave
+    val fixture = (1L to 40L).map { d =>
+      val parts = (0 until 30).map(j => word(((d * 31 + j * 17) % 10000).toInt))
+      (d, parts.mkString("", "zq", "zq"))
+    }.toDF("doc_id", "text")
+    // order-sensitive parity: compare the per-doc token ARRAYS, not multisets
+    val native = fixture.select($"doc_id",
+      graft.functions.GreedySegment(Segment.despace($"text"), bigDict).as("names"))
+      .as[(Long, Seq[String])].collect().toMap
+    val trie = Segment.bigDictTokens(fixture, bigDict, "text", Seq("doc_id"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(trie == native)
+    assert(native.values.map(_.size).sum > 40 * 20) // the fixture really matches
+    // and the public contract auto-routes >4096-entry dictionaries here
+    val viaSegment = Segment.segment(fixture.limit(2), bigDict)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(viaSegment == native.view.filterKeys(k => k == 1L || k == 2L)
+      .filter(_._2.nonEmpty).toMap)
+  }
+
   test("segmented names feed the A11 co-occurrence chain (PDF2 pipeline)") {
     val edges = Graphs.coOccurrence(Segment.segment(docs, dict), item = "name")
       .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
