@@ -26,17 +26,42 @@ object Caching {
 
   private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` at MEMORY_AND_DISK and register it for the next [[release]].
-    * Returns `df` for chaining. */
+  // per-thread scope for concurrent units of work (see [[scoped]]): while a
+  // scope is open on this thread, its pins bypass the global registry so a
+  // concurrent caller's release() can never unpin another query's frames
+  private val threadScope = new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+
+  /** Persist `df` at MEMORY_AND_DISK and register it — with the enclosing
+    * [[scoped]] block if one is open on this thread, else with the global
+    * registry for the next [[release]]. Returns `df` for chaining. */
   def pin(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned.add(df)
+    val scope = threadScope.get()
+    if (scope != null) scope.add(df) else pinned.add(df)
     df
   }
 
-  /** Unpersist every frame pinned since the last release. Safe to call at any
-    * point where no pinned plan is still executing (unpersist would silently
-    * force recomputation, not break correctness). */
+  /** Run `body` as one unit of work with its own pin scope: every [[pin]]
+    * made on THIS thread inside `body` (plan construction and the blocking
+    * action both run there) is unpersisted when `body` completes — other
+    * threads' in-flight pins are untouched. This is how a concurrent runner
+    * ([[Verify]]'s query pool) gets per-query release without the global
+    * registry's all-or-nothing semantics. Nesting restores the outer scope. */
+  def scoped[T](body: => T): T = {
+    val prev = threadScope.get()
+    val mine = new java.util.ArrayDeque[DataFrame]()
+    threadScope.set(mine)
+    try body
+    finally {
+      if (prev != null) threadScope.set(prev) else threadScope.remove()
+      mine.forEach(df => df.unpersist(blocking = false))
+    }
+  }
+
+  /** Unpersist every globally-registered frame pinned since the last release
+    * (frames pinned inside a [[scoped]] block are excluded — their scope owns
+    * them). Safe to call at any point where no pinned plan is still executing
+    * (unpersist would silently force recomputation, not break correctness). */
   def release(): Unit = {
     var df = pinned.poll()
     while (df != null) {
@@ -45,6 +70,6 @@ object Caching {
     }
   }
 
-  /** Currently registered pin count (tests / monitoring). */
+  /** Currently registered global pin count (tests / monitoring). */
   def pinnedCount: Int = pinned.size()
 }

@@ -28,8 +28,13 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // per-query pin scope: operator pins release when THIS query's dump
+        // completes, without touching concurrent queries' pinned frames
+        // (Caching.pinnedCount stays 0 across the whole loop)
+        try Caching.scoped {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

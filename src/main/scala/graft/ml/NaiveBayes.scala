@@ -62,8 +62,12 @@ object NaiveBayes {
           (col("total").cast(DoubleType) + col("v").cast(DoubleType))))
     val score =
       if (referenceCompat)
-        // Π of logs over terms (count-weighted by pow), × log prior, abs, argmin
-        abs(product(pow(col("logp"), col("cnt"))) * log(max(col("prior"))))
+        // Π of logs over terms (count-weighted by pow), × log prior, abs,
+        // argmin. The per-term log is rounded to 10 dp BEFORE the product
+        // (the q69 idf pattern): JVM and libm ln differ by ulps, and a
+        // product over many terms amplifies that into cross-engine argmin
+        // flips on near-ties — rounding pins both engines to the same value.
+        abs(product(pow(round(col("logp"), 10), col("cnt"))) * log(max(col("prior"))))
       else
         sum(col("cnt").cast(DoubleType) * col("logp")) + log(max(col("prior")))
     val agg = scored.groupBy(col("doc_id"), col("label")).agg(score.as("score"))

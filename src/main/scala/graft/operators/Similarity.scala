@@ -155,8 +155,18 @@ object Similarity {
     * an independent plane set (signs derive from (rep, plane, dim)), so the
     * union of candidate sets raises recall. Candidates are deduplicated on
     * (q_id, n_id) BEFORE the vectors are re-attached — the distinct shuffle
-    * carries two longs per row, not two embedding arrays. */
-  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4): DataFrame = {
+    * carries two longs per row, not two embedding arrays.
+    *
+    * With `probe = true` (default) the QUERY side of the candidate join
+    * multi-probes: each query row also visits the `planes` buckets at Hamming
+    * distance 1 from its own signature (Lv et al., "Multi-Probe LSH",
+    * VLDB'07) — the same asymmetry as [[graft.ml.Knn.classifyLsh]]: the
+    * corpus side (the 100 TB side) is hashed exactly once per rep; only the
+    * query-side bucket rows multiply by (planes+1). The measured recall
+    * delta vs exact top-k is recorded in LshRecallSpec (probing on vs off at
+    * sf0.001); probing OFF reproduces the round-3 behavior bit-for-bit. */
+  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4,
+              probe: Boolean = true): DataFrame = {
     require(reps >= 1 && k >= 1, s"reps=$reps, k=$k")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     // plan-time constant: embedding dimensionality (one-row peek, not a scan).
@@ -180,11 +190,18 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"lshTopK requires fixed dim=$dim embeddings; got dim "),
           size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string"))))))
-    val bucketed = (0 until reps).map { r =>
-      q.select(col("vec_id"),
-        (lshBucket(col("qv"), planes, r, dim) + lit(r.toLong << planes)).as("bucket"))
-    }.reduce(_ union _)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
+    // flip masks for query-side multi-probing: 0 (the exact bucket) plus
+    // each single bit — applied BEFORE the rep offset folds in
+    val probeMasks = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    def bucketed(probing: Boolean): DataFrame = (0 until reps).map { r =>
+      val base = q.select(col("vec_id"), lshBucket(col("qv"), planes, r, dim).as("b0"))
+      val b =
+        if (!probing) base.select(col("vec_id"), col("b0").as("b"))
+        else base.select(col("vec_id"), col("b0"), explode(probeMasks).as("m"))
+          .select(col("vec_id"), col("b0").bitwiseXOR(col("m")).as("b"))
+      b.select(col("vec_id"), (col("b") + lit(r.toLong << planes)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = bucketed(probing = probe).as("a").join(bucketed(probing = false).as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()

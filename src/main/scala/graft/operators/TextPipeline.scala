@@ -61,10 +61,30 @@ object TextPipeline {
       .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("tfidf"))
 
   /** A4: stable vocabulary — (term, idx), idx fixed by lexicographic order.
-    * The global window is safe: vocabulary cardinality, not corpus cardinality. */
-  def vocab(toks: DataFrame): DataFrame =
-    toks.select(col("term")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast(LongType))
+    *
+    * Two-phase rank, no single-partition stage: (1) rank terms within
+    * 2-character-prefix buckets (the window hash-partitions on `bkt`, so a
+    * web-scale vocabulary spreads across executors); (2) add an exclusive
+    * prefix-sum offset per bucket. The offset window runs over the
+    * bucket-count frame only (≤ a few thousand rows — the k-row-window
+    * pattern, not a vocabulary-sized one). Prefix bucketing is
+    * order-consistent with Spark's UTF8-binary string comparator (UTF-8
+    * code-point order equals byte order and no code point encodes as a
+    * prefix of another), so `off + rn` reproduces exactly
+    * `row_number() over (order by term)`. The reference's A4
+    * (NB1/ListWords/ListWordsReducer.java:10-18) is single-reducer; this
+    * keeps its stable indices without its bottleneck. */
+  def vocab(toks: DataFrame): DataFrame = {
+    val terms = toks.select(col("term")).distinct()
+      .withColumn("bkt", substring(col("term"), 1, 2))
+    val ranked = terms.withColumn("rn",
+      row_number().over(Window.partitionBy(col("bkt")).orderBy(col("term"))).cast(LongType))
+    val offsets = terms.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", (sum(col("cnt")).over(Window.orderBy(col("bkt"))) - col("cnt")).cast(LongType))
+      .select(col("bkt"), col("off"))
+    ranked.join(broadcast(offsets), "bkt")
+      .select(col("term"), (col("off") + col("rn")).as("idx"))
+  }
 
   /** A5: per-doc sparse-vector assembly, rendered as the reference's
     * `idx:weight idx:weight …` line (weights scaled to integral micro-units so

@@ -60,14 +60,16 @@ object Curation {
         SELECT text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
         FROM norm GROUP BY 1""")),
 
-    // The benched config runs with the default absolute density cap
-    // (maxShingleDf = 64) ON; the oracle applies the identical frequency
+    // The benched config passes the absolute density cap (maxShingleDf = 64)
+    // explicitly — the LIBRARY default is lossless, truncation is this call
+    // site's decision — and the oracle applies the identical frequency
     // filter, so the capped semantics — not an idealized uncapped variant —
     // are what gets hash-checked. At sf0.01/sf0.1 the corpus max df is 25,
     // so the cap changes nothing here; on the ×10 ScalingProbe replicas it
     // is what keeps join work linear (SCALING.md).
     QueryDef("q33_ngram_jaccard_pairs",
-      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05),
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05,
+        maxShingleDf = Some(64)),
       oracle = Some(s"""$shCte,
         dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
         shc AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 64),
@@ -90,7 +92,8 @@ object Curation {
     // Jaccard verify) in DuckDB, so this is a full hash-match row, not a
     // rows-only check. h60(x) ≡ CAST('0x' || substr(md5(x),1,15) AS BIGINT).
     QueryDef("q34_minhash_lsh_pairs",
-      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05, portable = true),
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05, portable = true,
+        maxBucketSize = Some(64)),
       oracle = Some(s"""$shCte,
         seeds AS (SELECT unnest(range(0, 32)) AS seed),
         sig AS (
@@ -121,7 +124,7 @@ object Curation {
 
     // SimHash in portable-hash mode (60-bit md5-derived fingerprint). The
     // Spark plan is banded (pigeonhole over maxDist+1 bit-bands) with the
-    // default density cap (maxBucketSize = 64) ON; the oracle replays the
+    // density cap (maxBucketSize = 64) passed explicitly; the oracle replays the
     // full banded+capped pipeline — fingerprints → 5×12-bit bands → bucket
     // census → dense-bucket drop → hamming verify — so the benched semantics
     // are exactly what gets hash-checked. (Losslessness of the banding itself
@@ -129,7 +132,8 @@ object Curation {
     // DedupSpec; at sf0.01 the cap is a no-op — max bucket 19 — so this row
     // also still equals the all-pairs answer there.)
     QueryDef("q35_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 4, portable = true),
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 4, portable = true,
+        maxBucketSize = Some(64)),
       oracle = Some(s"""
         WITH ${Text.toksCte},
         tc AS (SELECT doc_id, lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3),
@@ -205,7 +209,9 @@ object Curation {
 
     // Sign-LSH top-k: buckets are exact integer arithmetic over quantized
     // vectors with md5-derived ±1 planes, so the oracle replays the whole
-    // pipeline (buckets → candidate join → cosine re-rank) — full hash match.
+    // pipeline — including the query-side Hamming-1 multi-probing (`probed`
+    // xors each single-bit mask into the query signature; the corpus side
+    // stays exact, the classifyLsh asymmetry) — full hash match.
     QueryDef("q38_ann_lsh_topk",
       (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10),
       oracle = Some("""
@@ -224,11 +230,16 @@ object Curation {
                (SELECT unnest(range(0,8)) AS p) planes),
         buckets AS (
           SELECT vec_id, r,
-            CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) + r*256 AS BIGINT) AS bucket
+            CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b0
           FROM dots GROUP BY 1, 2),
+        probed AS (
+          SELECT vec_id, r, CAST(xor(b0, m) + r*256 AS BIGINT) AS bucket
+          FROM buckets,
+               (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128] AS BIGINT[])) AS m) masks),
+        exact AS (SELECT vec_id, r, CAST(b0 + r*256 AS BIGINT) AS bucket FROM buckets),
         cand AS (
           SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
-          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          FROM probed a JOIN exact b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         sims AS (
           SELECT c.q_id, c.n_id,
             round(CASE WHEN sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e)) = 0
@@ -271,25 +282,23 @@ object Curation {
                CAST(10 AS BIGINT) AS k, true AS recall_ok
         FROM embeddings""")),
 
-    // Fuzzy dedup by edit distance on doc prefixes. Pair space is blocked on
-    // (lang, prefix-length band of width maxDist+1): lev ≥ |len_a − len_b|,
-    // so a true pair's bands differ by at most 1 — side a probes its own and
-    // both adjacent bands (lossless). On this corpus every text exceeds 40
-    // chars so all prefixes land in one band (blocking degenerates — see
-    // SCALE.md); q63_edit_blocked is the segment-blocked form that stays
-    // sub-quadratic regardless of length distribution.
+    // Fuzzy dedup by edit distance on doc prefixes — the BRUTE-FORCE BASELINE
+    // row of the edit-distance family (q37's role in the ANN family): exact
+    // all-pairs-within-lang, no candidate pruning. At maxDist=20 over 40-char
+    // prefixes no blocking can filter meaningfully (PassJoin's τ+1=21
+    // segments of a 40-char string are 1–2 chars each — near-universal
+    // collision; a length band of width 21 holds every prefix). The SCALE
+    // path is q63_edit_blocked (maxDist=4, segment-blocked, provably
+    // lossless); this row exists to pin the exact answer a pruned plan must
+    // reproduce. Round 3 shipped a degenerate "banding" here that filtered
+    // nothing while looking like blocking — removed rather than pretended.
     QueryDef("q55_levenshtein_pairs",
       (s, dir) => {
         import org.apache.spark.sql.types.LongType
         val d = docs(s, dir).select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("prefix"))
-          .withColumn("band", (length(col("prefix")) / 21).cast(LongType))
-        val probes = d.withColumn("pband",
-          explode(array(col("band") - 1, col("band"), col("band") + 1)))
-        probes.as("a").join(d.as("b"),
-          col("a.lang") === col("b.lang") && col("a.pband") === col("b.band") &&
-            abs(length(col("a.prefix")) - length(col("b.prefix"))) <= 20 &&
-            col("a.doc_id") < col("b.doc_id"))
+        d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
           .withColumn("dist", levenshtein(col("a.prefix"), col("b.prefix")).cast(LongType))
           .filter(col("dist") <= 20)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))

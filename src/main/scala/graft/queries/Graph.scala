@@ -29,16 +29,19 @@ object Graph {
 
   /** Unrolled PageRank oracle: r0 … r{iters} as chained aggregating CTEs;
     * `finalSelect` runs over the last round aliased as (term, rank).
-    * Mirrors [[Graphs.pageRank]]'s determinism contract: exact DECIMAL sum of
-    * the double products + round(…, 12) per iteration, so both engines re-sync
-    * each round regardless of aggregation order. */
+    * Mirrors [[Graphs.pageRank]]'s determinism contract: each double product
+    * rounds half-up to an exact 1e-18 micro-unit integer (pure IEEE ops),
+    * the integers sum exactly, and the new rank rounds to 12 dp — so both
+    * engines re-sync each round regardless of aggregation order. (DuckDB
+    * SUM(BIGINT) yields HUGEINT — the exact sum — cast straight to DOUBLE,
+    * matching Spark's long→double cast bit-for-bit since the value < 2^63.) */
   private def pageRankSql(iters: Int, d: Double,
                           finalSelect: String = "SELECT term, rank FROM result"): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
         SELECT e.dst AS v,
           round((SELECT CAST(1.0-$d AS DOUBLE)/n FROM nv) +
-            $d*CAST(SUM(CAST(r.rank*e.w AS DECIMAL(30,18))) AS DOUBLE), 12) AS rank
+            $d*(CAST(SUM(CAST(floor(r.rank*e.w*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18), 12) AS rank
         FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst)"""
     }.mkString(",\n")
     s"""$edgesCte,

@@ -235,8 +235,8 @@ object Ml {
         scored_rc AS (
           SELECT x.doc_id, c.label,
             abs(product(pow(
-                  ln((CAST(COALESCE(m.tcnt, 0) AS DOUBLE) + 1.0) /
-                     (CAST(c.total AS DOUBLE) + CAST((SELECT v FROM vs) AS DOUBLE))),
+                  round(ln((CAST(COALESCE(m.tcnt, 0) AS DOUBLE) + 1.0) /
+                     (CAST(c.total AS DOUBLE) + CAST((SELECT v FROM vs) AS DOUBLE))), 10),
                   x.cnt)) * ln(MAX(c.prior))) AS score
           FROM tcnts x
           CROSS JOIN classes c
