@@ -66,7 +66,10 @@ object NaiveBayes {
         // argmin. The per-term log is rounded to 10 dp BEFORE the product
         // (the q69 idf pattern): JVM and libm ln differ by ulps, and a
         // product over many terms amplifies that into cross-engine argmin
-        // flips on near-ties — rounding pins both engines to the same value.
+        // flips on near-ties — rounding REDUCES cross-engine drift (Spark
+        // and DuckDB round doubles slightly differently near half-
+        // boundaries, and the double product itself stays aggregation-
+        // order-dependent; validated empirically by the q68 hash-match).
         abs(product(pow(round(col("logp"), 10), col("cnt"))) * log(max(col("prior"))))
       else
         sum(col("cnt").cast(DoubleType) * col("logp")) + log(max(col("prior")))

@@ -31,8 +31,11 @@ class LshRecallSpec extends SparkSpec {
     val rOn = recall(probe = true)
     info(f"lshTopK recall@k=$k on sf0.001: probing OFF $rOff%.3f, probing ON $rOn%.3f")
     assert(rOn >= rOff, s"probing must never lower recall: on=$rOn off=$rOff")
-    if (rOff < 1.0)
-      assert(rOn > rOff, s"probing should strictly add candidates on this fixture: on=$rOn off=$rOff")
+    // Strict gain is a property of this fixture's geometry, not of Hamming-1
+    // probing in general (a seed/fixture change can leave recall flat) — so
+    // it is reported, not asserted (ADVICE r4).
+    if (rOff < 1.0 && rOn == rOff)
+      info(s"NOTE: probing added no recall on this fixture (on=$rOn off=$rOff)")
 
     Caching.release()
     assert(Caching.pinnedCount == 0)
