@@ -86,6 +86,53 @@ object Graphs {
     ranks
   }
 
+  /** Connected components over an undirected edge list (src, dst) by
+    * synchronous min-label propagation: label(v) ← min(label(v),
+    * min_{(u,v)∈E} label(u)) until fixpoint. The fixpoint — every vertex
+    * carries the minimum vertex id reachable from it — is unique, so the
+    * result is deterministic regardless of join/aggregation order and a
+    * recursive-CTE oracle can replay it as a transitive closure (q70).
+    *
+    * Serves the dedup family: near-dup PAIRS (q33/q34/q35) become duplicate
+    * CLUSTERS, from which a curation pipeline keeps one representative per
+    * cluster (q72). The reference has no clustering op — this is part of the
+    * training-data-pipeline surface beyond it.
+    *
+    * Scale: each round is one equi-shuffle join of the vertex-sized label
+    * frame against the cached symmetrized edge table plus a grouped min —
+    * no broadcast of anything vertex-sized, no single-partition stage.
+    * Rounds = component diameter; near-dup graphs are shallow (boilerplate
+    * variants cluster around a few templates), so the loop exits after a
+    * handful of rounds. For adversarially long chains the O(log n)
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) drops into this same
+    * loop shape. Output: (v, component) for every vertex incident to an
+    * edge; isolated vertices are the caller's left-join default. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("v")).distinct().withColumn("label", col("v"))
+    var changed = 1L
+    while (changed > 0) {
+      // min label among neighbours; every v has ≥1 neighbour (symmetrized
+      // edge list), so the join back to labels is inner, not left
+      val nbrMin = und.join(labels, und("src") === labels("v"))
+        .groupBy(und("dst").as("v2")).agg(min(col("label")).as("nbl"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("v2"))
+        .select(col("v"), least(col("label"), col("nbl")).as("label"),
+          (col("nbl") < col("label")).as("chg"))
+        // one eager materialization per round: the convergence count and the
+        // next round's join both read it, and lineage stays flat
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("v"), col("label"))
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   /** G2: synchronous Label Propagation with deterministic tie-breaking
     * (max total *integer* edge weight, then smallest label — integer weights
     * keep the argmax engine-portable). Labels start as the vertex id. */

@@ -18,9 +18,9 @@ object Curation {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "documents")
 
-  /** Shared DuckDB trigram-shingle CTE (mirrors Dedup.shingleSet(n=3)). */
-  private val shCte = s"""
-    WITH seq AS (
+  /** Shared DuckDB trigram-shingle CTE body (mirrors Dedup.shingleSet(n=3)).
+    * Kept separate from the WITH keyword so q70/q72 can prepend RECURSIVE. */
+  private val shCteBody = s"""seq AS (
       SELECT doc_id, lang,
         string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
       FROM documents),
@@ -29,6 +29,39 @@ object Curation {
         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
       FROM (SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM seq) g),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)"""
+
+  private val shCte = s"WITH $shCteBody"
+
+  /** The q33 capped-Jaccard pair set as reusable CTEs over [[shCteBody]] —
+    * q70/q72 build duplicate clusters on exactly these pairs, so their
+    * oracles compose these CTEs with a recursive transitive closure. */
+  private val jaccardPairsCtes = """
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    shc AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 64),
+    csizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.block = b.block AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN csizes sa ON sa.doc_id = doc_a
+      JOIN csizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    clusters AS (
+      SELECT d.doc_id,
+        CAST(CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id ELSE m.mn END AS BIGINT)
+          AS cluster_id
+      FROM documents d
+      LEFT JOIN (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY 1) m USING (doc_id))"""
 
   /** Exact ANN top-k oracle, shared by q37 (window form) and q62 (bounded-
     * heap Aggregator form) — both must produce this same result. */
@@ -474,6 +507,95 @@ object Curation {
           CASE WHEN len(vals) = 0 THEN 0
                ELSE list_reduce(vals, (a, v) -> (a*131 + v) % 1000000007) END AS fingerprint
         FROM seq"""),
-      bench = true)
+      bench = true),
+
+    // Duplicate CLUSTERS from near-dup PAIRS: connected components (min-label
+    // propagation, graft.graph.Graphs.connectedComponents) over the q33
+    // capped-Jaccard pair graph; every doc gets the min doc_id of its
+    // component, singletons label themselves. The oracle replays the same
+    // pair CTEs and closes them with a recursive transitive closure — the
+    // CC fixpoint is the unique per-vertex min-reachable id, so the
+    // iterative Spark loop and the recursive SQL agree exactly.
+    QueryDef("q70_dup_clusters",
+      (s, dir) => dupClusterAssignment(s, dir),
+      oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes
+        SELECT doc_id, cluster_id FROM clusters""")),
+
+    // Within-document repetition signals (the Gopher-style quality gates a
+    // pretraining pipeline runs at scan speed): word-bigram duplicate
+    // fraction and top-bigram concentration per doc. Array-native bigrams
+    // (zip of the token array with its own tail) — no self-join, no window;
+    // docs with < 2 tokens produce no row (explode of the empty shingle set)
+    // on both engines.
+    QueryDef("q71_repetition_stats",
+      (s, dir) => {
+        import graft.functions.Exprs
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(Exprs.shingles(Exprs.tokens(col("text")), 2)).as("bigram"))
+          .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
+            count(lit(1)).cast(LongType).as("n_distinct"),
+            max(col("cnt")).cast(LongType).as("top_cnt"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+            round((col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
+              col("n_bigrams").cast(DoubleType), 6).as("dup_frac"),
+            round(col("top_cnt").cast(DoubleType) /
+              col("n_bigrams").cast(DoubleType), 6).as("top_frac"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM seq) g),
+        bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        SELECT doc_id,
+          CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          round(CAST(SUM(cnt) - COUNT(*) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac,
+          round(CAST(MAX(cnt) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE), 6) AS top_frac
+        FROM bc GROUP BY 1""")),
+
+    // The purge step a dedup pipeline actually ships: keep one representative
+    // (the cluster-min doc) per duplicate cluster, report survivors and
+    // removals per language. Composes q70's cluster assignment — the oracle
+    // composes the identical CTEs, so the pairs→clusters→purge chain is
+    // verified end to end.
+    QueryDef("q72_dedup_purge",
+      (s, dir) => {
+        docs(s, dir).select(col("doc_id"), col("lang"))
+          .join(dupClusterAssignment(s, dir), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            (col("n_docs") - col("n_kept")).as("n_removed"))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes
+        SELECT d.lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM documents d JOIN clusters c USING (doc_id)
+        GROUP BY 1"""))
   )
+
+  /** Shared by q70/q72: every doc labeled with the min doc_id of its
+    * q33-pair connected component; singleton docs label themselves. */
+  private def dupClusterAssignment(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05,
+        maxShingleDf = Some(64))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.graph.Graphs.connectedComponents(pairs)
+      .withColumnRenamed("v", "doc_id")
+    docs(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
 }

@@ -56,4 +56,21 @@ class GraphsSpec extends SparkSpec {
     assert(labels.size == 4)
     assert(labels.values.toSet.size == 1)
   }
+
+  test("connected components: min-label fixpoint over a multi-round chain") {
+    // component {1,2,3,4,5} is a CHAIN (diameter 4 — forces several
+    // propagation rounds), component {10,11} a single edge, 7 isolated
+    // (absent from edges, so absent from the result by contract)
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("src", "dst")
+    val comp = Graphs.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: empty edge list yields empty result") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.connectedComponents(edges).count() == 0)
+  }
 }
