@@ -80,17 +80,25 @@ object ScalingProbe {
     replicateVocabGrow(spark, baseDir, vgDir, factor)
 
     val probeQueries = Seq("q01_pricing_agg", "q04_fact_join", "q22_doc_vectors",
-      "q25_pagerank", "q33_ngram_jaccard_pairs", "q35_simhash_pairs")
+      "q25_pagerank", "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
+      "q35_simhash_pairs", "q63_edit_blocked")
     // text-dedup queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
-    val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q35_simhash_pairs")
+    val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
+      "q35_simhash_pairs")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // same hygiene as Bench: no pinned-cache carry-over between measurements
+      // same hygiene as Bench: no pinned-cache carry-over between measurements —
+      // plus localCheckpoint blocks, which clearCache() does NOT drop (they are
+      // plain persisted RDDs, not cached plans). Leaving q25's ×10 checkpoint
+      // blocks resident inflated the NEXT query's base timing 6× in the first
+      // probe run of round 5, overstating that query's ratio collapse.
       Caching.release()
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       sec
     }
     val rows = probeQueries.map { name =>

@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.Exprs
 import graft.operators.{Dedup, Similarity, TextStats}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries: dedup family, embedding similarity search, text
@@ -582,7 +584,104 @@ object Curation {
           CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
         FROM documents d JOIN clusters c USING (doc_id)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // Benchmark decontamination (the n-gram overlap check training pipelines
+    // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
+    // docs sharing n-grams with an eval set). The "benchmark" slice here is
+    // the deterministic doc_id % 97 == 0 subset; real use passes an external
+    // benchmark table. Scale shape: the benchmark shingle set is eval-suite-
+    // sized (≪ corpus — MBs, not TBs), so it broadcasts and the corpus side
+    // is a scan + one per-doc count; nothing corpus-sized shuffles twice.
+    QueryDef("q73_decontamination",
+      (s, dir) => {
+        val sh = Dedup.shingleSet(docs(s, dir), 3).select(col("doc_id"), col("shingle"))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
+        val train = sh.filter(col("doc_id") % 97 =!= 0)
+        val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val frac = col("n_shared").cast("double") / col("sz").cast("double")
+        train.join(broadcast(bench), "shingle")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes, "doc_id")
+          .select(col("doc_id"), col("n_shared"), col("sz"),
+            round(frac, 6).as("contam_frac"),
+            (round(frac, 6) >= 0.5).as("contaminated"))
+      },
+      oracle = Some(s"""$shCte,
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        tsz AS (SELECT doc_id, COUNT(*) AS sz FROM tr GROUP BY 1),
+        shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN bsh USING (shingle) GROUP BY 1)
+        SELECT doc_id, n_shared, sz,
+          round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6) AS contam_frac,
+          (round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6) >= 0.5) AS contaminated
+        FROM shared JOIN tsz USING (doc_id)""")),
+
+    // PII redaction — the masking pass a corpus release runs before training
+    // (emails + long digit runs here; the production pattern set is a config).
+    // Pure per-row regexps in one scan stage (whole-stage codegen, no UDF, no
+    // shuffle) — at 100 TB this runs at read throughput. The corpus is
+    // synthetic and PII-free, so a deterministic enrichment (doc_id % 7 == 0
+    // docs get a synthetic email + phone appended, mirrored in the oracle)
+    // makes the redaction path actually fire rather than vacuously match.
+    QueryDef("q74_pii_redaction",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{7,}"
+        val t = concat(col("text"), when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com or call 555"),
+            col("doc_id"), lit("0100"))).otherwise(lit("")))
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+            .as("redacted"))
+      },
+      oracle = Some("""
+        WITH enr AS (
+          SELECT doc_id, lang,
+            text || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com or call 555' || doc_id || '0100'
+              ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<PHONE>', 'g') AS redacted
+        FROM enr""")),
+
+    // Sequence packing for training batches: docs are packed greedily (in
+    // doc_id order) into token-budget bins, the concat-then-chunk assignment
+    // every LLM data loader performs. Packing is inherently order-sequential,
+    // so the running sum is windowed over bounded (lang, shard) partitions —
+    // shard = doc_id div 64 here, a source-file/day key in production — which
+    // keeps every window partition small and parallel (the two-phase-rank
+    // lesson from A4: never a global-order window over corpus-sized data).
+    QueryDef("q75_token_packing",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("lang"),
+          floor(col("doc_id") / 64).cast("long").as("shard"),
+          col("doc_id"),
+          size(Exprs.tokens(col("text"))).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 256.0).cast("long"))
+          .groupBy(col("lang"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, CAST(floor(doc_id / 64) AS BIGINT) AS shard,
+            CAST(len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        cum AS (
+          SELECT lang, shard, n_tok,
+            SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM toks)
+        SELECT lang, shard, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM cum GROUP BY 1, 2, 3"""))
   )
 
   /** Shared by q70/q72: every doc labeled with the min doc_id of its

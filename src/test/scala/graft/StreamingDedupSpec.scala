@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-row minhash band signatures equal the grouped batch pipeline") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    // grouped form: the exact pipeline inside minhashLshPairs(portable = true)
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleSet(docs.withColumn("lang", lit("x")), 3), 32, portable = true)
+    val grouped = sig.withColumn("band", ($"seed" / 4).cast("long"))
+      .groupBy($"doc_id", $"band")
+      .agg(array_join(array_sort(collect_list(
+        concat($"seed".cast("string"), lit(":"), $"mh".cast("string")))), ",").as("band_sig"))
+      .as[(Long, Long, String)].collect().toSet
+    val perRow = StreamingDedup.bandedDocs(docs, 3, 32, 8)
+      .map(b => (b.docId, b.band, b.bandSig)).collect().toSet
+    assert(perRow == grouped && perRow.nonEmpty)
+  }
+
+  test("streaming candidates across micro-batches equal the batch bucket join") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.minhashCandidates(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mhcand").outputMode("append").start()
+    try {
+      // duplicates must meet across micro-batch boundaries, so split the
+      // corpus into three arrival waves
+      docs.grouped((docs.length + 2) / 3).foreach { wave =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("mhcand")
+        .select($"docA", $"docB").distinct()
+        .as[(Long, Long)].collect().toSet
+      val banded = StreamingDedup.bandedDocs(docs.toSeq.toDF("doc_id", "text"))
+      val batch = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bandSig" === $"b.bandSig" &&
+            $"a.docId" < $"b.docId")
+        .select($"a.docId", $"b.docId").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state: an over-full bucket stops admitting members") {
+    implicit val ctx = spark.sqlContext
+    // five byte-identical texts land in the same bucket for every band;
+    // cap=2 admits only the first two arrivals -> exactly 1 distinct pair
+    // (uncapped: C(5,2) = 10). Arrival order inside one micro-batch is not
+    // defined, so assert the count, not the ids.
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.minhashCandidates(
+        ms.toDF().toDF("doc_id", "text"), maxBucketSize = 2)
+      .writeStream.format("memory").queryName("mhcap").outputMode("append").start()
+    try {
+      ms.addData((1L to 5L).map(i => (i, "alpha beta gamma delta epsilon")): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("mhcap").select($"docA", $"docB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.size == 1)
+    } finally q.stop()
+  }
+}
