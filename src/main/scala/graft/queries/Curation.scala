@@ -591,18 +591,23 @@ object Curation {
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
     // the deterministic doc_id % 97 == 0 subset; real use passes an external
     // benchmark table. Scale shape: the benchmark shingle set is eval-suite-
-    // sized (≪ corpus — MBs, not TBs), so it broadcasts and the corpus side
-    // is a scan + one per-doc count; nothing corpus-sized shuffles twice.
+    // sized (≪ corpus — MBs, not TBs), so it broadcasts; the corpus side
+    // dedups its shingles INSIDE each row (array_distinct — the first cut
+    // reused Dedup.shingleSet, whose corpus-wide `.distinct()` showed up in
+    // `.explain` as an avoidable full-corpus exchange), so the only wide
+    // shuffle left is the doc_id-keyed overlap count.
     QueryDef("q73_decontamination",
       (s, dir) => {
-        val sh = Dedup.shingleSet(docs(s, dir), 3).select(col("doc_id"), col("shingle"))
-        val bench = sh.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
-        val train = sh.filter(col("doc_id") % 97 =!= 0)
-        val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val shs = array_distinct(Exprs.shingles(Exprs.tokens(col("text")), 3))
+        val base = docs(s, dir).select(col("doc_id"), shs.as("shs"))
+        val bench = base.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("shs")).as("shingle")).distinct()
+        val train = base.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+            explode(col("shs")).as("shingle"))
         val frac = col("n_shared").cast("double") / col("sz").cast("double")
         train.join(broadcast(bench), "shingle")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-          .join(sizes, "doc_id")
+          .groupBy(col("doc_id"), col("sz")).agg(count(lit(1)).as("n_shared"))
           .select(col("doc_id"), col("n_shared"), col("sz"),
             round(frac, 6).as("contam_frac"),
             (round(frac, 6) >= 0.5).as("contaminated"))
@@ -681,7 +686,64 @@ object Curation {
           FROM toks)
         SELECT lang, shard, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
-        FROM cum GROUP BY 1, 2, 3"""))
+        FROM cum GROUP BY 1, 2, 3""")),
+
+    // Substring-level duplication coverage (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better": duplicated SPANS matter,
+    // not just duplicated documents): per doc, the fraction of its distinct
+    // 10-gram spans that also occur in at least one other document. Two
+    // linear shuffles — span-df count and the df join back — both keyed on
+    // the span; per-doc span dedup is row-local (array_distinct), the q73
+    // lesson. The reference for span length is the paper's 50-token window
+    // scaled to this corpus's 10-99-token docs.
+    QueryDef("q76_dup_spans",
+      (s, dir) => {
+        val spans = array_distinct(Exprs.shingles(Exprs.tokens(col("text")), 10))
+        val sp = docs(s, dir).select(col("doc_id"), explode(spans).as("g"))
+        val dfreq = sp.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val frac = col("n_dup").cast("double") / col("n_spans").cast("double")
+        sp.join(dfreq, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            round(frac, 6).as("dup_frac"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          FROM documents),
+        sp AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+9], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 9)) AS i FROM seq) x),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM sp GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+        FROM sp JOIN dfreq USING (g) GROUP BY 1""")),
+
+    // Deterministic stratified sampling — the data-mixing primitive (keep
+    // language L at rate r_L). The keep decision is a pure per-row hash
+    // coin (portable h60 of a salted doc_id), so the sample is reproducible
+    // across engines, runs, and partitionings: no RNG state, no
+    // sampleBy/seed dependence, and re-running on a grown corpus keeps
+    // every previously-kept doc. One scan, zero shuffles for the filter;
+    // the per-lang census is one count shuffle.
+    QueryDef("q77_stratified_sample",
+      (s, dir) => {
+        val rate = when(col("lang") === "en", 800L).otherwise(500L) // per-mille
+        val coin = Exprs.h60(concat(lit("smp:"), col("doc_id"))) % 1000L
+        docs(s, dir).filter(coin < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      },
+      oracle = Some("""
+        SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+        FROM documents
+        WHERE CAST('0x' || substr(md5('smp:' || doc_id), 1, 15) AS BIGINT) % 1000
+              < CASE WHEN lang = 'en' THEN 800 ELSE 500 END
+        GROUP BY 1"""))
   )
 
   /** Shared by q70/q72: every doc labeled with the min doc_id of its
