@@ -22,6 +22,26 @@ object StreamingWindows {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("cnt"))
 
+  /** Session-window (inactivity-gap) aggregation — the streaming twin of
+    * [[graft.operators.Sessions.sessionize]]. Native `session_window` state
+    * merges sessions incrementally and evicts them once the watermark passes
+    * their close — bounded state, no per-key scan-back, which is what a
+    * continuous 100 TB/day clickstream needs.
+    *
+    * Semantics note (asserted in StreamingSessionSpec): `session_window`
+    * merges an event while `diff < gap`, the batch operator while
+    * `diff <= gapSec`. For integer-second event times, passing
+    * `gap = gapSec + 1` seconds here reproduces the batch split decisions
+    * exactly; the emitted window end is `last_event + gap`, so
+    * `duration = end - start - gap`. */
+  def sessionCounts(stream: DataFrame, keyCol: String, gap: String,
+                    watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Tumbling-window average of a value column per key. */
   def windowedAvg(stream: DataFrame, keyCol: String, valueCol: String,
                   windowLen: String, watermark: String = "1 hour"): DataFrame =
