@@ -30,11 +30,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Optional subset for local iteration (unset → all, as the driver runs it)
+    // Optional subset for local iteration (unset → the headline set, as the
+    // driver runs it; with a subset, ANY catalog query can be timed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.benchQueries
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
+    val results = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
+      .map { q =>
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
         // min of two timed passes — damps scheduler/GC noise in local mode

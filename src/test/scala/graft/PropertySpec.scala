@@ -57,6 +57,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("per-row minhash band signatures equal the grouped pipeline for any corpus") {
+    // random texts including repeats, sub-n-token docs, punctuation and case
+    // noise — the parity must hold wherever the grouped form emits anything
+    val noisyDoc = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "BETA!", "gamma,", "d", "ε", "x9")).map(_.mkString(" "))
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.nonEmptyListOf(noisyDoc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val grouped = graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.shingleSet(docs.withColumn("lang", lit("x")), 3),
+          32, portable = true)
+        .withColumn("band", ($"seed" / 4).cast("long"))
+        .groupBy($"doc_id", $"band")
+        .agg(array_join(array_sort(collect_list(
+          concat($"seed".cast("string"), lit(":"), $"mh".cast("string")))), ",").as("band_sig"))
+        .as[(Long, Long, String)].collect().toSet
+      val perRow = graft.streaming.StreamingDedup.bandedDocs(docs, 3, 32, 8)
+        .map(b => (b.docId, b.band, b.bandSig)).collect().toSet
+      assert(perRow == grouped, s"seed=$seed")
+    }
+  }
+
   test("kNN prediction is invariant under train-set row order") {
     val train = Seq(
       (1L, "A", Array(1.0, 0.1)), (2L, "A", Array(0.9, 0.2)),
