@@ -79,9 +79,13 @@ object ScalingProbe {
     replicate(spark, baseDir, outDir, factor)
     replicateVocabGrow(spark, baseDir, vgDir, factor)
 
+    // Optional subset for local iteration (SPARK_GRAFT_PROBE_ONLY=q34_...)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val probeQueries = Seq("q01_pricing_agg", "q04_fact_join", "q22_doc_vectors",
       "q25_pagerank", "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
       "q35_simhash_pairs", "q63_edit_blocked")
+      .filter(q => only.forall(_.contains(q)))
     // text-dedup queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
     val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",

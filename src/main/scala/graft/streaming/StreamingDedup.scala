@@ -39,8 +39,13 @@ object StreamingDedup {
   def bandedDocs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                  bands: Int = 8): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
+    // shingle array materialized in its own projection — see the performance
+    // contract on Dedup.minhashBandSigsFromShingles (inline reuse would
+    // re-tokenize once per hash)
     docs.select(col("doc_id"),
-        explode(Dedup.minhashBandSigs(col("text"), n, numHashes, bands)).as("bk"))
+        graft.functions.Exprs.shingles(graft.functions.Exprs.tokens(col("text")), n).as("shs"))
+      .select(col("doc_id"),
+        explode(Dedup.minhashBandSigsFromShingles(col("shs"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_sig").as("bandSig"),
         col("doc_id").as("docId"))
       .as[BandedDoc]
