@@ -39,11 +39,12 @@ object StreamingDedup {
   def bandedDocs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                  bands: Int = 8): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
-    // shingle array materialized in its own projection — see the performance
-    // contract on Dedup.minhashBandSigsFromShingles (inline reuse would
-    // re-tokenize once per hash)
-    docs.select(col("doc_id"),
-        graft.functions.Exprs.shingles(graft.functions.Exprs.tokens(col("text")), n).as("shs"))
+    // tokens AND the shingle array each materialized in their own projection
+    // — see the performance contract on Dedup.minhashBandSigsFromShingles
+    // (inline reuse re-evaluates per reference: ×numHashes for the signature
+    // tree, ×3 for shingles' internal size/sequence/slice references)
+    docs.select(col("doc_id"), graft.functions.Exprs.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.functions.Exprs.shingles(col("toks"), n).as("shs"))
       .select(col("doc_id"),
         explode(Dedup.minhashBandSigsFromShingles(col("shs"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_sig").as("bandSig"),

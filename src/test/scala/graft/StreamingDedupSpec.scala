@@ -51,6 +51,28 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signing keeps the shingle array in its own projection (33x-retokenize guard)") {
+    // HOFs get no codegen/CSE: if the shingle expression is ever re-inlined
+    // into the signature tree, tokenization runs once PER HASH — the x10
+    // probe went from minutes to >1 h on exactly this. The optimized plan
+    // must tokenize once for bandedDocs (one regexp_replace) and keep the
+    // materialized shs column alive.
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    def tokenizeCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.flatMap(_.expressions)
+        .map(_.collect { case r: RegExpReplace => r }.size).sum
+    // parquet-backed input: a Seq-backed LocalRelation would be folded away
+    // by ConvertToLocalRelation and hide the projections under test
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    assert(tokenizeCount(StreamingDedup.bandedDocs(docs).toDF()) == 1)
+    // the full pairs operator adds the shingle-set branch (pinned, feeds
+    // sizes + verify): tokenize appears once there and once in the signing
+    // projection — never numHashes+1 times
+    assert(tokenizeCount(Dedup.minhashLshPairs(
+      docs.withColumn("lang", lit("x")), portable = true)) <= 4)
+  }
+
   test("bucket cap bounds state: an over-full bucket stops admitting members") {
     implicit val ctx = spark.sqlContext
     // five byte-identical texts land in the same bucket for every band;
