@@ -743,7 +743,42 @@ object Curation {
         FROM documents
         WHERE CAST('0x' || substr(md5('smp:' || doc_id), 1, 15) AS BIGINT) % 1000
               < CASE WHEN lang = 'en' THEN 800 ELSE 500 END
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // Domain-mixture report — the per-source composition + reweighting table
+    // a data-mixing pipeline computes before sampling (DoReMi-style domain
+    // weights against a uniform target here; production passes learned
+    // targets). mix_weight = target_share / actual_token_share: > 1 means
+    // the source is under-represented and gets up-sampled. Shape: one
+    // per-source aggregation (sources ≪ corpus: partial agg collapses
+    // map-side) + a broadcast of the 1-row total — nothing corpus-sized
+    // shuffles twice, and the token count is a per-row expression.
+    QueryDef("q78_source_mix",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          size(Exprs.tokens(col("text"))).cast("long").as("n_tok"))
+        val agg = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val tot = agg.agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n_src"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("tot").cast("double"), 6)
+              .as("token_share"),
+            round(col("tot").cast("double") / (col("n_src") * col("n_tokens")).cast("double"), 6)
+              .as("mix_weight"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source,
+            CAST(len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        agg AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, COUNT(*) AS n_src FROM agg)
+        SELECT source, n_docs, n_tokens,
+          round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share,
+          round(CAST(tot AS DOUBLE) / CAST(n_src * n_tokens AS DOUBLE), 6) AS mix_weight
+        FROM agg, tot"""))
   )
 
   /** Shared by q70/q72: every doc labeled with the min doc_id of its
