@@ -22,6 +22,20 @@ class StreamingDedupSpec extends SparkSpec {
     val perRow = StreamingDedup.bandedDocs(docs, 3, 32, 8)
       .map(b => (b.docId, b.band, b.bandSig)).collect().toSet
     assert(perRow == grouped && perRow.nonEmpty)
+    // three-way: the native single-pass expression must also equal its
+    // pure-Catalyst HOF twin, in BOTH hash modes (portable md5-h60 and
+    // xxhash64 — the non-portable band_sig is itself xxhash64-compressed)
+    for (portable <- Seq(true, false)) {
+      def sigs(form: (org.apache.spark.sql.Column, Int, Int, Boolean) => org.apache.spark.sql.Column) =
+        docs.select($"doc_id", graft.functions.Exprs.tokens($"text").as("toks"))
+          .select($"doc_id", graft.functions.Exprs.shingles($"toks", 3).as("shs"))
+          .select($"doc_id", explode(form($"shs", 32, 8, portable)).as("bk"))
+          .select($"doc_id", $"bk.band", $"bk.band_sig")
+          .as[(Long, Long, String)].collect().toSet
+      val native = sigs(Dedup.minhashBandSigsFromShingles)
+      val hof = sigs(Dedup.minhashBandSigsHof)
+      assert(native == hof && native.nonEmpty, s"portable=$portable")
+    }
   }
 
   test("streaming candidates across micro-batches equal the batch bucket join") {
