@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, GreedySegment}
+import graft.functions.{DotProduct, GreedySegment, MinHashBandSigs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.segmentFunction)
+    ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
@@ -57,12 +58,38 @@ object GraftExtensions {
       GreedySegment(children(0), dict)
     })
 
+  /** SQL surface for minhash signing:
+    * `graft_minhash_bands(shingle_array, numHashes, bands, portable)` —
+    * scalar parameters must fold to constants (they size the signing loop). */
+  private val minhashFunction = (
+    FunctionIdentifier("graft_minhash_bands"),
+    new ExpressionInfo(classOf[MinHashBandSigs].getName, "graft_minhash_bands"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4,
+        "graft_minhash_bands(shingles, num_hashes, bands, portable)")
+      def constInt(e: Expression, what: String): Int = {
+        require(e.foldable, s"graft_minhash_bands $what must be a constant")
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_bands $what must be integral, got $other")
+        }
+      }
+      val portable = { require(children(3).foldable, "portable must be a constant")
+        children(3).eval().asInstanceOf[Boolean] }
+      MinHashBandSigs(children(0), constInt(children(1), "num_hashes"),
+        constInt(children(2), "bands"), portable)
+    })
+
   /** Runtime registration on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       segmentFunction._1, segmentFunction._2, segmentFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashFunction._1, minhashFunction._2, minhashFunction._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin

@@ -13,6 +13,18 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("graft_minhash_bands is callable from SQL and equals the Column form") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      """SELECT b.band, b.band_sig
+         FROM (SELECT explode(graft_minhash_bands(array('a b c', 'b c d'), 8, 4, true)) AS b)""")
+      .as[(Long, String)].collect().toSet
+    val col = Seq(Seq("a b c", "b c d")).toDF("shs")
+      .select(explode(graft.operators.Dedup.minhashBandSigsFromShingles($"shs", 8, 4)).as("b"))
+      .select($"b.band", $"b.band_sig").as[(Long, String)].collect().toSet
+    assert(sql == col && sql.size == 4)
+  }
+
   test("graft_segment is callable from SQL with a literal dictionary") {
     GraftExtensions.register(spark)
     val names = spark.sql(
