@@ -50,6 +50,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("native per-row simhash equals the grouped aggregation pipeline") {
+    val real = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    for (portable <- Seq(true, false)) {
+      val native = Dedup.simhash(real, portable).as[(Long, Long)].collect().toMap
+      val grouped = Dedup.simhashGrouped(real, portable).as[(Long, Long)].collect().toMap
+      assert(native == grouped && native.nonEmpty, s"portable=$portable")
+    }
+    // token-less docs: both forms emit no row
+    val blank = Seq((1L, "..."), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.simhash(blank).as[(Long, Long)].collect().toMap.keySet == Set(2L))
+  }
+
   test("simhash banded candidate generation is lossless vs all-pairs") {
     // 60 docs drawn from a small pool with point mutations → correlated
     // fingerprints and real near-dup clusters, the adversarial case for
