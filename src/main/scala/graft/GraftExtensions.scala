@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, GreedySegment, MinHashBandSigs}
+import graft.functions.{DotProduct, GreedySegment, MinHashBandSigs, SimHashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.segmentFunction)
     ext.injectFunction(GraftExtensions.minhashFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
@@ -82,6 +83,16 @@ object GraftExtensions {
         constInt(children(2), "bands"), portable)
     })
 
+  /** SQL surface for per-row SimHash: `graft_simhash(token_array, portable)`. */
+  private val simhashFunction = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_simhash(tokens, portable)")
+      require(children(1).foldable, "graft_simhash portable must be a constant")
+      SimHashBits(children(0), children(1).eval().asInstanceOf[Boolean])
+    })
+
   /** Runtime registration on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -90,6 +101,8 @@ object GraftExtensions {
       segmentFunction._1, segmentFunction._2, segmentFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashFunction._1, minhashFunction._2, minhashFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashFunction._1, simhashFunction._2, simhashFunction._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin

@@ -25,6 +25,16 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(sql == col && sql.size == 4)
   }
 
+  test("graft_simhash is callable from SQL and equals the Column form") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT graft_simhash(array('a', 'b', 'a'), true) AS fp")
+      .as[Long].head()
+    val col = Seq(Seq("a", "b", "a")).toDF("toks")
+      .select(graft.functions.SimHashBits($"toks", portable = true).as("fp"))
+      .as[Long].head()
+    assert(sql == col)
+  }
+
   test("graft_segment is callable from SQL with a literal dictionary") {
     GraftExtensions.register(spark)
     val names = spark.sql(
