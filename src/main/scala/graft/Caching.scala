@@ -24,49 +24,73 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
-  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private type PlanKey = org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, PlanKey)]()
+
+  // Spark's CacheManager keys cache entries by CANONICALIZED PLAN, so two
+  // concurrent queries pinning plan-identical frames (q34's shingle set and
+  // q70's, say) share ONE entry — and the first query's release would drop
+  // it out from under the second query's still-running jobs. Worse than a
+  // recompute: uncacheQuery(cascade = false) also re-compiles dependent
+  // cache entries, and swapping a shared entry under a concurrently
+  // EXECUTING iterative query was observed emitting duplicated rows
+  // (q70/q72 at sf0.1 under Verify's 4-thread pool, round 5). Pins are
+  // therefore reference-counted by the same canonicalized-plan key: the
+  // physical unpersist happens only when the LAST holder releases.
+  private val refCounts = new java.util.concurrent.ConcurrentHashMap[PlanKey, Integer]()
 
   // per-thread scope for concurrent units of work (see [[scoped]]): while a
   // scope is open on this thread, its pins bypass the global registry so a
   // concurrent caller's release() can never unpin another query's frames
-  private val threadScope = new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+  private val threadScope = new ThreadLocal[java.util.ArrayDeque[(DataFrame, PlanKey)]]()
 
   /** Persist `df` at MEMORY_AND_DISK and register it — with the enclosing
     * [[scoped]] block if one is open on this thread, else with the global
     * registry for the next [[release]]. Returns `df` for chaining. */
   def pin(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.analyzed.canonicalized
+    refCounts.merge(key, 1, (a, b) => a + b)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     val scope = threadScope.get()
-    if (scope != null) scope.add(df) else pinned.add(df)
+    if (scope != null) scope.add((df, key)) else pinned.add((df, key))
     df
+  }
+
+  /** Decrement the pin's plan refcount; unpersist only when it reaches zero
+    * — a plan-identical pin held by a concurrent query keeps the entry. */
+  private def unpin(df: DataFrame, key: PlanKey): Unit = {
+    val remaining = refCounts.computeIfPresent(key,
+      (_, v) => if (v <= 1) null else Integer.valueOf(v - 1))
+    if (remaining == null) df.unpersist(blocking = false)
   }
 
   /** Run `body` as one unit of work with its own pin scope: every [[pin]]
     * made on THIS thread inside `body` (plan construction and the blocking
-    * action both run there) is unpersisted when `body` completes — other
-    * threads' in-flight pins are untouched. This is how a concurrent runner
-    * ([[Verify]]'s query pool) gets per-query release without the global
-    * registry's all-or-nothing semantics. Nesting restores the outer scope. */
+    * action both run there) is released when `body` completes — other
+    * threads' in-flight pins are untouched, including plan-identical ones
+    * (refcounted). This is how a concurrent runner ([[Verify]]'s query pool)
+    * gets per-query release without the global registry's all-or-nothing
+    * semantics. Nesting restores the outer scope. */
   def scoped[T](body: => T): T = {
     val prev = threadScope.get()
-    val mine = new java.util.ArrayDeque[DataFrame]()
+    val mine = new java.util.ArrayDeque[(DataFrame, PlanKey)]()
     threadScope.set(mine)
     try body
     finally {
       if (prev != null) threadScope.set(prev) else threadScope.remove()
-      mine.forEach(df => df.unpersist(blocking = false))
+      mine.forEach { case (df, key) => unpin(df, key) }
     }
   }
 
-  /** Unpersist every globally-registered frame pinned since the last release
-    * (frames pinned inside a [[scoped]] block are excluded — their scope owns
-    * them). Safe to call at any point where no pinned plan is still executing
-    * (unpersist would silently force recomputation, not break correctness). */
+  /** Release every globally-registered pin since the last release (frames
+    * pinned inside a [[scoped]] block are excluded — their scope owns them).
+    * Safe to call at any point where no pinned plan is still executing. */
   def release(): Unit = {
-    var df = pinned.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = pinned.poll()
+    var entry = pinned.poll()
+    while (entry != null) {
+      unpin(entry._1, entry._2)
+      entry = pinned.poll()
     }
   }
 

@@ -109,10 +109,16 @@ object Graphs {
     * loop shape. Output: (v, component) for every vertex incident to an
     * edge; isolated vertices are the caller's left-join default. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint, NOT persist: the fixpoint loop re-reads this frame
+    // every round, and a persisted plan is a CacheManager entry a
+    // plan-identical CONCURRENT query could share and then uncache/recache
+    // mid-loop (observed corrupting q70 under Verify's thread pool, round
+    // 5). Checkpointing truncates to a private materialized RDD no sibling
+    // query can touch, and flattens the loop's lineage for free.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var labels = und.select(col("src").as("v")).distinct().withColumn("label", col("v"))
     var changed = 1L
     while (changed > 0) {
@@ -129,7 +135,9 @@ object Graphs {
       changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
     }
-    und.unpersist(blocking = false)
+    // checkpoint blocks are freed by the ContextCleaner when the RDD is
+    // GC'd (DataFrame.unpersist only talks to the CacheManager, which never
+    // saw this frame) — edge-sized and bounded per call
     labels
   }
 
