@@ -50,20 +50,31 @@ object Caching {
     * registry for the next [[release]]. Returns `df` for chaining. */
   def pin(df: DataFrame): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized
-    refCounts.merge(key, 1, (a, b) => a + b)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist INSIDE the remapping function: ConcurrentHashMap runs it under
+    // the key's bin lock, so the count increment and the CacheManager persist
+    // are atomic per key. Without this there was a TOCTOU window (ADVICE r5):
+    // an unpinning thread could remove the count-1 entry, then a pinning
+    // thread merge→1 and no-op persist (entry still cached), then the
+    // unpinner's deferred unpersist drops the entry the new pin thinks it
+    // holds — the same mid-query corruption class the refcounts fixed, in a
+    // narrower window.
+    refCounts.compute(key, (_, v) => {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      Integer.valueOf(if (v == null) 1 else v + 1)
+    })
     val scope = threadScope.get()
     if (scope != null) scope.add((df, key)) else pinned.add((df, key))
     df
   }
 
   /** Decrement the pin's plan refcount; unpersist only when it reaches zero
-    * — a plan-identical pin held by a concurrent query keeps the entry. */
-  private def unpin(df: DataFrame, key: PlanKey): Unit = {
-    val remaining = refCounts.computeIfPresent(key,
-      (_, v) => if (v <= 1) null else Integer.valueOf(v - 1))
-    if (remaining == null) df.unpersist(blocking = false)
-  }
+    * — a plan-identical pin held by a concurrent query keeps the entry. The
+    * unpersist runs inside the remapping function for the same per-key
+    * atomicity as [[pin]]'s persist (see there). */
+  private def unpin(df: DataFrame, key: PlanKey): Unit =
+    refCounts.computeIfPresent(key, (_, v) =>
+      if (v <= 1) { df.unpersist(blocking = false); null }
+      else Integer.valueOf(v - 1))
 
   /** Run `body` as one unit of work with its own pin scope: every [[pin]]
     * made on THIS thread inside `body` (plan construction and the blocking

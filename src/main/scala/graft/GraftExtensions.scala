@@ -77,11 +77,21 @@ object GraftExtensions {
             s"graft_minhash_bands $what must be integral, got $other")
         }
       }
-      val portable = { require(children(3).foldable, "portable must be a constant")
-        children(3).eval().asInstanceOf[Boolean] }
       MinHashBandSigs(children(0), constInt(children(1), "num_hashes"),
-        constInt(children(2), "bands"), portable)
+        constInt(children(2), "bands"), constBool(children(3), "graft_minhash_bands"))
     })
+
+  /** `portable` flips the hash family (md5-h60 vs xxhash64); a NULL or
+    * non-boolean constant silently coercing to false would silently flip
+    * results, so reject it at build time. */
+  private def constBool(e: Expression, fn: String): Boolean = {
+    require(e.foldable, s"$fn portable must be a constant")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn portable must be a non-null boolean constant, got $other")
+    }
+  }
 
   /** SQL surface for per-row SimHash: `graft_simhash(token_array, portable)`. */
   private val simhashFunction = (
@@ -89,8 +99,7 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash"),
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_simhash(tokens, portable)")
-      require(children(1).foldable, "graft_simhash portable must be a constant")
-      SimHashBits(children(0), children(1).eval().asInstanceOf[Boolean])
+      SimHashBits(children(0), constBool(children(1), "graft_simhash"))
     })
 
   /** Runtime registration on an existing session (tests, spark-shell). */

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -39,6 +40,14 @@ case class MinHashBandSigs(child: Expression, numHashes: Int, bands: Int,
 
   require(bands >= 1 && numHashes % bands == 0,
     s"numHashes=$numHashes must be a positive multiple of bands=$bands")
+
+  // analysis-time input validation: without this, a non-string array reaches
+  // nullSafeEval and dies at executor runtime with ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("band", LongType, nullable = false),

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native single-pass SimHash fingerprint over a token array.
   *
@@ -28,6 +29,14 @@ case class SimHashBits(child: Expression, portable: Boolean)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
+
+  // analysis-time input validation: without this, a non-string array reaches
+  // nullSafeEval and dies at executor runtime with ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
 
   private val nbits = if (portable) 60 else 64
 

@@ -115,6 +115,12 @@ object Graphs {
     // mid-loop (observed corrupting q70 under Verify's thread pool, round
     // 5). Checkpointing truncates to a private materialized RDD no sibling
     // query can touch, and flattens the loop's lineage for free.
+    // TRADEOFF (cluster deployments): localCheckpoint blocks are neither
+    // replicated nor recomputable — an executor loss or dynamic-allocation
+    // decommission mid-fixpoint fails the job instead of recomputing. On a
+    // 1000-executor cluster, prefer reliable checkpoint (set a checkpoint
+    // dir and use Dataset.checkpoint), or disable dynamic allocation for
+    // the fixpoint stage; local[n] (this harness) has no executor loss.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas` batch shape).
   *
   * Decode is REAL for the library-free raster formats — PPM (P6) and
-  * uncompressed 24-bit BMP are header + raw pixels, parsed here directly
-  * (dimensions + per-channel means + luminance histogram, spec'd against
-  * hand-built images) — and a STUB only for codec-bound formats (JPEG, MP3,
-  * H.264…), since this container ships no codec libraries. Malformed or
+  * uncompressed 24-bit BMP are header + raw pixels, and PNG (8-bit gray /
+  * truecolor, non-interlaced) is zlib via the JDK's Inflater plus the five
+  * scanline filters — all parsed here directly (dimensions + per-channel
+  * means + luminance histogram, spec'd against hand-built images) — and a
+  * STUB only for codec-bound formats (JPEG, MP3, H.264…), since this
+  * container ships no codec libraries. Malformed or
   * unrecognized payloads fall back to the deterministic byte-statistics
   * stub rather than failing the partition — the junk-file-guard posture
   * (SURVEY §2 P7): one corrupt file must never kill a 100 TB scan.
@@ -86,7 +88,10 @@ object Multimodal {
       }
       val start = pos
       while (pos < content.length && content(pos).toChar.isDigit) pos += 1
-      if (pos == start) None else Some(new String(content, start, pos - start).toInt)
+      // bounded: a header dimension with >9 digits can't be a sane image and
+      // would overflow Int.parseInt — malformed, so None (never throw)
+      if (pos == start || pos - start > 9) None
+      else Some(new String(content, start, pos - start).toInt)
     }
     for {
       w <- nextInt(); h <- nextInt(); maxval <- nextInt()
@@ -108,8 +113,11 @@ object Multimodal {
     val dataOff = i32(10); val w = i32(18); val hRaw = i32(22)
     val h = math.abs(hRaw); val topDown = hRaw < 0
     if (w <= 0 || h == 0 || u16(28) != 24 || i32(30) != 0) return None
-    val rowBytes = (3 * w + 3) / 4 * 4
-    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > content.length) return None
+    // row stride in Long: 3*w overflows Int for w ≳ 7e8, making rowBytes
+    // negative and the extent guard below vacuously true (ADVICE r5)
+    val rowBytesL = (3L * w + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + rowBytesL * h > content.length) return None
+    val rowBytes = rowBytesL.toInt // extent ≤ content.length < 2^31 ⇒ fits
     Some((w, h, pixelFeatures(w, h, { i =>
       val px = i / 3; val ch = i % 3 // BGR on disk → map R/G/B request to 2/1/0
       val row = px / w; val diskRow = if (topDown) row else h - 1 - row
@@ -117,11 +125,109 @@ object Multimodal {
     })))
   }
 
+  /** Real PNG parse using only the JDK: PNG is zlib-compressed scanlines
+    * (java.util.zip.Inflater) plus five per-scanline byte filters — no
+    * external codec needed. Supported: 8-bit depth, grayscale (color type 0)
+    * and truecolor RGB (color type 2), non-interlaced, all five filter types
+    * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Anything else — palette,
+    * alpha, 16-bit, Adam7 — returns None and falls back. Ancillary chunks
+    * are skipped; IDAT chunks are concatenated before inflating, per spec. */
+  private[graft] def decodePng(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    // minimum: 8 sig + 25 IHDR chunk (len+type+13 data+crc)
+    if (content.length < 33) return None
+    var i = 0
+    while (i < 8) { if (content(i) != sig(i)) return None; i += 1 }
+    def u32(o: Int): Long =
+      ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    def chunkType(o: Int): String = new String(content, o, 4, "US-ASCII")
+    var pos = 8
+    if (u32(pos) != 13 || chunkType(pos + 4) != "IHDR") return None
+    val w = u32(pos + 8); val h = u32(pos + 12)
+    val bitDepth = content(pos + 16) & 0xff; val colorType = content(pos + 17) & 0xff
+    val compression = content(pos + 18) & 0xff; val filterMethod = content(pos + 19) & 0xff
+    val interlace = content(pos + 20) & 0xff
+    if (w <= 0 || h <= 0 || bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+        compression != 0 || filterMethod != 0 || interlace != 0) return None
+    val channels = if (colorType == 2) 3 else 1
+    // bound the decoded size in Long BEFORE allocating (the BMP lesson):
+    // h scanlines of (1 filter byte + channels*w)
+    val stride = channels.toLong * w
+    val rawLen = (stride + 1) * h
+    if (rawLen > Int.MaxValue - 16) return None
+    pos += 8 + 13 + 4
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= content.length) {
+      val len = u32(pos)
+      if (pos + 8 + len + 4 > content.length) return None // truncated chunk
+      val typ = chunkType(pos + 4)
+      if (typ == "IDAT") idat.write(content, pos + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      pos += 8 + len.toInt + 4
+    }
+    if (idat.size() == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val got = inflater.inflate(raw, off, raw.length - off)
+        if (got == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        off += got
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // unfilter scanlines (RFC 2083 §6.1-6.6): each reconstructed byte depends
+    // on left (a), up (b), upper-left (c) RECONSTRUCTED bytes
+    val wi = w.toInt; val hi = h.toInt; val si = stride.toInt
+    val px = new Array[Byte](si * hi)
+    var y = 0
+    while (y < hi) {
+      val rowOff = y * (si + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < si) {
+        val cur = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= channels) px(y * si + x - channels) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * si + x) & 0xff else 0
+        val c = if (x >= channels && y > 0) px((y - 1) * si + x - channels) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) / 2)
+          case _ => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        px(y * si + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((wi, hi, pixelFeatures(wi, hi, { j =>
+      if (channels == 3) px(j) & 0xff
+      else px(j / 3) & 0xff // grayscale: replicate the gray byte to R,G,B
+    })))
+  }
+
   /** Decode dispatch: real parser when the payload self-identifies as a
     * library-free format, stub otherwise (including malformed payloads —
-    * fall back, never throw: one corrupt file must not kill the scan). */
+    * fall back, never throw: one corrupt file must not kill the scan).
+    * The NonFatal backstop makes that posture structural, not per-parser:
+    * any malformation a parser's own guards miss still degrades to the
+    * stub instead of failing the partition (ADVICE r5). */
   private[graft] def decode(kind: String, content: Array[Byte]): (Int, Int, Array[Float]) =
-    decodePpm(content).orElse(decodeBmp(content)).getOrElse(decodeStub(kind, content))
+    try decodePpm(content).orElse(decodeBmp(content)).orElse(decodePng(content))
+      .getOrElse(decodeStub(kind, content))
+    catch { case scala.util.control.NonFatal(_) => decodeStub(kind, content) }
 
   /** Batch feature extraction: per-partition iteration (codec init once per
     * partition, not per record), typed Dataset in/out. */

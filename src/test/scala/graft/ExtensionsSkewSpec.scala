@@ -35,6 +35,27 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(sql == col)
   }
 
+  test("signing functions reject bad input types at analysis, not executor runtime") {
+    GraftExtensions.register(spark)
+    // non-string array → analysis-time type-check failure (ADVICE r5: was a
+    // ClassCastException inside nullSafeEval on the executor)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array(1, 2), true)").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("array<string>") ||
+      e1.getMessage.contains("DATATYPE_MISMATCH"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_bands(array(1L), 8, 4, true)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("array<string>") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"))
+    // NULL portable → explicit rejection, not a silent hash-mode flip to false
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array('a'), NULL)").collect()
+    }
+    assert(e3.getMessage.contains("boolean"))
+  }
+
   test("graft_segment is callable from SQL with a literal dictionary") {
     GraftExtensions.register(spark)
     val names = spark.sql(

@@ -65,12 +65,108 @@ class MultimodalSpec extends SparkSpec {
   test("malformed self-identified payloads fall back to the stub, never throw") {
     val truncatedPpm = "P6\n100 100\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
     val badBmp = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0)
+    // ADVICE r5 repros: an 11-digit PPM dimension (would overflow Int.parseInt)
+    // and a BMP width whose 3*w overflows Int into a negative row stride
+    val hugePpm = "P6 99999999999 1 255 ".getBytes("US-ASCII") ++ Array.fill[Byte](16)(1)
+    val wideBmp = {
+      val bb = java.nio.ByteBuffer.allocate(54 + 64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + 64).putInt(0).putInt(54)
+      bb.putInt(40).putInt(800000000).putInt(1).putShort(1).putShort(24).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
     val ds = Seq(
       MediaRecord(9L, "image", truncatedPpm, Map.empty[String, String]),
-      MediaRecord(10L, "image", badBmp, Map.empty[String, String])).toDS()
+      MediaRecord(10L, "image", badBmp, Map.empty[String, String]),
+      MediaRecord(17L, "image", hugePpm, Map.empty[String, String]),
+      MediaRecord(18L, "image", wideBmp, Map.empty[String, String])).toDS()
     val out = Multimodal.extractFeatures(ds).collect()
-    assert(out.length == 2) // stub semantics: decode still yields a row
+    assert(out.length == 4) // stub semantics: decode still yields a row
     assert(out.forall(_.features.length == 16))
+  }
+
+  // -- PNG golden images: hand-built chunks, JDK Deflater for the zlib body --
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Build a valid PNG from raw (filter-byte-prefixed) scanlines; optionally
+    * split the compressed stream across two IDAT chunks (spec: concatenated). */
+  private def buildPng(w: Int, h: Int, colorType: Int, scanlines: Array[Byte],
+                       splitIdat: Boolean = false): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(scanlines); deflater.finish()
+    val buf = new Array[Byte](scanlines.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val z = buf.take(n)
+    val idat =
+      if (splitIdat) pngChunk("IDAT", z.take(n / 2)) ++ pngChunk("IDAT", z.drop(n / 2))
+      else pngChunk("IDAT", z)
+    sig ++ pngChunk("IHDR", ihdr.array()) ++ idat ++ pngChunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG decode is real: truecolor, filter 0, same pixels as the PPM golden") {
+    // 2x2 RGB: red, green, blue, white — each channel mean 0.5
+    val rows = Array[Byte](0) ++ Array(255, 0, 0, 0, 255, 0).map(_.toByte) ++
+      Array[Byte](0) ++ Array(0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ds = Seq(MediaRecord(11L, "image", buildPng(2, 2, 2, rows), Map("fmt" -> "png"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 2)
+    assert(f.features(0) == 0.5f && f.features(1) == 0.5f && f.features(2) == 0.5f)
+    assert(math.abs(f.features.drop(3).sum - 1.0f) < 1e-6)
+  }
+
+  test("PNG grayscale with Sub and Up filters, IDAT split across two chunks") {
+    // 2x2 gray checkerboard [0,255 / 255,0]: row0 Sub-filtered, row1 Up-filtered
+    val rows = Array[Byte](1, 0, 255.toByte, 2, 255.toByte, 1)
+    val ds = Seq(MediaRecord(12L, "image",
+      buildPng(2, 2, 0, rows, splitIdat = true), Map("fmt" -> "png"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 2)
+    // gray replicated to R,G,B: mean = (0+255+255+0)/(255*4) = 0.5 per channel
+    assert(f.features(0) == 0.5f && f.features(1) == 0.5f && f.features(2) == 0.5f)
+  }
+
+  test("PNG Average and Paeth filters reconstruct exactly") {
+    // truecolor 2x2: row0 = (100,50,25),(200,100,50) Paeth-filtered (row 0:
+    // predictor degenerates to left); row1 = (50,100,150),(25,75,125)
+    // Average-filtered. Raw bytes computed by hand from RFC 2083 §6.
+    val rows = Array[Byte](4) ++ Array(100, 50, 25, 100, 50, 25).map(_.toByte) ++
+      Array[Byte](3) ++ Array(0, 75, 138, 156, 231, 25).map(_.toByte)
+    val ds = Seq(MediaRecord(13L, "image", buildPng(2, 2, 2, rows), Map("fmt" -> "png"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 2)
+    assert(f.features(0) == 375.0f / 1020.0f) // (100+200+50+25)/(255*4)
+    assert(f.features(1) == 325.0f / 1020.0f)
+    assert(f.features(2) == 350.0f / 1020.0f)
+  }
+
+  test("corrupt or unsupported PNGs fall back to the stub, never throw") {
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val garbage = sig ++ Array.fill[Byte](40)(7) // signature + non-chunk noise
+    val good = buildPng(2, 2, 2, Array[Byte](0) ++ Array.fill[Byte](6)(1) ++
+      Array[Byte](0) ++ Array.fill[Byte](6)(2))
+    val truncated = good.take(good.length - 20) // chops into IDAT
+    val interlaced = good.clone(); interlaced(8 + 8 + 12) = 1 // IHDR interlace=1
+    val ds = Seq(
+      MediaRecord(14L, "image", garbage, Map.empty[String, String]),
+      MediaRecord(15L, "image", truncated, Map.empty[String, String]),
+      MediaRecord(16L, "image", interlaced, Map.empty[String, String])).toDS()
+    val out = Multimodal.extractFeatures(ds).collect()
+    assert(out.length == 3 && out.forall(_.features.length == 16))
+    // none of them decoded as a real 2x2 (stub pseudo-dimensions differ)
+    assert(out.forall(f => !(f.width == 2 && f.height == 2)))
   }
 
   test("frame sampling is a 1-row → N-rows generator over the payload") {
