@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs
-import graft.operators.{Dedup, Similarity, TextStats}
+import graft.operators.{Bpe, Dedup, Similarity, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,6 +82,12 @@ object Curation {
         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
       FROM sims) s
     WHERE rk <= 10"""
+
+  /** Merge rounds for the q79/q80 oracle pair: enough to learn multi-level
+    * merges (round 6 already fuses a round-1 product: m+er), small enough
+    * that the unrolled-CTE oracle stays tractable. Declared before [[defs]]
+    * — its strict initializer reads this at object-init time. */
+  private val BpeMergeRounds = 16
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -778,8 +784,83 @@ object Curation {
         SELECT source, n_docs, n_tokens,
           round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share,
           round(CAST(tot AS DOUBLE) / CAST(n_src * n_tokens AS DOUBLE), 6) AS mix_weight
-        FROM agg, tot"""))
+        FROM agg, tot""")),
+
+    // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
+    // distributed pair-count loop, encoding as a per-row expression over
+    // the learned merge table. The oracle replays the SAME deterministic
+    // algorithm — unrolled MATERIALIZED CTE rounds, argmax by (count desc,
+    // pair asc), list_reduce greedy merge fold — so a hash match proves
+    // both the training trajectory and the merge semantics end to end.
+    QueryDef("q79_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+          .toDF("rank", "l", "r")
+      },
+      oracle = Some(bpeTrainSql(BpeMergeRounds) + s"""
+        SELECT CAST(rank AS BIGINT) AS rank, l, r FROM merges""")),
+
+    // Encode every document with the corpus-trained merges and count
+    // subword tokens — what q75 packing / q78 mixing would consume in a
+    // production pipeline. The Spark side encodes each doc independently
+    // via the merge table (never touching the training state); the oracle
+    // takes the OTHER path — the final training state IS the encoding of
+    // every seen word, so it joins doc words to round-N state. Two
+    // different computations agreeing on the hash is the point.
+    QueryDef("q80_bpe_encode",
+      (s, dir) => {
+        val merges = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+        docs(s, dir).select(col("doc_id"),
+          coalesce(size(Bpe.encode(Exprs.tokens(col("text")), merges)), lit(0))
+            .cast("long").as("n_bpe"))
+      },
+      oracle = Some(bpeTrainSql(BpeMergeRounds) + s""",
+        agg AS (SELECT t.doc_id, SUM(len(r.syms)) AS n
+                FROM toks t JOIN r$BpeMergeRounds r ON t.word = r.word GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
   )
+
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one
+    * (pair-count, argmax, merge-apply) CTE triple per round. MATERIALIZED
+    * is load-bearing — each round references the previous state twice, so
+    * DuckDB's default CTE inlining would expand 2^rounds scans. The merge
+    * application is a list_reduce fold over chr(1)-joined symbols: append
+    * `x` with a separator unless the accumulator's LAST symbol is exactly
+    * `l` and `x = r`, in which case append `x` bare (symbols never contain
+    * chr(1), so the separator check is exact) — provably equivalent to the
+    * Spark side's single greedy pass (see [[graft.functions.BpeOps]]).
+    * LEFT JOIN ON TRUE keeps rounds past pair exhaustion as no-ops, which
+    * matches the Spark loop's early stop. Ends with CTEs `toks`, `merges`,
+    * and `r<n>` open for the caller's final SELECT. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val base = """
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, t AS word FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              t -> t <> '')) AS t FROM documents)),
+        r0 AS MATERIALIZED (
+          SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
+          FROM toks GROUP BY word)"""
+    val loop = (1 to rounds).map { i =>
+      s"""
+        p$i AS MATERIALIZED (
+          SELECT syms[u.i] AS l, syms[u.i+1] AS r, SUM(cnt) AS c
+          FROM r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        r$i AS MATERIALIZED (
+          SELECT word, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+              WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(1) || b.l))
+              THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS syms
+          FROM r${i - 1} LEFT JOIN b$i AS b ON TRUE)"""
+    }.mkString(",", ",", "")
+    val merges = (1 to rounds)
+      .map(i => s"SELECT $i AS rank, l, r FROM b$i")
+      .mkString(",\n        merges AS (", " UNION ALL ", ")")
+    base + loop + merges
+  }
 
   /** Shared by q70/q72: every doc labeled with the min doc_id of its
     * q33-pair connected component; singleton docs label themselves. */

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{BpeEncode, BpeOps, Exprs}
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge pass is greedy left-to-right; merged symbol never restarts a match") {
+    assert(BpeOps.mergePass(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(BpeOps.mergePass(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(BpeOps.mergePass(Array("x", "y"), "a", "b").toSeq == Seq("x", "y"))
+    assert(BpeOps.mergePass(Array("aa", "a", "a"), "aa", "a").toSeq == Seq("aaa", "a"))
+  }
+
+  test("training learns the textbook merge sequence with deterministic tie-breaks") {
+    // words: low x3, lower, lowest. Round 1: (l,o)=5 ties (o,w)=5 -> lex
+    // smallest (l,o). Then (lo,w)=5, (low,e)=2, and among the count-1
+    // pairs (lowe,r) < (lowe,s) < (s,t) lexicographically.
+    val docs = Seq("low lower lowest", "low low").toDF("text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 4)
+    assert(merges == Seq(
+      Bpe.Merge(1, "l", "o"), Bpe.Merge(2, "lo", "w"),
+      Bpe.Merge(3, "low", "e"), Bpe.Merge(4, "lowe", "r")))
+  }
+
+  test("training stops early when the corpus runs out of adjacent pairs") {
+    val merges = Bpe.train(Seq("ab ab").toDF("text"), col("text"), numMerges = 10)
+    assert(merges == Seq(Bpe.Merge(1, "a", "b")))
+  }
+
+  test("encoding with the trained table reproduces the final training state") {
+    val docs = Seq("low lower lowest", "low low").toDF("text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 4)
+    val enc = Seq("low lower lowest", "", "unseen low").toDF("text")
+      .select(Bpe.encode(Exprs.tokens(col("text")), merges).as("sub"))
+      .as[Seq[String]].collect()
+    assert(enc(0) == Seq("low", "lower", "lowe", "s", "t"))
+    assert(enc(1) == Seq.empty[String]) // no tokens -> empty, not null
+    // unseen word segments by the same merges, seen word unchanged
+    assert(enc(2) == Seq("u", "n", "s", "e", "e", "n", "low"))
+  }
+
+  test("bpe_encode rejects non-string-array input at analysis time") {
+    val e = intercept[Exception] {
+      Seq(Seq(1, 2)).toDF("xs").select(BpeEncode(col("xs"), Seq(("a", "b")))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<string>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
