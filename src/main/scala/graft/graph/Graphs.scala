@@ -86,29 +86,89 @@ object Graphs {
     ranks
   }
 
-  /** Connected components over an undirected edge list (src, dst) by
-    * synchronous min-label propagation: label(v) ← min(label(v),
-    * min_{(u,v)∈E} label(u)) until fixpoint. The fixpoint — every vertex
-    * carries the minimum vertex id reachable from it — is unique, so the
-    * result is deterministic regardless of join/aggregation order and a
-    * recursive-CTE oracle can replay it as a transitive closure (q70).
+  /** Connected components over an undirected edge list (src, dst) by the
+    * large-star / small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round contracts
+    * every node's strictly-larger neighbors onto its local minimum
+    * (large-star), then folds each node's smaller neighborhood onto that
+    * minimum (small-star), until the edge set is a fixpoint — a disjoint
+    * union of stars whose centers are the component minima. Unlike
+    * min-label propagation (O(diameter) rounds — O(n) on a duplicate
+    * CHAIN doc_i ~ doc_{i+1}), the alternation converges in O(log² n)
+    * rounds worst-case and ~log n in practice (GraphsSpec pins a
+    * 128-deep chain at ≤ 12 rounds). The fixpoint — every vertex labeled
+    * with the minimum vertex id in its component — is the same unique
+    * result the propagation computed, so q70/q72's recursive-CTE
+    * transitive-closure oracles replay it unchanged.
     *
     * Serves the dedup family: near-dup PAIRS (q33/q34/q35) become duplicate
     * CLUSTERS, from which a curation pipeline keeps one representative per
     * cluster (q72). The reference has no clustering op — this is part of the
     * training-data-pipeline surface beyond it.
     *
-    * Scale: each round is one equi-shuffle join of the vertex-sized label
-    * frame against the cached symmetrized edge table plus a grouped min —
-    * no broadcast of anything vertex-sized, no single-partition stage.
-    * Rounds = component diameter; near-dup graphs are shallow (boilerplate
-    * variants cluster around a few templates), so the loop exits after a
-    * handful of rounds. For adversarially long chains the O(log n)
-    * large-star/small-star alternation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) drops into this same
-    * loop shape. Output: (v, component) for every vertex incident to an
-    * edge; isolated vertices are the caller's left-join default. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+    * Scale: every phase is edge-keyed equi-shuffles (a grouped min + a
+    * join) over frames that never exceed the edge count — no broadcast of
+    * anything vertex-sized, no single-partition stage. The convergence
+    * check is a set-difference on the edge frame; with O(log) rounds the
+    * total extra work stays edge-linear. Output: (v, component) for every
+    * vertex incident to an edge; isolated vertices are the caller's
+    * left-join default. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    twoPhaseCc(edges)._1
+
+  /** [[connectedComponents]] plus the round count (spec: chain convergence
+    * bound). */
+  private[graft] def twoPhaseCc(edges: DataFrame): (DataFrame, Int) = {
+    // localCheckpoint, NOT persist — same CacheManager-sharing rationale as
+    // the propagation variant (see the note in minLabelCc), same cluster
+    // fault-tolerance tradeoff.
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val verts = und.select(col("src").as("v")).distinct()
+    // canonical big→small orientation; kept canonical by both phases
+    var e = und.filter(col("src") > col("dst")).localCheckpoint(eager = true)
+    var rounds = 0
+    var changed = und.limit(1).count() > 0 // empty input: skip the loop
+    while (changed) {
+      rounds += 1
+      // large-star: for each u, attach every LARGER neighbor v to
+      // m = min(Γ(u) ∪ {u}); output (v, m) is canonical (v > u ≥ m)
+      val nb = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lmin = nb.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nb.join(lmin, nb("src") === lmin("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: for each u over its SMALLER neighborhood Γ⁻(u),
+      // attach Γ⁻(u) ∪ {u} to m = min(Γ⁻(u)); all outputs stay canonical
+      val smin = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val small = large.join(smin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(smin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // fixpoint = exact set equality (stars with minimal centers are
+      // fixed points of both phases); one symmetric-difference action
+      changed = small.except(e).union(e.except(small)).limit(1).count() > 0
+      e = small
+    }
+    // at fixpoint e is a disjoint star forest: leaves (v, center) with the
+    // center = component min; centers label themselves via the left join
+    val labels = verts
+      .join(e.select(col("src").as("v"), col("dst").as("ctr")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("ctr"), col("v")).as("label"))
+    (labels, rounds)
+  }
+
+  /** Min-label propagation twin (label(v) ← min over neighbors until
+    * fixpoint, O(diameter) rounds): kept as the parity cross-check for
+    * [[twoPhaseCc]] — same unique fixpoint, different round structure. */
+  private[graft] def minLabelCc(edges: DataFrame): DataFrame = {
     // localCheckpoint, NOT persist: the fixpoint loop re-reads this frame
     // every round, and a persisted plan is a CacheManager entry a
     // plan-identical CONCURRENT query could share and then uncache/recache
