@@ -65,6 +65,32 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming VERIFIED pairs across micro-batches equal batch minhashLshPairs") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val static = docs.toSeq.toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.minhashVerifiedPairs(
+        ms.toDF().toDF("doc_id", "text"), static, threshold = 0.05)
+      .writeStream.format("memory").queryName("mhver").outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { wave =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+      }
+      // distinct: the stream emits at-least-once per agreeing band; parity
+      // is on the verified pair SET, jaccard value included bit-exactly
+      val streamed = spark.table("mhver").distinct()
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = Dedup.minhashLshPairs(static.withColumn("lang", lit("x")),
+          n = 3, numHashes = 32, bands = 8, threshold = 0.05, portable = true)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("signing keeps the shingle array in its own projection (33x-retokenize guard)") {
     // HOFs get no codegen/CSE: if the shingle expression is ever re-inlined
     // into the signature tree, tokenization runs once PER HASH — the x10
