@@ -84,12 +84,18 @@ object ScalingProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val probeQueries = Seq("q01_pricing_agg", "q04_fact_join", "q22_doc_vectors",
       "q25_pagerank", "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
-      "q35_simhash_pairs", "q63_edit_blocked")
+      "q35_simhash_pairs", "q63_edit_blocked",
+      // round-5 curation family (VERDICT r5 Next #1): the iterative
+      // clustering chain (CC rounds × joins), the broadcast-overlap
+      // decontamination, and the explicitly-uncapped span-df shuffle
+      "q70_dup_clusters", "q72_dedup_purge", "q73_decontamination",
+      "q76_dup_spans", "q79_bpe_train")
       .filter(q => only.forall(_.contains(q)))
-    // text-dedup queries get a second ×factor measurement on the
+    // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
     val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
-      "q35_simhash_pairs")
+      "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
+      "q73_decontamination", "q76_dup_spans", "q79_bpe_train")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -86,6 +86,58 @@ object Graphs {
     ranks
   }
 
+  /** PageRank for GENERAL directed graphs — the flagged variant of
+    * [[pageRank]] for inputs outside that operator's documented contract
+    * (symmetric co-occurrence graphs with a broadcast-sized vertex set):
+    *
+    *   - **dangling mass**: vertices with no out-edges lose their rank in
+    *     the plain update; here D_k = Σ_{dangling u} r_k(u) is redistributed
+    *     uniformly — r_{k+1}(v) = round((1-d)/n + d·(Σ r_k(u)w(u,v) + D_k/n), 12).
+    *   - **shuffle-join rank update**: the rank frame joins the edge table
+    *     by equi-shuffle, never `broadcast()` — correct for vertex sets far
+    *     beyond driver/executor broadcast reach (corpus-sized graphs), at
+    *     the cost of shuffling ranks each round where [[pageRank]] reuses
+    *     the cached edge partitioning.
+    *
+    * Determinism matches [[pageRank]]: incoming mass via the exact
+    * scaled-long (1e18) accumulator; D_k summed the same way at 1e12 (ranks
+    * are 12-dp, so floor(rank·1e12+0.5) is exact) — every iteration is
+    * bit-identical across engines and partitionings, and the q81 oracle
+    * unrolls it round by round. Per round: one shuffle join + grouped sum,
+    * one vertex-sized left join, and a 1-row driver action for D_k. */
+  def pageRankGeneral(edges: DataFrame, iterations: Int = 10,
+                      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(eager = true)
+    val n = verts.count()
+    val dangling = verts.join(e.select(col("src").as("v")).distinct(),
+      Seq("v"), "left_anti").localCheckpoint(eager = true)
+    var ranks = verts.withColumn("rank", lit(1.0d / n))
+    for (_ <- 1 to iterations) {
+      val dmRow = ranks.join(dangling, "v")
+        .agg(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)).as("dm"))
+        .collect()(0)
+      val dm = if (dmRow.isNullAt(0)) 0L else dmRow.getLong(0)
+      // same operation ORDER as the oracle: dm/1e12, then /n, then d*(inc+·)
+      val dmTerm = dm.toDouble / 1.0e12d / n.toDouble
+      val inc = e.join(ranks, e("src") === ranks("v"))
+        .groupBy(col("dst").as("v2"))
+        .agg((sum(floor(col("rank") * col("w") * lit(1.0e18d) + lit(0.5d))
+          .cast(LongType)).cast(DoubleType) / lit(1.0e18d)).as("inc"))
+      // LEFT join from verts: a vertex with no in-edges still receives the
+      // teleport + dangling share (the plain variant never meets this case)
+      ranks = verts.join(inc, verts("v") === inc("v2"), "left")
+        .select(col("v"), round(lit((1.0d - damping) / n) +
+          lit(damping) * (coalesce(col("inc"), lit(0.0d)) + lit(dmTerm)), 12).as("rank"))
+        // every round already pays the D_k action; eager checkpoint keeps
+        // the next round's two consumers (dm agg + join) off a growing plan
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Connected components over an undirected edge list (src, dst) by the
     * large-star / small-star alternation (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round contracts

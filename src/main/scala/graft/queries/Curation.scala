@@ -527,7 +527,8 @@ object Curation {
     QueryDef("q70_dup_clusters",
       (s, dir) => dupClusterAssignment(s, dir),
       oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes
-        SELECT doc_id, cluster_id FROM clusters""")),
+        SELECT doc_id, cluster_id FROM clusters"""),
+      bench = true), // iterative CC in the headline run (VERDICT r5 Next #7)
 
     // Within-document repetition signals (the Gopher-style quality gates a
     // pretraining pipeline runs at scan speed): word-bigram duplicate
@@ -539,9 +540,13 @@ object Curation {
       (s, dir) => {
         import graft.functions.Exprs
         import org.apache.spark.sql.types.{DoubleType, LongType}
+        // tokens in their OWN projection (the HOF-CSE contract): shingles
+        // references its argument three times, and inlining tokens(text)
+        // into the transform lambda re-tokenizes once PER BIGRAM POSITION
         docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
-            explode(Exprs.shingles(Exprs.tokens(col("text")), 2)).as("bigram"))
+            explode(Exprs.shingles(col("toks"), 2)).as("bigram"))
           .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("doc_id"))
           .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
@@ -604,16 +609,22 @@ object Curation {
     // shuffle left is the doc_id-keyed overlap count.
     QueryDef("q73_decontamination",
       (s, dir) => {
-        val shs = array_distinct(Exprs.shingles(Exprs.tokens(col("text")), 3))
-        val base = docs(s, dir).select(col("doc_id"), shs.as("shs"))
-        val bench = base.filter(col("doc_id") % 97 === 0)
-          .select(explode(col("shs")).as("shingle")).distinct()
-        val train = base.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-            explode(col("shs")).as("shingle"))
+        // shingle ROWS via shingleSet (tokens in their own projection, and
+        // the explode child is a non-attribute expression so no inferred
+        // size/isnotnull filter gets pushed back through the projections —
+        // the round-6 probe caught the previous inline form re-tokenizing
+        // per shingle position inside a pushed-down Filter predicate);
+        // per-doc set sizes come from the rows, as the oracle always did
+        val sh = graft.Caching.pin(
+          Dedup.shingleSet(docs(s, dir), 3).select(col("doc_id"), col("shingle")))
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        val train = sh.filter(col("doc_id") % 97 =!= 0)
+        val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val frac = col("n_shared").cast("double") / col("sz").cast("double")
         train.join(broadcast(bench), "shingle")
-          .groupBy(col("doc_id"), col("sz")).agg(count(lit(1)).as("n_shared"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes, "doc_id")
           .select(col("doc_id"), col("n_shared"), col("sz"),
             round(frac, 6).as("contam_frac"),
             (round(frac, 6) >= 0.5).as("contaminated"))
@@ -626,7 +637,8 @@ object Curation {
         SELECT doc_id, n_shared, sz,
           round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6) AS contam_frac,
           (round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6) >= 0.5) AS contaminated
-        FROM shared JOIN tsz USING (doc_id)""")),
+        FROM shared JOIN tsz USING (doc_id)"""),
+      bench = true), // broadcast-overlap decontamination in the headline run
 
     // PII redaction — the masking pass a corpus release runs before training
     // (emails + long digit runs here; the production pattern set is a config).
@@ -704,8 +716,11 @@ object Curation {
     // scaled to this corpus's 10-99-token docs.
     QueryDef("q76_dup_spans",
       (s, dir) => {
-        val spans = array_distinct(Exprs.shingles(Exprs.tokens(col("text")), 10))
-        val sp = docs(s, dir).select(col("doc_id"), explode(spans).as("g"))
+        // two projections (the HOF-CSE contract — see q71/q73)
+        val sp = docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(Exprs.shingles(col("toks"), 10))).as("g"))
         val dfreq = sp.groupBy(col("g")).agg(count(lit(1)).as("df"))
         val frac = col("n_dup").cast("double") / col("n_spans").cast("double")
         sp.join(dfreq, "g")

@@ -150,6 +150,63 @@ object Graph {
         SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
         FROM pos a JOIN pos b
           ON a.doc_id = b.doc_id AND a.term <> b.term AND abs(a.pos - b.pos) <= 3
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // G1 beyond the reference contract (VERDICT r5 Next #8): PageRank on a
+    // GENERAL directed graph — asymmetric, with genuinely dangling vertices
+    // and a shuffle-join (never broadcast) rank update. Fixture: the
+    // nation→region membership digraph; regions (shifted by +100 out of the
+    // nation key range) have no out-edges, so ~1/6 of the total mass goes
+    // dangling every round and the redistribution term is load-bearing —
+    // drop it and every rank is wrong in the 3rd decimal.
+    QueryDef("q81_pagerank_dangling",
+      (s, dir) => {
+        val e = Tables(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("src"),
+          (col("n_regionkey") + 100).cast("long").as("dst"),
+          lit(1.0d).as("w")) // out-degree is exactly 1: weights pre-normalized
+        Graphs.pageRankGeneral(e, iterations = 10)
+          .select(col("v"), round(col("rank"), 6).as("rank"))
+      },
+      oracle = Some(pageRankDanglingSql(10, 0.85)))
   )
+
+  /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):
+    * per round, d{i-1} sums dangling mass as exact 1e-12 micro-units (ranks
+    * are 12-dp, so the scaling is lossless), r{i} left-joins the incoming
+    * scaled-long sums onto ALL vertices (no-inbound vertices still get
+    * teleport + dangling share), with the same operation order as the Spark
+    * expression so every double is bit-identical. MATERIALIZED is
+    * load-bearing: unlike [[pageRankSql]]'s single chain, each round here
+    * reads the previous rank frame twice (dangling sum + join), and
+    * DuckDB's default CTE inlining would expand 2^rounds plans (the q79
+    * lesson). */
+  private def pageRankDanglingSql(iters: Int, d: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+        SELECT COALESCE(SUM(CAST(floor(r.rank*1e12 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r${i - 1} r LEFT JOIN srcs s ON r.v = s.v WHERE s.v IS NULL),
+      r$i AS MATERIALIZED (
+        SELECT vt.v,
+          round((SELECT CAST(1.0-$d AS DOUBLE)/n FROM nv) +
+            $d*(COALESCE(a.inc, CAST(0.0 AS DOUBLE)) +
+                (SELECT CAST(dm AS DOUBLE)/1e12/(SELECT n FROM nv) FROM d${i - 1})), 12) AS rank
+        FROM verts vt LEFT JOIN (
+          SELECT e.dst AS v,
+            CAST(SUM(CAST(floor(r.rank*e.w*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18 AS inc
+          FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst) a ON vt.v = a.v)"""
+    }.mkString(",\n")
+    s"""
+    WITH edges AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS src,
+             CAST(n_regionkey + 100 AS BIGINT) AS dst,
+             CAST(1.0 AS DOUBLE) AS w
+      FROM nation),
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+    srcs AS (SELECT DISTINCT src AS v FROM edges),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nv) AS rank FROM verts),
+    $rounds
+    SELECT v, round(rank, 6) AS rank FROM r$iters"""
+  }
 }

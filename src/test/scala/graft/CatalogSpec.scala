@@ -15,8 +15,9 @@ class CatalogSpec extends SparkSpec {
     val known = graft.sources.Tables.names.toSet
     // words following FROM/JOIN that aren't CTE names defined in the query
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // CTE name, optionally with a recursive-CTE column list: name(c1, c2) AS (
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // CTE name, optionally with a recursive-CTE column list (name(c1, c2)
+      // AS (...)) and/or the MATERIALIZED keyword the iterative oracles use
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

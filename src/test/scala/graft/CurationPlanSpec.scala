@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+/** Plan-shape guards for the curation text queries — the round-6 probe
+  * caught q73's inline `shingles(tokens(text))` being copied by
+  * InferFiltersFromGenerate + predicate pushdown into a per-row Filter
+  * predicate, where the tokens tree inside the transform lambda
+  * re-tokenized once per shingle POSITION (sf0.1 base went from seconds to
+  * 11+ minutes). The fixed shape: tokens in their own projection, explode
+  * over a non-attribute expression. These tests pin both properties. */
+class CurationPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def optimized(name: String) =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+
+  /** Tokenizations inside Filter predicates — must be ZERO: a pushed-down
+    * predicate re-evaluating the tokenize/shingle tree per row is the
+    * 33x-retokenize trap in its round-6 disguise. */
+  private def filterTokenizations(name: String): Int =
+    optimized(name).collect { case f: Filter =>
+      f.condition.collect { case r: RegExpReplace => r }.size
+    }.sum
+
+  /** Total tokenizations anywhere in the plan — bounded by the number of
+    * scan branches, never by shingle positions. */
+  private def totalTokenizations(name: String): Int =
+    optimized(name).flatMap(_.expressions)
+      .map(_.collect { case r: RegExpReplace => r }.size).sum
+
+  test("no curation text query tokenizes inside a Filter predicate") {
+    for (q <- Seq("q71_repetition_stats", "q73_decontamination", "q76_dup_spans",
+        "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs", "q35_simhash_pairs")) {
+      assert(filterTokenizations(q) == 0, s"$q has tokenize inside a Filter")
+    }
+  }
+
+  test("tokenize count is branch-bounded, not position-bounded") {
+    assert(totalTokenizations("q71_repetition_stats") <= 1)
+    assert(totalTokenizations("q76_dup_spans") <= 2) // sp feeds dfreq + join
+    assert(totalTokenizations("q73_decontamination") <= 4) // bench/train/sizes branches
+  }
+}
