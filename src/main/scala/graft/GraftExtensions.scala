@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, GreedySegment, MinHashBandSigs, SimHashBits}
+import graft.functions.{BpeEncode, DotProduct, GreedySegment, MinHashBandSigs, SimHashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.segmentFunction)
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.bpeFunction)
     ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
@@ -102,6 +103,39 @@ object GraftExtensions {
       SimHashBits(children(0), constBool(children(1), "graft_simhash"))
     })
 
+  /** SQL surface for BPE encoding:
+    * `graft_bpe_encode(tokens, array('l r', …))` — the merge table is a
+    * foldable string-array literal, one `'left right'` entry per merge in
+    * rank order (symbols are whitespace-free by construction: they come
+    * from whitespace-split tokens, so the space separator is unambiguous).
+    * It parameterizes the compiled scan, like graft_segment's dictionary. */
+  private val bpeFunction = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_bpe_encode(tokens, merges)")
+      val merges = children(1) match {
+        case e if e.foldable && (e.dataType == ArrayType(StringType, false) ||
+                  e.dataType == ArrayType(StringType, true)) =>
+          e.eval() match {
+            case a: ArrayData =>
+              a.toArray[UTF8String](StringType).toSeq.map { u =>
+                require(u != null, "graft_bpe_encode merges must not contain NULL")
+                val s = u.toString
+                val sp = s.indexOf(' ')
+                require(sp > 0 && sp < s.length - 1 && s.indexOf(' ', sp + 1) < 0,
+                  s"graft_bpe_encode merge entry must be 'left right', got '$s'")
+                (s.substring(0, sp), s.substring(sp + 1))
+              }
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_encode merges must be an array literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_encode merges must be a foldable string array, got $other")
+      }
+      BpeEncode(children(0), merges)
+    })
+
   /** Runtime registration on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -112,6 +146,8 @@ object GraftExtensions {
       minhashFunction._1, minhashFunction._2, minhashFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashFunction._1, simhashFunction._2, simhashFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bpeFunction._1, bpeFunction._2, bpeFunction._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin

@@ -73,10 +73,15 @@ object Multimodal {
     feats
   }
 
-  /** Real PPM (P6, 8-bit maxval) parse: ASCII header `P6 <w> <h> <maxval>`
-    * with `#` comments, then raw interleaved RGB. None on any malformation. */
+  /** Real PPM/PGM (P6 color / P5 grayscale, 8-bit maxval) parse: ASCII
+    * header `P6|P5 <w> <h> <maxval>` with `#` comments, then raw pixels —
+    * interleaved RGB for P6, one gray byte per pixel for P5 (replicated to
+    * R=G=B for the feature kernel, like PNG grayscale). None on any
+    * malformation. */
   private[graft] def decodePpm(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    if (content.length < 2 || content(0) != 'P' || content(1) != '6') return None
+    if (content.length < 2 || content(0) != 'P' ||
+        (content(1) != '6' && content(1) != '5')) return None
+    val gray = content(1) == '5'
     var pos = 2
     // header tokens are whitespace-separated; '#' starts a comment to EOL
     def nextInt(): Option[Int] = {
@@ -93,12 +98,14 @@ object Multimodal {
       if (pos == start || pos - start > 9) None
       else Some(new String(content, start, pos - start).toInt)
     }
+    val chans = if (gray) 1L else 3L
     for {
       w <- nextInt(); h <- nextInt(); maxval <- nextInt()
-      if w > 0 && h > 0 && maxval == 255 && pos + 1 + 3L * w * h <= content.length
+      if w > 0 && h > 0 && maxval == 255 && pos + 1 + chans * w * h <= content.length
     } yield {
       val base = pos + 1 // exactly one whitespace byte after maxval per spec
-      (w, h, pixelFeatures(w, h, i => content(base + i) & 0xff))
+      if (gray) (w, h, pixelFeatures(w, h, i => content(base + i / 3) & 0xff))
+      else (w, h, pixelFeatures(w, h, i => content(base + i) & 0xff))
     }
   }
 

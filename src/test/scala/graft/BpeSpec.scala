@@ -42,6 +42,24 @@ class BpeSpec extends SparkSpec {
     assert(enc(2) == Seq("u", "n", "s", "e", "e", "n", "low"))
   }
 
+  test("graft_bpe_encode is callable from SQL and equals the Column form") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      """SELECT graft_bpe_encode(array('low', 'lowest'),
+                                 array('l o', 'lo w', 'low e')) AS sub""")
+      .as[Seq[String]].head()
+    val colForm = Seq(Seq("low", "lowest")).toDF("toks")
+      .select(BpeEncode(col("toks"),
+        Seq(("l", "o"), ("lo", "w"), ("low", "e"))).as("sub"))
+      .as[Seq[String]].head()
+    assert(sql == colForm && sql == Seq("low", "lowe", "s", "t"))
+    // malformed merge entries are rejected at build time with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array('x'), array('nospace'))").collect()
+    }
+    assert(err.getMessage.contains("left right"))
+  }
+
   test("bpe_encode rejects non-string-array input at analysis time") {
     val e = intercept[Exception] {
       Seq(Seq(1, 2)).toDF("xs").select(BpeEncode(col("xs"), Seq(("a", "b")))).collect()

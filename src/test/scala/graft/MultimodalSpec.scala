@@ -45,6 +45,16 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.features.drop(3).sum - 1.0f) < 1e-6) // histogram sums to 1
   }
 
+  test("PGM (P5 grayscale) decode replicates gray to all three channels") {
+    // 2x2 gray checkerboard [0,255 / 255,0] — same pixels as the PNG golden
+    val header = "P5\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(0, 255, 255, 0).map(_.toByte)
+    val ds = Seq(MediaRecord(19L, "image", header ++ px, Map("fmt" -> "pgm"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 2)
+    assert(f.features(0) == 0.5f && f.features(1) == 0.5f && f.features(2) == 0.5f)
+  }
+
   test("BMP decode is real: 24-bit bottom-up rows with 4-byte padding") {
     // 3x2, rowBytes = 12 (9 + 3 pad); disk stores BGR bottom-up:
     // disk row 0 = image bottom row = [red, red, red]; disk row 1 = top = [blue, blue, blue]
