@@ -869,7 +869,8 @@ object Curation {
         agg AS (SELECT t.doc_id, SUM(len(r.syms)) AS n
                 FROM toks t JOIN r$BpeMergeRounds r ON t.word = r.word GROUP BY t.doc_id)
         SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe
-        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""),
+      bench = true) // train + encode end to end in the headline run
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one
