@@ -182,8 +182,9 @@ object Graphs {
     val verts = und.select(col("src").as("v")).distinct()
     // canonical big→small orientation; kept canonical by both phases
     var e = und.filter(col("src") > col("dst")).localCheckpoint(eager = true)
+    var eCount = e.count()
     var rounds = 0
-    var changed = und.limit(1).count() > 0 // empty input: skip the loop
+    var changed = eCount > 0 // empty input: skip the loop
     while (changed) {
       rounds += 1
       // large-star: for each u, attach every LARGER neighbor v to
@@ -205,9 +206,14 @@ object Graphs {
         .distinct()
         .localCheckpoint(eager = true)
       // fixpoint = exact set equality (stars with minimal centers are
-      // fixed points of both phases); one symmetric-difference action
-      changed = small.except(e).union(e.except(small)).limit(1).count() > 0
+      // fixed points of both phases). Both frames are distinct sets, so
+      // |A| = |B| ∧ A\B = ∅ ⇒ A = B: a cheap count first, and the
+      // one-sided difference only when the counts agree.
+      val smallCount = small.count()
+      changed = smallCount != eCount ||
+        small.except(e).limit(1).count() > 0
       e = small
+      eCount = smallCount
     }
     // at fixpoint e is a disjoint star forest: leaves (v, center) with the
     // center = component min; centers label themselves via the left join
