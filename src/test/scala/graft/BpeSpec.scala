@@ -42,6 +42,50 @@ class BpeSpec extends SparkSpec {
     assert(enc(2) == Seq("u", "n", "s", "e", "e", "n", "low"))
   }
 
+  test("distributed training equals an in-memory reference on a seeded corpus") {
+    // independent implementation: plain Scala maps, no Spark — the same
+    // cross-check shape the DuckDB oracle provides, but run in-process so
+    // it guards the distributed loop in plain `sbt test`
+    def referenceBpe(words: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+      var vocab = words.map { case (w, c) => w.map(_.toString).toVector -> c }
+      val out = Seq.newBuilder[(String, String)]
+      var done = false
+      for (_ <- 1 to numMerges if !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pairs.isEmpty) done = true
+        else {
+          val (l, r) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((l, r))
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result()
+          } { case (_, c) => c }(_ + _)
+        }
+      }
+      out.result()
+    }
+    // deterministic pseudo-random corpus: 60 docs over a 40-word alphabet
+    val rng = new scala.util.Random(20260813L)
+    val alphabet = Vector.tabulate(40)(i => rng.alphanumeric.filter(_.isLower).take(2 + i % 5).mkString)
+    val docs = Seq.tabulate(60) { _ =>
+      Seq.fill(8 + rng.nextInt(25))(alphabet(rng.nextInt(alphabet.size))).mkString(" ")
+    }.toDF("text")
+    val wordCounts = docs.select(explode(graft.functions.Exprs.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val expected = referenceBpe(wordCounts, numMerges = 12)
+    val trained = Bpe.train(docs, col("text"), numMerges = 12)
+    assert(trained.map(m => (m.l, m.r)) == expected)
+    assert(trained.map(_.rank) == (1L to expected.length))
+  }
+
   test("graft_bpe_encode is callable from SQL and equals the Column form") {
     GraftExtensions.register(spark)
     val sql = spark.sql(
