@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs
-import graft.operators.{Bpe, Dedup, Similarity, TextStats}
+import graft.operators.{Bpe, Dedup, Similarity, TextPipeline, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -857,6 +857,26 @@ object Curation {
         SELECT lang, shard, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
         FROM cum GROUP BY 1, 2, 3""")),
+
+    // Subword VOCABULARY with stable integer ids — what sequence packing
+    // feeds a model: the BPE operator composed with the A4 two-phase
+    // vocabulary rank (TextPipeline.vocab — no single-partition stage).
+    // Two-path oracle again: Spark derives the vocabulary by ENCODING every
+    // doc through the merge table; DuckDB reads the distinct symbols of the
+    // final TRAINING state — equal because encoding reproduces the training
+    // segmentation for every seen word.
+    QueryDef("q83_bpe_vocab",
+      (s, dir) => {
+        val merges = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+        val subwords = docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(explode(Bpe.encode(col("toks"), merges)).as("term"))
+        TextPipeline.vocab(subwords)
+          .select(col("term").as("subword"), col("idx").as("token_id"))
+      },
+      oracle = Some(bpeTrainSql(BpeMergeRounds) + s"""
+        SELECT subword, row_number() OVER (ORDER BY subword) AS token_id
+        FROM (SELECT DISTINCT unnest(syms) AS subword FROM r$BpeMergeRounds)""")),
 
     QueryDef("q80_bpe_encode",
       (s, dir) => {
