@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * library would amortize model/codec init across a partition (the Scala
   * analogue of `mapInPandas` batch shape).
   *
-  * Decode is REAL for the library-free raster formats — PPM (P6) and
-  * uncompressed 24-bit BMP are header + raw pixels, and PNG (8-bit gray /
+  * Decode is REAL for the library-free formats — PPM/PGM (P6/P5) and
+  * uncompressed 24-bit BMP are header + raw pixels, PNG (8-bit gray /
   * truecolor, non-interlaced) is zlib via the JDK's Inflater plus the five
-  * scanline filters — all parsed here directly (dimensions + per-channel
-  * means + luminance histogram, spec'd against hand-built images) — and a
-  * STUB only for codec-bound formats (JPEG, MP3, H.264…), since this
-  * container ships no codec libraries. Malformed or
+  * scanline filters, and WAV (RIFF PCM 16-bit) is chunked headers + raw
+  * samples — all parsed here directly (dimensions + feature vectors,
+  * spec'd against hand-built payloads) — and a STUB only for codec-bound
+  * formats (JPEG, MP3, H.264…), since this container ships no codec
+  * libraries. Malformed or
   * unrecognized payloads fall back to the deterministic byte-statistics
   * stub rather than failing the partition — the junk-file-guard posture
   * (SURVEY §2 P7): one corrupt file must never kill a 100 TB scan.
@@ -225,6 +226,62 @@ object Multimodal {
     })))
   }
 
+  /** Real WAV (RIFF, PCM 16-bit) parse — audio's library-free common case,
+    * extending real decode beyond rasters. Returns audio's "dimensions" in
+    * the (width, height) slots — (channels, sample rate) — plus a 16-dim
+    * feature vector: [RMS amplitude, zero-crossing rate, mean |amplitude|,
+    * 13-bin |amplitude| histogram], amplitudes normalized to [0,1] over all
+    * interleaved samples. Chunks are word-aligned per RIFF; anything not
+    * 16-bit integer PCM returns None and falls back. */
+  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+      ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(content, o, 4, "US-ASCII")
+    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false; var channels = 0; var rate = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= content.length && (dataOff < 0 || !fmtOk)) {
+      val id = tag(pos); val len = u32(pos + 4)
+      if (pos + 8 + len > content.length) return None // truncated chunk
+      if (id == "fmt " && len >= 16) {
+        val audioFormat = u16(pos + 8)
+        channels = u16(pos + 10)
+        val r = u32(pos + 12)
+        val bits = u16(pos + 22)
+        if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 8 ||
+            r <= 0 || r > 1000000) return None
+        rate = r.toInt
+        fmtOk = true
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len.toInt }
+      pos += 8 + len.toInt + (len.toInt & 1) // word alignment
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    val feats = new Array[Float](16)
+    var sumSq = 0.0; var sumAbs = 0.0; var zc = 0; var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val o = dataOff + 2 * i
+      val s = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort.toInt
+      val a = math.abs(s) / 32768.0
+      sumSq += a * a; sumAbs += a
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
+      feats(3 + math.min((a * 13).toInt, 12)) += 1.0f
+      i += 1
+    }
+    feats(0) = math.sqrt(sumSq / n).toFloat
+    feats(1) = if (n > 1) zc.toFloat / (n - 1) else 0.0f
+    feats(2) = (sumAbs / n).toFloat
+    var j = 3; while (j < 16) { feats(j) /= n.toFloat; j += 1 }
+    Some((channels, rate, feats))
+  }
+
   /** Decode dispatch: real parser when the payload self-identifies as a
     * library-free format, stub otherwise (including malformed payloads —
     * fall back, never throw: one corrupt file must not kill the scan).
@@ -233,6 +290,7 @@ object Multimodal {
     * stub instead of failing the partition (ADVICE r5). */
   private[graft] def decode(kind: String, content: Array[Byte]): (Int, Int, Array[Float]) =
     try decodePpm(content).orElse(decodeBmp(content)).orElse(decodePng(content))
+      .orElse(decodeWav(content))
       .getOrElse(decodeStub(kind, content))
     catch { case scala.util.control.NonFatal(_) => decodeStub(kind, content) }
 

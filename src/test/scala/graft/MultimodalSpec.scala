@@ -179,6 +179,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(f => !(f.width == 2 && f.height == 2)))
   }
 
+  test("WAV decode is real: RMS, zero-crossing rate, and histogram from PCM") {
+    // mono 8000 Hz, 8 samples of a +-16384 square wave: every amplitude is
+    // exactly 0.5, every adjacent pair crosses zero
+    val bb = java.nio.ByteBuffer.allocate(44 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 16).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(16)
+    for (i <- 0 until 8) bb.putShort(if (i % 2 == 0) 16384 else -16384)
+    val ds = Seq(MediaRecord(20L, "audio", bb.array(), Map("fmt" -> "wav"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 1 && f.height == 8000) // (channels, sample rate)
+    assert(f.features(0) == 0.5f) // RMS
+    assert(f.features(1) == 1.0f) // ZCR: 7 crossings / 7 transitions
+    assert(f.features(2) == 0.5f) // mean |amplitude|
+    assert(f.features(3 + 6) == 1.0f) // all mass in the 0.5-amplitude bin
+    // truncated/invalid RIFF falls back to the stub
+    val bad = "RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array.fill[Byte](8)(1)
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRecord(21L, "audio", bad, Map.empty[String, String])).toDS()).collect()
+    assert(out.length == 1 && out.head.features.length == 16)
+  }
+
   test("frame sampling is a 1-row → N-rows generator over the payload") {
     val frames = Multimodal.sampleFrames(records, stride = 2)
       .as[(Long, Int, Array[Byte])].collect()
