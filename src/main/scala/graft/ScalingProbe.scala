@@ -89,13 +89,13 @@ object ScalingProbe {
       // clustering chain (CC rounds × joins), the broadcast-overlap
       // decontamination, and the explicitly-uncapped span-df shuffle
       "q70_dup_clusters", "q72_dedup_purge", "q73_decontamination",
-      "q76_dup_spans", "q79_bpe_train")
+      "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
     val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
-      "q73_decontamination", "q76_dup_spans", "q79_bpe_train")
+      "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
