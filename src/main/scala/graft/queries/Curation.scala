@@ -878,6 +878,51 @@ object Curation {
         SELECT subword, row_number() OVER (ORDER BY subword) AS token_id
         FROM (SELECT DISTINCT unnest(syms) AS subword FROM r$BpeMergeRounds)""")),
 
+    // The pipeline's terminal artifact: every document as its token-ID
+    // sequence (q83's vocabulary applied to q80's encoding), rendered as a
+    // comma-joined string so the cross-engine compare is exact. The id map
+    // is genuinely plan-time-small — final-state symbols are bounded by
+    // alphabet + numMerges, NOT by the corpus — so the lookup is a literal
+    // map inside the per-row transform, no join. The oracle rebuilds the
+    // sequences positionally from the training state (word position ×
+    // symbol position), a third independent path through the same model.
+    QueryDef("q84_bpe_ids",
+      (s, dir) => {
+        val merges = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+        val vmap = TextPipeline.vocab(
+            docs(s, dir)
+              .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+              .select(explode(Bpe.encode(col("toks"), merges)).as("term")))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val idMap = map(vmap.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            array_join(transform(Bpe.encode(col("toks"), merges),
+              s => element_at(idMap, s).cast("string")), ",").as("token_ids"))
+      },
+      oracle = Some(bpeTrainSql(BpeMergeRounds) + s""",
+        toksp AS MATERIALIZED (
+          SELECT doc_id, i AS pos, tk[i] AS word FROM (
+            SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM (
+              SELECT doc_id, list_filter(
+                string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                t -> t <> '') AS tk FROM documents) raw) g),
+        vocab AS MATERIALIZED (
+          SELECT subword, row_number() OVER (ORDER BY subword) AS id
+          FROM (SELECT DISTINCT unnest(syms) AS subword FROM r$BpeMergeRounds)),
+        ids AS (
+          SELECT t.doc_id, t.pos, u.j, v.id
+          FROM toksp t
+          JOIN r$BpeMergeRounds r ON t.word = r.word,
+          UNNEST(generate_series(1, len(r.syms))) AS u(j)
+          JOIN vocab v ON v.subword = r.syms[u.j]),
+        iagg AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, j) AS token_ids
+                 FROM ids GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.token_ids, '') AS token_ids
+        FROM documents d LEFT JOIN iagg a ON d.doc_id = a.doc_id""")),
+
     QueryDef("q80_bpe_encode",
       (s, dir) => {
         val merges = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
