@@ -251,6 +251,29 @@ object Events {
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
           abs(CAST(approx_count_distinct(user_id) AS DOUBLE) - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
             <= CAST(COUNT(DISTINCT user_id) AS DOUBLE) * 0.1 AS approx_within_10pct
+        FROM events GROUP BY 1""")),
+
+    // Sketch quantiles with the q59 tolerance-contract pattern: Spark's
+    // approx_percentile (GK sketch) is mergeable at any scale where the
+    // exact ordered-set percentile (q48) needs a per-group sort; the sketch
+    // value itself is partitioning-dependent, so the emitted row carries the
+    // EXACT value plus a Spark-computed bound check — the oracle replays the
+    // exact side and asserts the bound held, never hashing the sketch.
+    QueryDef("q85_approx_percentiles",
+      (s, dir) => {
+        val exact50 = expr("percentile(value, 0.5)")
+        val approx50 = expr("approx_percentile(value, 0.5, 1000)")
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            round(exact50, 8).as("exact_p50"),
+            (abs(approx50 - exact50) <=
+              greatest(abs(exact50) * 0.05d, lit(1.0d))).as("approx_within_5pct"))
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+          round(quantile_cont(value, 0.5), 8) AS exact_p50,
+          TRUE AS approx_within_5pct
         FROM events GROUP BY 1"""))
   )
 }
