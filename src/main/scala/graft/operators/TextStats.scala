@@ -80,6 +80,23 @@ object TextStats {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast(LongType).as("n_bpe_tokens"))
 
+  /** Markup strip — the CCNet/RefinedWeb-style HTML cleanup a web-corpus
+    * pipeline runs before every other text stage: drop script/style blocks
+    * with their content, strip remaining tags, decode the common entities
+    * (after tag strip, so decoded angle brackets survive as text — the
+    * standard order), collapse whitespace. Pure per-row regexp chain in
+    * whole-stage codegen, zero shuffles; every pattern is RE2-compatible so
+    * DuckDB replays it verbatim (q86). */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; last: no double-decode
+      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling polynomial hash over the ordered token stream — a content
     * fingerprint that is stable across engines (small-integer arithmetic,
     * explicit mod): f = fold((a, t) => (a*131 + len(t)*31 + ascii(t)) mod p)

@@ -674,6 +674,49 @@ object Curation {
           regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<PHONE>', 'g') AS redacted
         FROM enr""")),
 
+    // Markup strip — the HTML cleanup pass a web-corpus pipeline runs first
+    // (CCNet/RefinedWeb shape). The corpus is plain text, so the q74
+    // pattern: deterministically wrap every 5th doc in markup (tags, a
+    // script block, entities) so the strip demonstrably fires, then assert
+    // the cleaned text and the removed-byte count. Script content must
+    // VANISH while entity-decoded angle brackets must SURVIVE as text —
+    // both orders are easy to get wrong silently, which is what the hash
+    // pins down.
+    QueryDef("q86_markup_strip",
+      (s, dir) => {
+        val wrapped = when(col("doc_id") % 5 === 0,
+          concat(lit("<html><body class=\"c\"><p>"), col("text"),
+            lit("</p><script>var a = 1;</script>&amp; more &lt;raw&gt; text</body></html>")))
+          .otherwise(col("text"))
+        docs(s, dir).select(col("doc_id"), wrapped.as("t"))
+          .select(col("doc_id"), col("t"), TextStats.stripMarkup(col("t")).as("clean"))
+          .select(col("doc_id"), col("clean"),
+            (length(col("t")) - length(col("clean"))).cast("long").as("removed"))
+      },
+      oracle = Some("""
+        WITH enr AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+              THEN '<html><body class="c"><p>' || text ||
+                   '</p><script>var a = 1;</script>&amp; more &lt;raw&gt; text</body></html>'
+              ELSE text END AS t
+          FROM documents),
+        st AS (
+          SELECT doc_id, t,
+            trim(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(
+                regexp_replace(
+                  regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+                  '<[^>]+>', ' ', 'g'),
+                '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+              '\s+', ' ', 'g')) AS clean
+          FROM enr)
+        SELECT doc_id, clean,
+          CAST(length(t) - length(clean) AS BIGINT) AS removed
+        FROM st""")),
+
     // Sequence packing for training batches: docs are packed greedily (in
     // doc_id order) into token-budget bins, the concat-then-chunk assignment
     // every LLM data loader performs. Packing is inherently order-sequential,
