@@ -30,6 +30,16 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(Bpe.Merge(1, "a", "b")))
   }
 
+  test("degenerate corpora: empty corpus and single-char words train no merges") {
+    assert(Bpe.train(Seq.empty[String].toDF("text"), col("text"), 4).isEmpty)
+    assert(Bpe.train(Seq("a b a c").toDF("text"), col("text"), 4).isEmpty)
+    // encoding with an empty merge table is plain character splitting
+    val enc = Seq("ab").toDF("text")
+      .select(Bpe.encode(Exprs.tokens(col("text")), Seq.empty).as("s"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("a", "b"))
+  }
+
   test("encoding with the trained table reproduces the final training state") {
     val docs = Seq("low lower lowest", "low low").toDF("text")
     val merges = Bpe.train(docs, col("text"), numMerges = 4)
