@@ -107,4 +107,8 @@ object Caching {
 
   /** Currently registered global pin count (tests / monitoring). */
   def pinnedCount: Int = pinned.size()
+
+  /** Live refcount entries across ALL holders — zero when every pin has
+    * been released (tests / monitoring). */
+  private[graft] def liveRefKeys: Int = refCounts.size()
 }
