@@ -80,6 +80,14 @@ object TextStats {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast(LongType).as("n_bpe_tokens"))
 
+  /** PII patterns shared by q74 and the streaming curation chain. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{7,}"
+
+  /** PII masking (emails, long digit runs) — pure per-row regexps. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Markup strip — the CCNet/RefinedWeb-style HTML cleanup a web-corpus
     * pipeline runs before every other text stage: drop script/style blocks
     * with their content, strip remaining tags, decode the common entities

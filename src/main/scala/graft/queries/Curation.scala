@@ -650,16 +650,13 @@ object Curation {
     // makes the redaction path actually fire rather than vacuously match.
     QueryDef("q74_pii_redaction",
       (s, dir) => {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phoneRe = "[0-9]{7,}"
         val t = concat(col("text"), when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com or call 555"),
             col("doc_id"), lit("0100"))).otherwise(lit("")))
         docs(s, dir).select(col("doc_id"), col("lang"),
-          regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
-            .as("redacted"))
+          regexp_count(t, lit(TextStats.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(t, lit(TextStats.PhoneRe)).cast("long").as("n_phones"),
+          TextStats.redactPii(t).as("redacted"))
       },
       oracle = Some("""
         WITH enr AS (
