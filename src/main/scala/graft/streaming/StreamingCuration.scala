@@ -32,11 +32,29 @@ object StreamingCuration {
   /** Clean, gate, and exactly-dedup a (doc_id, text) stream. Works
     * identically on a batch frame (the parity twin in the spec). */
   def curate(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    cleaned(docs, minTokens)
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("content_hash"), col("n_tok"), col("clean"))
+
+  /** The bounded-state production variant: dedup state is evicted at the
+    * event-time watermark (`dropDuplicatesWithinWatermark`), so the state
+    * store holds only the reorder horizon instead of every distinct
+    * document ever seen. The documented tradeoff: a duplicate arriving
+    * AFTER its original has aged past the watermark is re-emitted — at
+    * 100 TB the horizon-bounded store is what actually runs, with a
+    * periodic batch dedup (q32/q72) sweeping the tail. */
+  def curateWithWatermark(docs: DataFrame, eventTimeCol: String, delay: String,
+                          minTokens: Int = 5): DataFrame =
+    cleaned(docs, minTokens)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col(eventTimeCol), col("content_hash"),
+        col("n_tok"), col("clean"))
+
+  private def cleaned(docs: DataFrame, minTokens: Int): DataFrame =
     docs
       .withColumn("clean", TextStats.redactPii(TextStats.stripMarkup(col("text"))))
       .withColumn("n_tok", size(Exprs.tokens(col("clean"))).cast("long"))
       .filter(col("n_tok") >= minTokens)
       .withColumn("content_hash", xxhash64(col("clean")))
-      .dropDuplicates("content_hash")
-      .select(col("doc_id"), col("content_hash"), col("n_tok"), col("clean"))
 }

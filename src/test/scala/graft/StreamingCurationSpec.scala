@@ -42,4 +42,27 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.forall(r => !r._2.contains("<p>") && !r._2.contains("<html>")))
     } finally q.stop()
   }
+
+  test("watermarked dedup suppresses duplicates within the horizon") {
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingCuration.curateWithWatermark(
+        ms.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("curatedwm").outputMode("append").start()
+    try {
+      // same cleaned content arriving three times inside the horizon: only
+      // the first emission survives; a distinct doc passes through
+      ms.addData((1L, ts(0), "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      ms.addData((2L, ts(30), "<p>alpha beta gamma delta epsilon</p>"),
+        (3L, ts(60), "plain words one two three four five"))
+      q.processAllAvailable()
+      ms.addData((4L, ts(90), "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      val out = spark.table("curatedwm").select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L))
+    } finally q.stop()
+  }
 }
