@@ -75,7 +75,14 @@ case class BpeMergeStep(child: Expression, l: String, r: String)
   * final training segmentation), and the per-token subwords concatenate in
   * token order. The merge table is a plan-time constant — driver-sized
   * (numMerges entries), shipped inside the serialized expression like a
-  * broadcast of the model. */
+  * broadcast of the model.
+  *
+  * Cost is O(numMerges × token length) per token — right for the
+  * oracle-sized tables here; a production-sized table (30–60k merges)
+  * would swap the loop body for the rank-priority formulation (repeatedly
+  * merge the lowest-rank adjacent pair — the standard equivalent of
+  * sequential application) with a pair→rank hash, leaving the expression
+  * contract and the plan shape unchanged. */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
