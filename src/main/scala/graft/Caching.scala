@@ -111,4 +111,14 @@ object Caching {
   /** Live refcount entries across ALL holders — zero when every pin has
     * been released (tests / monitoring). */
   private[graft] def liveRefKeys: Int = refCounts.size()
+
+  /** Refcount currently held for `df`'s canonicalized plan — zero when no
+    * holder pins a plan-identical frame. Unlike [[liveRefKeys]] this is
+    * stable under concurrent pinning of UNRELATED plans (tests that run in
+    * parallel with other suites must assert on their own keys, not on the
+    * global registry). */
+  private[graft] def refCountOf(df: DataFrame): Int = {
+    val v = refCounts.get(df.queryExecution.analyzed.canonicalized)
+    if (v == null) 0 else v.intValue()
+  }
 }

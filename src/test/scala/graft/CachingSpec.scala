@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * surface of both bugs. */
 class CachingSpec extends SparkSpec {
 
+  // Other suites run CONCURRENTLY in this JVM and pin their own frames
+  // (operators pin internally), so assertions here must be on THIS spec's
+  // plan keys, never on the global registry size. The range lengths below
+  // are distinctive on purpose — no other suite builds these plans.
+  private def stressFrame =
+    spark.range(517).toDF("id").withColumn("y", col("id") % 13)
+
   test("concurrent scoped pin/release of plan-identical frames stays consistent") {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -22,11 +29,10 @@ class CachingSpec extends SparkSpec {
             for (_ <- 1 to 25) Caching.scoped {
               // same plan on every thread -> same CacheManager entry and
               // the same refcount key under contention
-              val p = Caching.pin(
-                spark.range(500).toDF("id").withColumn("y", col("id") % 13))
+              val p = Caching.pin(stressFrame)
               // the action must see a consistent (cached or recomputed)
               // frame even while siblings unpin the shared key
-              assert(p.filter(col("y") === 0).count() == 39)
+              assert(p.filter(col("y") === 0).count() == 40)
             }
           } catch { case t: Throwable => errs.add(t) }
         })
@@ -34,22 +40,24 @@ class CachingSpec extends SparkSpec {
       tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
     assert(errs.isEmpty, s"worker failures: ${errs.size} — ${Option(errs.peek())}")
-    // every scope released its pins; the last release dropped the entry
-    assert(Caching.pinnedCount == 0)
-    assert(Caching.liveRefKeys == 0)
+    // every scope released its pins; the last release dropped THIS key
+    assert(Caching.refCountOf(stressFrame) == 0)
   }
 
   test("nested scopes release inner pins without touching outer ones") {
+    val outerPlan = spark.range(1717).toDF("id")
+    val innerPlan = spark.range(2929).toDF("id")
     Caching.scoped {
-      val outer = Caching.pin(spark.range(100).toDF("id"))
+      val outer = Caching.pin(outerPlan)
       Caching.scoped {
-        Caching.pin(spark.range(200).toDF("id"))
-        assert(Caching.liveRefKeys == 2)
+        Caching.pin(innerPlan)
+        assert(Caching.refCountOf(innerPlan) == 1)
       }
       // inner scope closed: its pin is gone, the outer pin survives
-      assert(Caching.liveRefKeys == 1)
-      assert(outer.count() == 100)
+      assert(Caching.refCountOf(innerPlan) == 0)
+      assert(Caching.refCountOf(outerPlan) == 1)
+      assert(outer.count() == 1717)
     }
-    assert(Caching.liveRefKeys == 0 && Caching.pinnedCount == 0)
+    assert(Caching.refCountOf(outerPlan) == 0 && Caching.refCountOf(innerPlan) == 0)
   }
 }
