@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs._
-import graft.operators.{AsOf, Sessions}
+import graft.operators.{AsOf, RangeJoin, Sessions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
@@ -274,6 +274,40 @@ object Events {
         SELECT event_type, COUNT(*) AS cnt,
           round(quantile_cont(value, 0.5), 8) AS exact_p50,
           TRUE AS approx_within_5pct
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // Range join via bin bucketing: every high-value event anchors a ±2 min
+    // incident window; count the traffic inside each window. The naive
+    // `e.ts BETWEEN a.t0 AND a.t1` join has no equi key (Catalyst plans a
+    // BroadcastNestedLoopJoin — |P|×|I| at scale); RangeJoin decomposes it
+    // into an equi join on 2-minute bins + exact range recheck, and
+    // RangeJoinSpec pins both the naive-join equivalence and the
+    // no-nested-loop plan shape.
+    QueryDef("q87_range_join_windows",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+        val win = 120000000L // ±2 min in micros; binWidth = the half-width
+        val anchors = ev.filter(col("value") > 300)
+          .select(col("event_id").as("win_id"),
+            (col("us") - win).as("t0"), (col("us") + win).as("t1"))
+        RangeJoin.pointInInterval(ev, "us", anchors, "t0", "t1", win)
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value"), 8).as("sum_value"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events),
+        anchors AS (
+          SELECT event_id AS win_id, us - 120000000 AS t0, us + 120000000 AS t1
+          FROM ev WHERE value > 300)
+        SELECT a.win_id, COUNT(*) AS n_events,
+          COUNT(DISTINCT e.user_id) AS n_users,
+          CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        FROM anchors a JOIN ev e ON e.us >= a.t0 AND e.us < a.t1
+        GROUP BY 1"""))
   )
 }
