@@ -206,6 +206,55 @@ object Curation {
         WHERE bit_count(xor(fa.f, fb.f)) <= 4"""),
       bench = true),
 
+    // Incremental ingest dedup: docs with doc_id % 10 = 7 are "today's
+    // batch", the rest the existing corpus. The operator probes the full
+    // banded index with the batch side only — batch×corpus and batch×batch
+    // pairs, never corpus×corpus — and the oracle replays the SAME q34
+    // pipeline with the candidate join restricted to batch-probing rows, so
+    // the asymmetric-probe semantics are what gets hash-checked.
+    QueryDef("q88_incremental_dedup",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val isBatch = col("doc_id") % 10 === 7
+        Dedup.incrementalMinhashPairs(d.filter(!isBatch), d.filter(isBatch),
+            threshold = 0.05, portable = true, maxBucketSize = Some(64))
+          .withColumn("pair_type",
+            when(col("doc_a") % 10 === 7 && col("doc_b") % 10 === 7,
+              lit("batch_batch")).otherwise(lit("batch_corpus")))
+      },
+      oracle = Some(s"""$shCte,
+        seeds AS (SELECT unnest(range(0, 32)) AS seed),
+        sig AS (
+          SELECT doc_id, seed,
+            MIN(CAST('0x' || substr(md5(seed || ':' || shingle),1,15) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        banded AS (
+          SELECT doc_id, seed // 4 AS band,
+            string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS band_sig
+          FROM sig GROUP BY 1, 2),
+        kept AS (
+          SELECT * FROM banded
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig) <= 64),
+        cand AS (
+          SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+            greatest(a.doc_id, b.doc_id) AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % 10 = 7),
+        pc AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) AS jaccard,
+          CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7
+            THEN 'batch_batch' ELSE 'batch_corpus' END AS pair_type
+        FROM pc JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) >= 0.05"""),
+      bench = true), // the asymmetric-probe ingest path in the headline run
+
     // The oracle mirrors the operator's deterministic block cap (row_number
     // by vec_id ≤ maxBlock), so the contract stays oracle-exact even on data
     // where a block exceeds the cap — not just at SFs where the cap is moot.

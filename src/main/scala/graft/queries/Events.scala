@@ -308,6 +308,7 @@ object Events {
           COUNT(DISTINCT e.user_id) AS n_users,
           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         FROM anchors a JOIN ev e ON e.us >= a.t0 AND e.us < a.t1
-        GROUP BY 1"""))
+        GROUP BY 1"""),
+      bench = true)
   )
 }
