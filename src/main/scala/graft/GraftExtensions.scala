@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeEncode, DotProduct, GreedySegment, MinHashBandSigs, SimHashBits}
+import graft.functions.{BpeEncode, DotProduct, GreedySegment, MinHashBandSigs, SimHashBits, SpaceSavingTopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.bpeFunction)
+    ext.injectFunction(GraftExtensions.topkFreqFunction)
     ext.injectOptimizerRule(_ => graft.plans.LargeNotInListToAntiJoin)
   }
 }
@@ -136,6 +137,29 @@ object GraftExtensions {
       BpeEncode(children(0), merges)
     })
 
+  /** SQL surface for the space-saving heavy-hitters aggregate:
+    * `graft_topk_freq(item, capacity, k)` — capacity/k size the sketch
+    * buffer, so they must fold to integral constants. */
+  private val topkFreqFunction = (
+    FunctionIdentifier("graft_topk_freq"),
+    new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk_freq"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "graft_topk_freq(item, capacity, k)")
+      def constInt(e: Expression, what: String): Int = {
+        require(e.foldable, s"graft_topk_freq $what must be a constant")
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_freq $what must be integral, got $other")
+        }
+      }
+      // return the raw AggregateFunction — the analyzer wraps it in an
+      // AggregateExpression itself (and owns DISTINCT/FILTER clauses)
+      SpaceSavingTopK(children(0), constInt(children(1), "capacity"),
+        constInt(children(2), "k"))
+    })
+
   /** Runtime registration on an existing session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -148,6 +172,8 @@ object GraftExtensions {
       simhashFunction._1, simhashFunction._2, simhashFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       bpeFunction._1, bpeFunction._2, bpeFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      topkFreqFunction._1, topkFreqFunction._2, topkFreqFunction._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LargeNotInListToAntiJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LargeNotInListToAntiJoin

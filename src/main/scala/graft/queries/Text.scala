@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.SpaceSavingTopK
 import graft.operators.{Segment, TextPipeline, TextStats}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TF-IDF text pipeline queries over the `documents` table (SURVEY.md §2.2,
@@ -231,6 +233,68 @@ object Text {
           WHERE c.term IN ('spark', 'query', 'fast'))
         SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(30,12))) AS DOUBLE), 6) AS score, COUNT(*) AS n_matched
         FROM scored GROUP BY 1
-        ORDER BY score DESC, doc_id ASC LIMIT 20"""))
+        ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    // Heavy hitters per language via the native space-saving sketch
+    // (functions.SpaceSavingTopK) under the q85 tolerance-contract pattern:
+    // the hashed columns are EXACT (total tokens, heavy-term count, exact
+    // top term), and the sketch's guarantees — every term with cnt > n/m is
+    // in the summary; estimates bracket the exact count — are folded into
+    // Spark-computed booleans the oracle asserts TRUE. At 100 TB the sketch
+    // is the point: per-group exact term counts are a vocabulary-sized
+    // shuffle, the sketch is a fixed 256-counter buffer that map-side
+    // combines; the exact side here exists to prove the sketch honest.
+    QueryDef("q89_heavy_hitters",
+      (s, dir) => {
+        val m = 256
+        val tk = Tables(s, dir, "documents")
+          .select(col("lang"), explode(graft.functions.Exprs.tokens(col("text"))).as("term"))
+        val exact = tk.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+        val totals = tk.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+        val heavy = exact.join(totals, "lang")
+          .filter(col("cnt").cast("double") > col("n_tok").cast("double") / m)
+          .select(col("lang"), col("term"))
+        val sk = tk.groupBy(col("lang"))
+          .agg(SpaceSavingTopK(col("term"), capacity = m, k = m).as("top"))
+          .select(col("lang"), explode(col("top")).as("e"))
+          .select(col("lang"), col("e.item").as("term"), col("e.est"), col("e.err"))
+          .join(exact, Seq("lang", "term"), "left")
+        val missed = heavy.join(sk.select(col("lang"), col("term")),
+            Seq("lang", "term"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_missed"))
+        val bounds = sk.groupBy(col("lang")).agg(
+          min(col("est") >= col("cnt") &&
+            (col("est") - col("err")) <= col("cnt")).as("bounds_hold"))
+        val nHeavy = heavy.groupBy(col("lang")).agg(count(lit(1)).as("n_heavy"))
+        val topTerm = exact.withColumn("rk",
+            row_number().over(Window.partitionBy(col("lang"))
+              .orderBy(col("cnt").desc, col("term").asc)))
+          .filter(col("rk") === 1)
+          .select(col("lang"), col("term").as("top_term"), col("cnt").as("top_cnt"))
+        totals
+          .join(nHeavy, Seq("lang"), "left")
+          .join(missed, Seq("lang"), "left")
+          .join(bounds, Seq("lang"))
+          .join(topTerm, Seq("lang"))
+          .select(col("lang"), col("n_tok"),
+            coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+            (coalesce(col("n_missed"), lit(0L)) === 0L).as("sketch_covers_heavy"),
+            col("bounds_hold"), col("top_term"), col("top_cnt"))
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        exact AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        totals AS (SELECT lang, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        heavy AS (
+          SELECT e.lang, e.term FROM exact e JOIN totals t USING (lang)
+          WHERE CAST(e.cnt AS DOUBLE) > CAST(t.n_tok AS DOUBLE) / 256),
+        hc AS (SELECT lang, COUNT(*) AS n_heavy FROM heavy GROUP BY 1),
+        top AS (
+          SELECT lang, term AS top_term, cnt AS top_cnt FROM exact
+          QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) = 1)
+        SELECT t.lang, t.n_tok, COALESCE(hc.n_heavy, 0) AS n_heavy,
+          TRUE AS sketch_covers_heavy, TRUE AS bounds_hold,
+          top.top_term, top.top_cnt
+        FROM totals t LEFT JOIN hc USING (lang) JOIN top USING (lang)"""))
   )
 }

@@ -69,6 +69,21 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(err.getMessage.contains("foldable"))
   }
 
+  test("graft_topk_freq aggregates from SQL and equals the Column form") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_topk_freq(item, 8, 2) AS top FROM VALUES ('a'),('a'),('b'),('a'),('c') t(item)")
+      .select(explode(col("top")).as("e")).select("e.item", "e.est")
+      .as[(String, Long)].collect().toSeq
+    assert(sql == Seq(("a", 3L), ("b", 1L)))
+    // sketch parameters must be constants
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk_freq(item, length(item), 1) FROM VALUES ('a') t(item)")
+        .collect()
+    }
+    assert(err.getMessage.contains("constant"))
+  }
+
   test("registerViews exposes the tables to spark.sql") {
     GraftExtensions.registerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head()
