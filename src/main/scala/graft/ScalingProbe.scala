@@ -23,7 +23,12 @@ object ScalingProbe {
     val shifts = Map(
       "lineitem" -> Seq("l_orderkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
-      "documents" -> Seq("doc_id"))
+      "documents" -> Seq("doc_id"),
+      // id-shift only, SAME time range: ×factor events in the same 30 days,
+      // so event density — and with it every range-join window's occupancy —
+      // grows ×factor. The adversarial regime for q87, analogous to what
+      // id-shift does to shingle df.
+      "events" -> Seq("event_id"))
     shifts.foreach { case (table, keys) =>
       val path = s"$outDir/$table.parquet"
       if (!new java.io.File(path).exists()) {
@@ -57,6 +62,19 @@ object ScalingProbe {
       }
       copies.reduce(_ union _).write.mode("overwrite").parquet(path)
     }
+    // the realistic events regime, analogous to vocabgrow for text: each copy
+    // is time-shifted onto its own disjoint 35-day span, so the corpus grows
+    // as LONGER HISTORY at constant density — window occupancy stays at its
+    // base value while anchor count grows ×factor
+    val evPath = s"$outDir/events.parquet"
+    if (!new java.io.File(evPath).exists()) {
+      val base = graft.sources.Tables(spark, baseDir, "events")
+      val copies = (0 until factor).map { i =>
+        base.withColumn("event_id", col("event_id") + lit(i * Offset))
+          .withColumn("ts", expr(s"ts + INTERVAL ${i * 35} DAYS"))
+      }
+      copies.reduce(_ union _).write.mode("overwrite").parquet(evPath)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,13 +107,18 @@ object ScalingProbe {
       // clustering chain (CC rounds × joins), the broadcast-overlap
       // decontamination, and the explicitly-uncapped span-df shuffle
       "q70_dup_clusters", "q72_dedup_purge", "q73_decontamination",
-      "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode")
+      "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
+      // round-6 additions: the binned range join (density regime vs
+      // longer-history regime), the asymmetric-probe incremental dedup, and
+      // the fixed-memory heavy-hitters sketch vs its corpus-sized exact side
+      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
     val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
-      "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode")
+      "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
+      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
