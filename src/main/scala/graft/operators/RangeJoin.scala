@@ -45,9 +45,9 @@ object RangeJoin {
     val binned = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_bin",
-        explode(sequence(expr(s"$startCol DIV $binWidth"),
-          expr(s"($endCol - 1) DIV $binWidth"))))
-    val pts = points.withColumn("_bin", expr(s"$ptCol DIV $binWidth"))
+        explode(sequence(expr(s"`$startCol` DIV $binWidth"),
+          expr(s"(`$endCol` - 1) DIV $binWidth"))))
+    val pts = points.withColumn("_bin", expr(s"`$ptCol` DIV $binWidth"))
     pts.join(binned,
         pts("_bin") === binned("_bin") &&
           col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))

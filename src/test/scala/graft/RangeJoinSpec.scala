@@ -45,6 +45,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.contains((5L, 13L)) && out.contains((6L, 13L))) // 999 and 1000 ∈ [990, 1001)
   }
 
+  test("fuzz: random intervals/points equal the naive join at random bin widths") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("pid", "t")
+      val ivs = (1 to 120).map { i =>
+        val s = rnd.nextInt(10000).toLong
+        (i.toLong, s, s + rnd.nextInt(500).toLong) // includes empty (len 0)
+      }.toDF("iid", "t0", "t1")
+      val binWidth = 1L + rnd.nextInt(700)
+      val got = RangeJoin.pointInInterval(pts, "t", ivs, "t0", "t1", binWidth)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq.sorted
+      val want = pts.join(ivs, col("t") >= col("t0") && col("t") < col("t1"))
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"round=$round binWidth=$binWidth")
+    }
+  }
+
   test("the plan is an equi join on the bin, not a nested loop") {
     val out = RangeJoin.pointInInterval(points, "t", intervals, "t0", "t1", 100L)
     val physical = out.queryExecution.executedPlan.toString

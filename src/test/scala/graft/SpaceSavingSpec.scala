@@ -59,6 +59,19 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("the aggregate map-side combines: partial sketch before the exchange") {
+    // the scale contract: the shuffle carries one m-entry summary per
+    // (partition, group), not per-item rows — visible as a partial-mode
+    // aggregate below the exchange in the physical plan
+    val plan = Seq(("en", "a"), ("de", "b")).toDF("lang", "item")
+      .repartition(4)
+      .groupBy(col("lang"))
+      .agg(SpaceSavingTopK(col("item"), capacity = 8, k = 2).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_topk_freq"), plan)
+  }
+
   test("nulls are skipped; non-string input is rejected at analysis") {
     val out = Seq(Some("a"), None, Some("a"), None).toDF("item").coalesce(1)
       .agg(SpaceSavingTopK(col("item"), capacity = 4, k = 4).as("top"))
