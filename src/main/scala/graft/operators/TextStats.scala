@@ -118,4 +118,48 @@ object TextStats {
         (acc, v) => (acc * 131L + v) % 1000000007L))
     docs.select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  /** CCNet-style statistical quality signal: a character-trigram language
+    * model trained per language over the normalized corpus, each doc scored
+    * against ITS OWN language's model as average negative log-likelihood
+    * and perplexity. Unlike the marker-word vote ([[languageId]]) and the
+    * surface ratios ([[quality]]), this is a TRAINED model — boilerplate,
+    * gibberish, and wrong-language text all score high-ppl against the
+    * in-language distribution, which is the filter signal CCNet/RefinedWeb
+    * pipelines threshold on.
+    *
+    * Model: P(tg) = (cnt+1)/(total+D) with add-one smoothing over the
+    * lang's D distinct trigrams — trained on the same corpus it scores, so
+    * no OOV branch exists by construction (every doc trigram is in the
+    * model). Per-trigram log-probs are rounded to 10 dp before the exact
+    * decimal sum (the repo's standing libm-vs-JVM 1-ulp hygiene), so the
+    * emitted doubles hash-match a SQL replay.
+    *
+    * Scale shape: the trigram frame is pinned once and feeds training and
+    * scoring; the model is alphabet-bounded (≤ |Σ|³ rows per language —
+    * thousands, corpus-size-INDEPENDENT), so the scoring join broadcasts
+    * the model. One wide shuffle (doc-keyed scoring agg) total; training
+    * aggregations are map-side combined counts. Docs shorter than one
+    * trigram after normalization are dropped (no model evidence). */
+  def charLmPerplexity(docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), col("lang"), array_join(tokens(col("text")), " ").as("clean"))
+      .filter(length(col("clean")) >= 3)
+    val tris = graft.Caching.pin(clean.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(clean) - 2), i -> substring(clean, i, 3))")).as("tg")))
+    val model = tris.groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("cnt"))
+    val totals = model.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("d"))
+    val probs = model.join(totals, "lang")
+      .select(col("lang"), col("tg"),
+        round(log((col("cnt") + 1).cast(DoubleType) /
+          (col("total") + col("d")).cast(DoubleType)), 10).as("logp"))
+    tris.join(broadcast(probs), Seq("lang", "tg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tri"), dsum(col("logp"), 10).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_tri"),
+        round(-col("s") / col("n_tri").cast(DoubleType), 8).as("avg_nll"),
+        round(exp(-col("s") / col("n_tri").cast(DoubleType)), 6).as("ppl"))
+  }
 }

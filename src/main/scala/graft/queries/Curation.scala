@@ -567,6 +567,39 @@ object Curation {
         FROM seq"""),
       bench = true),
 
+    // Perplexity filtering (CCNet-style): a char-trigram LM trained per
+    // language over the corpus, every doc scored against its own language's
+    // model. The whole train+score chain — normalization, trigram explode,
+    // add-one smoothed log-probs (rounded to 10 dp pre-sum, the standing
+    // libm hygiene), exact decimal sum, avg-NLL, perplexity — is replayed
+    // verbatim in SQL, so the trained-model semantics are hash-checked.
+    QueryDef("q90_charlm_ppl",
+      (s, dir) => TextStats.charLmPerplexity(docs(s, dir)),
+      oracle = Some("""
+        WITH cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        model AS (SELECT lang, tg, COUNT(*) AS cnt FROM tris GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM model GROUP BY 1),
+        probs AS (
+          SELECT m.lang, m.tg,
+            round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM model m JOIN tot USING (lang)),
+        sc AS (
+          SELECT t.doc_id, t.lang, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) AS s
+          FROM tris t JOIN probs p ON p.lang = t.lang AND p.tg = t.tg
+          GROUP BY 1, 2)
+        SELECT doc_id, lang, n_tri,
+          round(-s/n_tri, 8) AS avg_nll,
+          round(exp(-s/n_tri), 6) AS ppl
+        FROM sc""")),
+
     // Duplicate CLUSTERS from near-dup PAIRS: connected components (min-label
     // propagation, graft.graph.Graphs.connectedComponents) over the q33
     // capped-Jaccard pair graph; every doc gets the min doc_id of its

@@ -45,4 +45,39 @@ class TextStatsSpec extends SparkSpec {
     assert(fp(2L) == 0L)
     assert(fp(3L) == 159L)
   }
+
+  test("char-LM perplexity equals an in-memory reference and ranks gibberish above prose") {
+    val texts = Map(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the rat sat on the mat and the cat ran to the dog",
+      3L -> "zq xv jw qk zx vq wj kq xz qv",  // gibberish: unseen-elsewhere trigrams
+      4L -> "no")                              // < 3 chars after normalize → dropped
+    val docs = texts.toSeq.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    val out = TextStats.charLmPerplexity(docs)
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+
+    // independent in-memory reference of the full train+score chain
+    val clean = texts.view.mapValues(
+      _.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
+      .toMap.filter(_._2.length >= 3)
+    val docTris = clean.view.mapValues(c => (0 to c.length - 3).map(i => c.substring(i, i + 3))).toMap
+    val cnt = docTris.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cnt.values.sum
+    val d = cnt.size
+    def logp(tg: String) =
+      BigDecimal(math.log((cnt(tg) + 1).toDouble / (total + d).toDouble))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    for ((id, tris) <- docTris) {
+      val s = tris.map(logp).sum.toDouble
+      val nll = -s / tris.size
+      val (nTri, avgNll, ppl) = out(id)
+      assert(nTri == tris.size.toLong, s"doc $id")
+      assert(math.abs(avgNll - nll) < 1e-8, s"doc $id: $avgNll vs $nll")
+      assert(math.abs(ppl - math.exp(nll)) < 1e-6, s"doc $id")
+    }
+    assert(!out.contains(4L))
+    // the filter signal: out-of-distribution text scores far above prose
+    assert(out(3L)._3 > 2 * out(1L)._3 && out(3L)._3 > 2 * out(2L)._3)
+  }
 }
