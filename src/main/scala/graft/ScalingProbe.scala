@@ -111,14 +111,16 @@ object ScalingProbe {
       // round-6 additions: the binned range join (density regime vs
       // longer-history regime), the asymmetric-probe incremental dedup, and
       // the fixed-memory heavy-hitters sketch vs its corpus-sized exact side
-      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters")
+      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
+      "q90_charlm_ppl")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
     val vocabGrowQueries = Set("q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs",
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
-      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters")
+      "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
+      "q90_charlm_ppl")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
