@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs
-import graft.operators.{Bpe, Dedup, Similarity, TextPipeline, TextStats}
+import graft.operators.{Bloom, Bpe, Dedup, LineDedup, Similarity, TextPipeline, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -88,6 +88,17 @@ object Curation {
     * that the unrolled-CTE oracle stays tractable. Declared before [[defs]]
     * — its strict initializer reads this at object-init time. */
   private val BpeMergeRounds = 16
+
+  /** q91's injected boilerplate lines — appended as whole lines (not
+    * chunked), already in normalized token form so both engines hash the
+    * same bytes. Declared before [[defs]]: the oracle strings interpolate
+    * them eagerly. */
+  private val Boiler1 = "subscribe to our newsletter for daily updates"
+  private val Boiler2 = "all rights reserved by the example corpus project"
+
+  /** q92 Bloom geometry: 2^18 bits = 32 KiB bitmap, 3 hashes. */
+  private val BloomBits = 1 << 18
+  private val BloomK = 3
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1057,7 +1068,86 @@ object Curation {
                 FROM toks t JOIN r$BpeMergeRounds r ON t.word = r.word GROUP BY t.doc_id)
         SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""),
-      bench = true) // train + encode end to end in the headline run
+      bench = true), // train + encode end to end in the headline run
+
+    // C4-style cross-document line dedup — boilerplate removal. The corpus
+    // has no newlines, so "lines" are synthesized deterministically (the q74
+    // enrichment pattern): width-12 token chunks of each doc, plus injected
+    // boilerplate lines on every 3rd/5th doc so the cross-document removal
+    // path demonstrably fires (the chunk lines are all but surely unique —
+    // the injected lines are the duplicates, removed everywhere but their
+    // first corpus occurrence). Keep-first + reassembly, all equi-key.
+    QueryDef("q91_line_dedup",
+      (s, dir) => {
+        val lines = concat(
+          LineDedup.chunkLines(col("text"), 12),
+          when(col("doc_id") % 3 === 0, array(lit(Boiler1)))
+            .otherwise(array().cast("array<string>")),
+          when(col("doc_id") % 5 === 0, array(lit(Boiler2)))
+            .otherwise(array().cast("array<string>")))
+        LineDedup.dedupLines(LineDedup.explodeLines(docs(s, dir), lines))
+      },
+      oracle = Some(s"""
+        WITH seq AS (
+          SELECT doc_id, string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          FROM documents),
+        ch AS (
+          SELECT doc_id, list_concat(list_concat(
+            list_transform(range(CAST(ceil(len(tk) / 12.0) AS BIGINT)),
+              i -> array_to_string(list_slice(tk, i*12 + 1, i*12 + 12), ' ')),
+            CASE WHEN doc_id % 3 = 0 THEN ['$Boiler1'] ELSE CAST([] AS VARCHAR[]) END),
+            CASE WHEN doc_id % 5 = 0 THEN ['$Boiler2'] ELSE CAST([] AS VARCHAR[]) END) AS l
+          FROM seq),
+        ln AS (
+          SELECT doc_id, i - 1 AS line_no, l[i] AS line
+          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM ch)),
+        f AS (
+          SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+          FROM ln)
+        SELECT doc_id, COUNT(*) AS n_lines,
+          CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_no), '') AS clean_text
+        FROM f GROUP BY doc_id"""),
+      bench = true), // the C4 boilerplate pass in the headline run
+
+    // Bloom-filter decontamination — the q73 semantics when the benchmark
+    // set outgrows an exact broadcast set: membership via a plan-constant
+    // m-bit filter (portable md5-derived positions, so DuckDB replays the
+    // test bit-for-bit, deterministic false positives included). The probe
+    // side is pure per-row work: ZERO joins/shuffles on the corpus until
+    // the final per-doc aggregate.
+    QueryDef("q92_bloom_decontam",
+      (s, dir) => {
+        val sh = graft.Caching.pin(
+          Dedup.shingleSet(docs(s, dir), 3).select(col("doc_id"), col("shingle")))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
+        val words = Bloom.build(bench, BloomK, BloomBits)
+        val hit = Bloom.containsAll(words, Bloom.positions(col("shingle"), BloomK, BloomBits))
+        val frac = round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6)
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), hit.cast("long").as("hit"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
+          .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+            frac.as("hit_frac"), (frac >= 0.5).as("flagged"))
+      },
+      oracle = Some(s"""$shCte,
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        ks AS (SELECT unnest([0, 1, 2]) AS i),
+        bits AS (SELECT DISTINCT CAST('0x' || substr(md5(i || ':' || shingle), 1, 15) AS BIGINT) % $BloomBits AS b
+                 FROM bsh CROSS JOIN ks),
+        tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        trh AS (
+          SELECT doc_id, shingle,
+            (SUM(CASE WHEN CAST('0x' || substr(md5(i || ':' || shingle), 1, 15) AS BIGINT) % $BloomBits
+                      IN (SELECT b FROM bits) THEN 1 ELSE 0 END) = $BloomK) AS hit
+          FROM tr CROSS JOIN ks GROUP BY doc_id, shingle)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hit_frac,
+          (round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) >= 0.5) AS flagged
+        FROM trh GROUP BY doc_id"""),
+      bench = true) // zero-shuffle probe side in the headline run
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one
