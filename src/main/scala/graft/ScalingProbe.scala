@@ -112,7 +112,10 @@ object ScalingProbe {
       // longer-history regime), the asymmetric-probe incremental dedup, and
       // the fixed-memory heavy-hitters sketch vs its corpus-sized exact side
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
-      "q90_charlm_ppl")
+      "q90_charlm_ppl",
+      // the C4 line-dedup pass (hot boilerplate lines are the skew case) and
+      // the Bloom probe (pure row work — its ratio IS the scan ratio)
+      "q91_line_dedup", "q92_bloom_decontam")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -120,7 +123,7 @@ object ScalingProbe {
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
-      "q90_charlm_ppl")
+      "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -1079,13 +1079,16 @@ object Curation {
     // first corpus occurrence). Keep-first + reassembly, all equi-key.
     QueryDef("q91_line_dedup",
       (s, dir) => {
+        // tokens in their own projection (HOF-CSE contract — chunkTokens
+        // references its argument once per span)
+        val toks = docs(s, dir).select(col("doc_id"), Exprs.tokens(col("text")).as("tk"))
         val lines = concat(
-          LineDedup.chunkLines(col("text"), 12),
+          LineDedup.chunkTokens(col("tk"), 12),
           when(col("doc_id") % 3 === 0, array(lit(Boiler1)))
             .otherwise(array().cast("array<string>")),
           when(col("doc_id") % 5 === 0, array(lit(Boiler2)))
             .otherwise(array().cast("array<string>")))
-        LineDedup.dedupLines(LineDedup.explodeLines(docs(s, dir), lines))
+        LineDedup.dedupLines(LineDedup.explodeLines(toks, lines))
       },
       oracle = Some(s"""
         WITH seq AS (
