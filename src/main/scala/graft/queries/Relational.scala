@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs._
+import graft.operators.{Bloom, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -274,6 +275,55 @@ object Relational {
         SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-        FROM orders GROUP BY 1, 2"""))
+        FROM orders GROUP BY 1, 2""")),
+
+    // Skew-salted shuffle join: events ⋈ per-type stats on event_type — a
+    // handful of hot keys carrying the whole fact table, the classic
+    // power-law join AQE's splitting handles only after a task has already
+    // skewed. Semantics are EXACTLY the plain inner join (the salt spreads
+    // rows, never changes matches), which is what the oracle asserts.
+    QueryDef("q93_salted_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
+        val dim = Tables(s, dir, "events").groupBy(col("event_type"))
+          .agg(davg(col("value")).as("type_avg"))
+        Skew.saltedJoin(ev, dim, "event_type", salts = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above_avg"))
+      },
+      oracle = Some("""
+        WITH ta AS (
+          SELECT event_type AS et,
+            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS type_avg
+          FROM events GROUP BY 1)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN value > type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        FROM events JOIN ta ON event_type = et
+        GROUP BY 1""")),
+
+    // Bloom-pruned fact join (runtime-filter shape): the urgent-orders
+    // predicate lives on the dim side where the lineitem scan can't see it;
+    // the Bloom prune pushes its selectivity onto the fact side BEFORE the
+    // shuffle. False positives survive the prune but not the exact join, so
+    // the result is bit-identical to the plain join — the oracle IS the
+    // plain join. BloomJoinSpec pins the plan shape (getbit filter below
+    // the fact-side exchange).
+    QueryDef("q94_bloom_join",
+      (s, dir) => {
+        val urgent = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        Bloom.prunedJoin(Tables(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1"""),
+      bench = true)
   )
 }
