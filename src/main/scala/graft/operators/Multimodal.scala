@@ -79,7 +79,10 @@ object Multimodal {
     * interleaved RGB for P6, one gray byte per pixel for P5 (replicated to
     * R=G=B for the feature kernel, like PNG grayscale). None on any
     * malformation. */
-  private[graft] def decodePpm(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[graft] def decodePpm(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    rasterPpm(content).map { case (w, h, rgb) => (w, h, pixelFeatures(w, h, rgb)) }
+
+  private[graft] def rasterPpm(content: Array[Byte]): Option[(Int, Int, Int => Int)] = {
     if (content.length < 2 || content(0) != 'P' ||
         (content(1) != '6' && content(1) != '5')) return None
     val gray = content(1) == '5'
@@ -105,15 +108,18 @@ object Multimodal {
       if w > 0 && h > 0 && maxval == 255 && pos + 1 + chans * w * h <= content.length
     } yield {
       val base = pos + 1 // exactly one whitespace byte after maxval per spec
-      if (gray) (w, h, pixelFeatures(w, h, i => content(base + i / 3) & 0xff))
-      else (w, h, pixelFeatures(w, h, i => content(base + i) & 0xff))
+      if (gray) (w, h, (i: Int) => content(base + i / 3) & 0xff)
+      else (w, h, (i: Int) => content(base + i) & 0xff)
     }
   }
 
   /** Real BMP parse: uncompressed 24-bit BITMAPINFOHEADER only (the
     * library-free common case). Rows are 4-byte padded, stored bottom-up
     * (negative height = top-down). None on any other variant. */
-  private[graft] def decodeBmp(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[graft] def decodeBmp(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    rasterBmp(content).map { case (w, h, rgb) => (w, h, pixelFeatures(w, h, rgb)) }
+
+  private[graft] def rasterBmp(content: Array[Byte]): Option[(Int, Int, Int => Int)] = {
     def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
     def i32(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
       ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
@@ -126,11 +132,11 @@ object Multimodal {
     val rowBytesL = (3L * w + 3) / 4 * 4
     if (dataOff < 54 || dataOff.toLong + rowBytesL * h > content.length) return None
     val rowBytes = rowBytesL.toInt // extent ≤ content.length < 2^31 ⇒ fits
-    Some((w, h, pixelFeatures(w, h, { i =>
+    Some((w, h, { i: Int =>
       val px = i / 3; val ch = i % 3 // BGR on disk → map R/G/B request to 2/1/0
       val row = px / w; val diskRow = if (topDown) row else h - 1 - row
       content(dataOff + diskRow * rowBytes + (px % w) * 3 + (2 - ch)) & 0xff
-    })))
+    }))
   }
 
   /** Real PNG parse using only the JDK: PNG is zlib-compressed scanlines
@@ -140,7 +146,10 @@ object Multimodal {
     * (None/Sub/Up/Average/Paeth, RFC 2083 §6). Anything else — palette,
     * alpha, 16-bit, Adam7 — returns None and falls back. Ancillary chunks
     * are skipped; IDAT chunks are concatenated before inflating, per spec. */
-  private[graft] def decodePng(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[graft] def decodePng(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    rasterPng(content).map { case (w, h, rgb) => (w, h, pixelFeatures(w, h, rgb)) }
+
+  private[graft] def rasterPng(content: Array[Byte]): Option[(Int, Int, Int => Int)] = {
     val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     // minimum: 8 sig + 25 IHDR chunk (len+type+13 data+crc)
     if (content.length < 33) return None
@@ -220,10 +229,10 @@ object Multimodal {
       }
       y += 1
     }
-    Some((wi, hi, pixelFeatures(wi, hi, { j =>
+    Some((wi, hi, { j: Int =>
       if (channels == 3) px(j) & 0xff
       else px(j / 3) & 0xff // grayscale: replicate the gray byte to R,G,B
-    })))
+    }))
   }
 
   /** Real WAV (RIFF, PCM 16-bit) parse — audio's library-free common case,
@@ -319,5 +328,53 @@ object Multimodal {
         (r.media_id, f, r.content.slice(off, math.min(off + stride, r.content.length)))
       }
     }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Raster dispatch for the library-free image formats: (w, h, rgb accessor)
+    * with `rgb(i)` yielding interleaved R,G,B bytes for w*h pixels — the
+    * shared substrate of [[extractFeatures]] and [[resizeImage]]. None (not
+    * throw) on anything unrecognized or malformed, same posture as decode. */
+  private[graft] def decodeRaster(content: Array[Byte]): Option[(Int, Int, Int => Int)] =
+    try rasterPpm(content).orElse(rasterBmp(content)).orElse(rasterPng(content))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Nearest-neighbor resize of any raster-decodable payload, re-encoded as
+    * P6 PPM (the pipeline's canonical uncompressed interchange — the output
+    * feeds [[decode]]/[[extractFeatures]] directly). Source pixel for output
+    * (x, y) is (⌊x·w/outW⌋, ⌊y·h/outH⌋) — deterministic, engine-replayable
+    * integer arithmetic, no filtering kernel. None for non-raster payloads
+    * (resizing audio bytes is meaningless, not an error). */
+  def resizeImage(content: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive, got ${outW}x$outH")
+    decodeRaster(content).map { case (w, h, rgb) =>
+      val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * outW * outH)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * w / outW).toInt
+          val p = 3 * (sy * w + sx)
+          out(o) = rgb(p).toByte; out(o + 1) = rgb(p + 1).toByte
+          out(o + 2) = rgb(p + 2).toByte
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Batch resize: per-partition iteration like [[extractFeatures]] (a real
+    * resampling library would init once per partition). Non-raster payloads
+    * yield a null image column — the row survives, the scan never fails. */
+  def resizeImages(records: Dataset[MediaRecord], outW: Int, outH: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map(r => (r.media_id, r.kind, resizeImage(r.content, outW, outH).orNull))
+    }.toDF("media_id", "kind", "image")
   }
 }

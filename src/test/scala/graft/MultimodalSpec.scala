@@ -210,4 +210,63 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc(1L).sortBy(_._2).head._3.toSeq == Seq[Byte](3, 5))
     assert(!byDoc.contains(2L))
   }
+
+  /** 4x4 P6: rows of solid red, green, blue, white. */
+  private def ppm4x4: Array[Byte] = {
+    val header = "P6\n4 4\n255\n".getBytes("US-ASCII")
+    val rows = Seq(Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255),
+      Array(255, 255, 255))
+    header ++ rows.flatMap(c => Seq.fill(4)(c.map(_.toByte)).flatten)
+  }
+
+  test("resize downsamples by nearest neighbor and re-encodes as decodable PPM") {
+    // 4x4 → 2x2: output (x,y) samples source (2x, 2y) → rows red, blue
+    val out = Multimodal.resizeImage(ppm4x4, 2, 2).get
+    val (w, h, rgb) = Multimodal.decodeRaster(out).get
+    assert(w == 2 && h == 2)
+    val px = (0 until 4).map(i => (rgb(3 * i), rgb(3 * i + 1), rgb(3 * i + 2)))
+    assert(px == Seq((255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)))
+  }
+
+  test("resize upsamples: each source pixel replicates into a block") {
+    // 2x2 checkerboard PGM [0,255 / 255,0] → 4x4: 2x2 blocks of the source
+    val gray = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(0, 255, 255, 0).map(_.toByte)
+    val out = Multimodal.resizeImage(gray, 4, 4).get
+    val (w, h, rgb) = Multimodal.decodeRaster(out).get
+    assert(w == 4 && h == 4)
+    def g(x: Int, y: Int) = rgb(3 * (y * 4 + x)) // R==G==B for gray sources
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val want = if ((x / 2) == (y / 2)) 0 else 255
+      assert(g(x, y) == want, s"($x,$y)")
+    }
+  }
+
+  test("resize handles every raster format and refuses non-rasters") {
+    // BMP golden from the decode test: 3x2 → 1x1 picks source pixel (0,0) = blue top-left
+    val bb = java.nio.ByteBuffer.allocate(54 + 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 24).putInt(0).putInt(54)
+    bb.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24).putInt(0).putInt(24)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    val red = Array[Byte](0, 0, 255.toByte); val blue = Array[Byte](255.toByte, 0, 0)
+    for (_ <- 0 until 3) bb.put(red); bb.put(Array[Byte](0, 0, 0))
+    for (_ <- 0 until 3) bb.put(blue); bb.put(Array[Byte](0, 0, 0))
+    val (w1, h1, rgb1) = Multimodal.decodeRaster(
+      Multimodal.resizeImage(bb.array(), 1, 1).get).get
+    assert(w1 == 1 && h1 == 1 && (rgb1(0), rgb1(1), rgb1(2)) == ((0, 0, 255)))
+    // non-raster payloads: None, never throw
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+    assert(Multimodal.resizeImage("P6 99999999999 1 255 ".getBytes, 2, 2).isEmpty)
+  }
+
+  test("batch resize keeps non-raster rows with a null image column") {
+    val ds = Seq(
+      MediaRecord(1L, "image", ppm4x4, Map.empty[String, String]),
+      MediaRecord(2L, "video", Array[Byte](9, 9, 9), Map.empty[String, String])).toDS()
+    val rows = Multimodal.resizeImages(ds, 2, 2)
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._3 != null && Multimodal.decodeRaster(rows(0)._3).isDefined)
+    assert(rows(1)._3 == null)
+  }
 }

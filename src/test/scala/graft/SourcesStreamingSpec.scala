@@ -46,6 +46,24 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(back.filter(col("split") === "test").count() == 1L)
   }
 
+  test("partition pruning: a filter on the layout key scans only matching dirs") {
+    val root = mkCorpus()
+    val out = Files.createTempDirectory("pruned").toFile.getAbsolutePath
+    CorpusSource.documents(spark, root)
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    val q = spark.read.parquet(out).filter(col("split") === "test")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // the split predicate must be a PartitionFilter (directory pruning at
+    // plan time — the 100 TB point of a partitionBy layout), not a data
+    // filter evaluated after reading every file
+    assert(scan.partitionFilters.exists(_.toString.contains("split")), scan.toString)
+    q.collect()
+    // and the scan must actually have read only the matching partition's files
+    assert(scan.metrics("numFiles").value == 1L, scan.metrics("numFiles").value.toString)
+  }
+
   test("streaming windowed counts equal the batch result (same shape)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
