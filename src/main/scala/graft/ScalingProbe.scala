@@ -115,7 +115,13 @@ object ScalingProbe {
       "q90_charlm_ppl",
       // the C4 line-dedup pass (hot boilerplate lines are the skew case) and
       // the Bloom probe (pure row work — its ratio IS the scan ratio)
-      "q91_line_dedup", "q92_bloom_decontam")
+      "q91_line_dedup", "q92_bloom_decontam",
+      // the scale-technique joins: q93's id-shift replica is its adversarial
+      // regime by construction (×10 rows on the SAME five event_type keys —
+      // exactly the hot-key density salting exists for); q94's orderkey
+      // shifts are consistent across fact and dim, so the join scales
+      // linearly and the probe watches the Bloom build + prune overhead
+      "q93_salted_join", "q94_bloom_join")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in

@@ -32,12 +32,23 @@ object Bloom {
   def positions(c: Column, k: Int, m: Int): Column =
     array((0 until k).map(i => pmod(h60(concat(lit(s"$i:"), c)), lit(m.toLong))): _*)
 
+  /** k bit positions via the engine-internal xxhash64 — an order of
+    * magnitude cheaper per row than the md5-derived [[positions]]. Use
+    * whenever no other engine needs to replay WHICH rows pass: pruning
+    * ([[prunedJoin]] — false positives die in the exact join) wants this;
+    * a membership-replay oracle (q92) needs the portable [[positions]]. */
+  def fastPositions(c: Column, k: Int, m: Int): Column =
+    array((0 until k).map(i => pmod(xxhash64(lit(i), c), lit(m.toLong))): _*)
+
   /** Build the bitmap for every string in `members` (one column expected).
     * Driver-side result is bounded by m bits by construction. */
-  def build(members: DataFrame, k: Int, m: Int): Array[Long] = {
+  def build(members: DataFrame, k: Int, m: Int): Array[Long] =
+    buildWith(members, c => positions(c, k, m), m)
+
+  private def buildWith(members: DataFrame, pos: Column => Column, m: Int): Array[Long] = {
     require(m % 64 == 0, s"m must be a multiple of 64, got $m")
     val c = col(members.columns.head)
-    val bits = members.select(explode(positions(c, k, m)).as("b")).distinct()
+    val bits = members.select(explode(pos(c)).as("b")).distinct()
       .collect().map(_.getLong(0))
     val words = new Array[Long](m / 64)
     bits.foreach(b => words(b.toInt / 64) |= (1L << (b.toInt % 64)))
@@ -60,11 +71,16 @@ object Bloom {
     * `build` runs a driver action at plan-build time (bounded by m bits,
     * same documented pattern as the dim peeks in Knn/Similarity). Keys are
     * compared via their canonical string form on BOTH sides, so the filter
-    * never diverges from the join condition. */
+    * never diverges from the join condition. Positions use the
+    * engine-internal [[fastPositions]]: which rows pass the prune is
+    * invisible in the result (the exact join removes every false
+    * positive), so there is nothing for another engine to replay and no
+    * reason to pay md5 on every fact row. */
   def prunedJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
                  k: Int = 5, m: Int = 1 << 18): DataFrame = {
-    val words = build(dim.select(col(dimKey).cast("string")).distinct(), k, m)
-    fact.filter(containsAll(words, positions(col(factKey).cast("string"), k, m)))
+    val pos: Column => Column = c => fastPositions(c, k, m)
+    val words = buildWith(dim.select(col(dimKey).cast("string")).distinct(), pos, m)
+    fact.filter(containsAll(words, pos(col(factKey).cast("string"))))
       .join(dim, col(factKey) === col(dimKey))
   }
 
