@@ -28,7 +28,11 @@ object ScalingProbe {
       // so event density — and with it every range-join window's occupancy —
       // grows ×factor. The adversarial regime for q87, analogous to what
       // id-shift does to shingle df.
-      "events" -> Seq("event_id"))
+      "events" -> Seq("event_id"),
+      // id-shift only: ×factor vectors, SAME embedding space — cluster
+      // populations grow ×factor, the adversarial regime for intra-cluster
+      // pair search (q95)
+      "embeddings" -> Seq("vec_id"))
     shifts.foreach { case (table, keys) =>
       val path = s"$outDir/$table.parquet"
       if (!new java.io.File(path).exists()) {
@@ -121,7 +125,12 @@ object ScalingProbe {
       // exactly the hot-key density salting exists for); q94's orderkey
       // shifts are consistent across fact and dim, so the join scales
       // linearly and the probe watches the Bloom build + prune overhead
-      "q93_salted_join", "q94_bloom_join")
+      "q93_salted_join", "q94_bloom_join",
+      // semantic dedup at the catalog's FIXED k=8: ×factor vectors deepen
+      // every cluster ×factor, so intra-cluster pair search is the
+      // quadratic regime by construction (the operator's documented
+      // contract). The k∝n scale path is measured separately below.
+      "q95_semantic_dedup")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -154,6 +163,32 @@ object ScalingProbe {
       val vgJson = vg.map(v => f""","x${factor}_vocabgrow_sec":$v%.2f,"vocabgrow_ratio":${v / base}%.1f""").getOrElse("")
       println(f"""{"query":"$name","base_sec":$base%.2f,"x${factor}_sec":$big%.2f,"ratio":$ratio%.1f$vgJson}""")
       (name, base, big, ratio, vg)
+    }
+    // q95's scale path is k ∝ n (SemDeDup's own deployment regime: MORE
+    // clusters, not deeper ones): with cluster populations held at their
+    // base size, Σ cluster² — the intra-cluster pair-search cost — grows
+    // linearly in n. Measured here as a separate row because the catalog
+    // entry must keep k=8 (the unrolled-CTE oracle's tractability bound),
+    // so the generic probe above can only exercise the fixed-k quadratic
+    // regime that the operator's scaladoc already declares.
+    if (only.forall(_.contains("q95_semantic_dedup"))) {
+      def timeK(dir: String, k: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.semanticDedup(
+          graft.sources.Tables(spark, dir, "embeddings"),
+          k = k, iterations = 3, threshold = 0.3, maxBlock = 10000)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Caching.release()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        sec
+      }
+      timeK(baseDir, 8) // warm-up
+      val kBase = math.min(timeK(baseDir, 8), timeK(baseDir, 8))
+      val kBig = timeK(outDir, 8 * factor)
+      println(f"""{"query":"q95_semantic_dedup_kscaled","base_sec":$kBase%.2f,"x${factor}_sec":$kBig%.2f,"ratio":${kBig / kBase}%.1f}""")
     }
     println(rows.map { case (n, b, _, r, vg) =>
       f"$n=$r%.1fx" + vg.map(v => f"/vg=${v / b}%.1fx").getOrElse("")

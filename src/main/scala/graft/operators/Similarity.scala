@@ -49,6 +49,42 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv:2303.09540):
+    * a deterministic k-means quantizer clusters the embedding space, cosine
+    * near-duplicate pairs are searched WITHIN clusters only (the cross-cluster
+    * pairs k-means prunes are the candidate-generation saving — all-pairs is
+    * n², intra-cluster is Σ cluster²), and a keep-first purge drops every
+    * vector that duplicates a lower-id one. Returns survivors
+    * (vec_id, cluster).
+    *
+    * Determinism: [[graft.ml.KMeans.fit]] is deterministic by construction
+    * (lowest-id init, argmin ties on centroid id, exact DECIMAL means), the
+    * pair stage is [[nearDupPairs]]' exact arithmetic, and keep-first needs
+    * no connected components — `id_b` of any qualifying pair is dropped, so
+    * an external engine replays the ENTIRE chain bit-for-bit (q95).
+    *
+    * Scale: clustering is linear (one broadcast + one n×d shuffle per
+    * round); the pair stage inherits nearDupPairs' explicit `maxBlock` cap —
+    * on continuous-similarity data the intra-cluster pair set is itself
+    * quadratic in cluster size, so the cap (documented truncation,
+    * deterministic lowest-id members) is the work bound, and raising k
+    * shrinks clusters instead of raising the cap. */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iterations: Int = 3,
+                    threshold: Double = 0.3, maxBlock: Int = 10000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val centroids = graft.ml.KMeans.fit(e, k, iterations)
+    // assigned feeds two branches (pair generation + survivor anti-join):
+    // pin once, caller releases after consuming the result
+    val assigned = graft.Caching.pin(
+      graft.ml.KMeans.assign(e, centroids)
+        .select(col("vec_id"), col("vec").as("embedding"), col("centroid_id")))
+    val dropped = nearDupPairs(assigned, threshold, blockCol = "centroid_id", maxBlock)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("centroid_id").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
     * corpus rows (self excluded). Corpus side is broadcast. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

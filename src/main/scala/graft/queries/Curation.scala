@@ -83,6 +83,44 @@ object Curation {
       FROM sims) s
     WHERE rk <= 10"""
 
+  /** Unrolled DuckDB replay of the deterministic k-means chain
+    * ([[graft.ml.KMeans.fit]] + a final [[graft.ml.KMeans.assign]]), for the
+    * q95 oracle: `c0` = the k lowest-vec_id vectors with 1-based rank ids;
+    * round r: `a_r` = argmin assignment against `c_{r-1}` — squared L2 via
+    * the same SEQUENTIAL left-fold Spark's `aggregate` HOF uses (DuckDB
+    * `list_reduce` folds left over the term list; the 0.0 seed is an IEEE
+    * no-op), ties on centroid id — and `c_r` = per-(cluster, pos) element
+    * means through the exact DECIMAL(30,12) accumulator (`Exprs.davg`), so
+    * every round is bit-identical across engines regardless of partial-
+    * aggregation order. `af` = the final assignment against `c_iterations`.
+    * Emitted as CTE bodies to append after an `e(vec_id, v)` CTE; dim-
+    * agnostic (`len(v)` drives the folds). */
+  private def kmeansCtes(k: Int, iterations: Int): String = {
+    def assignCte(name: String, from: String) = s"""$name AS MATERIALIZED (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(range(1, len(e.v) + 1),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (x, y) -> x + y) ASC,
+                c.cid ASC) AS rn
+            FROM e CROSS JOIN $from c) z
+          WHERE rn = 1)"""
+    def updateCte(name: String, src: String) = s"""$name AS MATERIALIZED (
+          SELECT cid, list(m ORDER BY pos) AS c FROM (
+            SELECT cid, pos,
+              CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM (SELECT cid, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos FROM $src) u
+            GROUP BY cid, pos) g
+          GROUP BY cid)"""
+    val init = s"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS c
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT $k) init)"""
+    val rounds = (1 to iterations).map { r =>
+      assignCte(s"a$r", s"c${r - 1}") + ",\n        " + updateCte(s"c$r", s"a$r")
+    }
+    (init +: rounds :+ assignCte("af", s"c$iterations")).mkString(",\n        ")
+  }
+
   /** Merge rounds for the q79/q80 oracle pair: enough to learn multi-level
     * merges (round 6 already fuses a round-1 product: m+er), small enough
     * that the unrolled-CTE oracle stays tractable. Declared before [[defs]]
@@ -383,6 +421,38 @@ object Curation {
         SELECT 'ivf_recall' AS metric, CAST(COUNT(*) AS BIGINT) AS n_queries,
                CAST(10 AS BIGINT) AS k, true AS recall_ok
         FROM embeddings""")),
+
+    // SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540): a
+    // deterministic k-means quantizer clusters the embedding space, cosine
+    // near-dup pairs are searched WITHIN clusters only, and a keep-first
+    // purge drops every vector duplicating a lower-id one. Unlike q50 (float
+    // k-means, invariant-checked), this chain is built portable end to end —
+    // lowest-id init, exact DECIMAL(30,12) centroid means, argmin ties on
+    // centroid id — so the oracle unrolls ALL k-means rounds as CTEs
+    // ([[kmeansCtes]]) and replays cluster → pairs → purge bit-for-bit.
+    QueryDef("q95_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(Tables(s, dir, "embeddings"),
+        k = 8, iterations = 3, threshold = 0.3, maxBlock = 10000),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${kmeansCtes(8, 3)},
+        capped AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rn
+            FROM af) z
+          WHERE rn <= 10000),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                                sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+            ELSE list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            END, 6) >= 0.3)
+        SELECT af.vec_id, af.cid AS cluster FROM af
+        WHERE af.vec_id NOT IN (SELECT vec_id FROM dropped)"""),
+      bench = true),
 
     // Fuzzy dedup by edit distance on doc prefixes — the BRUTE-FORCE BASELINE
     // row of the edit-distance family (q37's role in the ANN family): exact

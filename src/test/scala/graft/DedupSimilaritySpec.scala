@@ -353,4 +353,29 @@ class DedupSimilaritySpec extends SparkSpec {
       brute.get((q, n)).foreach(exact => assert(exact == sim))
     }
   }
+
+  test("semantic dedup: hand-computed k-means clusters and keep-first purge") {
+    // k=2, lowest-id init → c1=(10,0), c2=(0,10); both rounds converge to
+    // cluster1={1,3}, cluster2={2,4,5} (v5 joins c2: d²=200 < 400). Pairs at
+    // threshold 0.9: (1,3) cos≈0.995 drops 3; (2,4) cos≈0.995 drops 4;
+    // (2,5) cos=0 and (4,5) cos≈-0.09 keep 5. Keep-first survivors: 1, 2, 5.
+    val emb = Seq(
+      (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.0, 10.0)),
+      (3L, Seq(9.9, 1.0)),
+      (4L, Seq(1.0, 9.9)),
+      (5L, Seq(-10.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Caching.scoped {
+      Similarity.semanticDedup(emb, k = 2, iterations = 2, threshold = 0.9)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(out == Map(1L -> 1L, 2L -> 2L, 5L -> 2L))
+    // raising the threshold past every pairwise cosine keeps everything
+    val all = Caching.scoped {
+      Similarity.semanticDedup(emb, k = 2, iterations = 2, threshold = 0.999)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(all.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
