@@ -59,7 +59,13 @@ object Caching {
     // holds — the same mid-query corruption class the refcounts fixed, in a
     // narrower window.
     refCounts.compute(key, (_, v) => {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
+      // persist only on the FIRST pin: count ≥ 1 implies the entry is in the
+      // CacheManager (the unpinner's unpersist runs under this same bin lock
+      // and only at count 0), so re-persisting would just emit an "already
+      // cached" warning per increment. Atomicity is unchanged — both the
+      // 0→1 persist and the 1→0 unpersist happen inside the remapping
+      // function.
+      if (v == null) df.persist(StorageLevel.MEMORY_AND_DISK)
       Integer.valueOf(if (v == null) 1 else v + 1)
     })
     val scope = threadScope.get()
