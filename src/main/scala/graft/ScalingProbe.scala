@@ -130,7 +130,12 @@ object ScalingProbe {
       // every cluster ×factor, so intra-cluster pair search is the
       // quadratic regime by construction (the operator's documented
       // contract). The k∝n scale path is measured separately below.
-      "q95_semantic_dedup")
+      "q95_semantic_dedup",
+      // logistic-regression train+score+gate: per GD round one n×d
+      // posexplode shuffle into d keys — should scale like the scan in
+      // BOTH regimes (the weight vector is feature-count-bounded and the
+      // gradient aggregate map-side-combines)
+      "q97_lr_filter")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -138,7 +143,7 @@ object ScalingProbe {
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
-      "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam")
+      "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -121,6 +121,60 @@ object Curation {
     (init +: rounds :+ assignCte("af", s"c$iterations")).mkString(",\n        ")
   }
 
+  /** q96/q97 feature frame: (id, x, y) with x = [1.0 (bias), stopword
+    * ratio, type-token ratio, min(n_tokens,100)/100] — every component an
+    * exact integer division or literal, so both engines derive identical
+    * doubles — and y = 1.0 iff the doc is English. Token stats come from
+    * [[TextStats.quality]] (the q40 operator), so the feature definition is
+    * itself an already-oracle-checked surface. */
+  private def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val q = graft.operators.TextStats.quality(docs(s, dir))
+    val lang = docs(s, dir).select(col("doc_id"), col("lang"))
+    q.join(lang, "doc_id").select(
+      col("doc_id").as("id"),
+      array(lit(1.0d), col("stopword_ratio"), col("ttr"),
+        least(col("n_tokens"), lit(100L)).cast("double") / lit(100.0d)).as("x"),
+      when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"))
+  }
+
+  /** Unrolled DuckDB replay of [[graft.ml.Logistic.train]] full-batch GD
+    * for the q96/q97 oracles, appended after the shared `toks` CTE: `feat`
+    * mirrors [[lrFeatures]]; round r computes the 10-dp sigmoid over the
+    * 12-dp-rounded margin (`p_r`), the per-feature gradient sum through
+    * DECIMAL(30,12) (`g_r`), and the 12-dp-rounded update (`w_r`) — the
+    * identical rounding ladder the Spark operator walks, so all `iterations`
+    * rounds are bit-equal across engines. `lr` is passed as SQL text to keep
+    * the literal exactly as written. */
+  private def lrCtes(dims: Int, lr: String, iterations: Int): String = {
+    val stopList = graft.operators.TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    val head = s"""per_doc AS (
+          SELECT doc_id, lang, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct,
+            CAST(SUM(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks GROUP BY doc_id, lang),
+        feat AS MATERIALIZED (
+          SELECT doc_id AS id,
+            [1.0, CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE),
+             CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE),
+             CAST(least(n_tokens, 100) AS DOUBLE)/100.0] AS x,
+            CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM per_doc),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
+        w0 AS (SELECT CAST(UNNEST(range(0, $dims)) AS INT) AS pos, 0.0 AS w)"""
+    val rounds = (1 to iterations).map { r =>
+      s"""wa${r - 1} AS (SELECT list(w ORDER BY pos) AS wv FROM w${r - 1}),
+        p$r AS (SELECT id, x, y,
+            round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS p
+          FROM feat, wa${r - 1}),
+        g$r AS (SELECT u.pos,
+            CAST(SUM(CAST(round((p - y) * x[u.pos + 1], 12) AS DECIMAL(30,12))) AS DOUBLE) AS s
+          FROM p$r, (SELECT CAST(UNNEST(range(0, $dims)) AS INT) AS pos) u
+          GROUP BY u.pos),
+        w$r AS (SELECT w.pos, round(w.w - $lr * (g.s / nn.n), 12) AS w
+          FROM w${r - 1} w JOIN g$r g USING (pos), nn)"""
+    }
+    (head +: rounds).mkString(",\n        ")
+  }
+
   /** Merge rounds for the q79/q80 oracle pair: enough to learn multi-level
     * merges (round 6 already fuses a round-1 product: m+er), small enough
     * that the unrolled-CTE oracle stays tractable. Declared before [[defs]]
@@ -680,6 +734,40 @@ object Curation {
           round(-s/n_tri, 8) AS avg_nll,
           round(exp(-s/n_tri), 6) AS ppl
         FROM sc""")),
+
+    // Trainable quality/domain classifier (the fastText-classifier role in
+    // CCNet/RefinedWeb curation): logistic regression by full-batch GD over
+    // engineered per-doc features ([bias, stopword_ratio, ttr,
+    // min(n_tokens,100)/100]), label = doc is English. Like q90, the TRAINED
+    // MODEL itself is the oracle-checked output: every GD round is unrolled
+    // as CTEs ([[lrCtes]] — margin rounded 12 dp before exp, sigmoid 10 dp,
+    // gradient terms through DECIMAL(30,12), updates rounded 12 dp), so the
+    // optimization replays bit-for-bit in DuckDB.
+    QueryDef("q96_lr_train",
+      (s, dir) => graft.ml.Logistic.train(lrFeatures(s, dir), lr = 1.0, iterations = 8),
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        ${lrCtes(4, "1.0", 8)}
+        SELECT CAST(pos AS BIGINT) AS pos, w AS weight FROM w8""")),
+
+    // The trained filter applied: every doc scored by the q96 model, gated
+    // at 0.5 — train + score + gate as ONE hash-matched chain (q90's shape,
+    // with a learned parametric model instead of count statistics).
+    QueryDef("q97_lr_filter",
+      (s, dir) => {
+        val feats = lrFeatures(s, dir)
+        val w = graft.ml.Logistic.train(feats, lr = 1.0, iterations = 8)
+        graft.ml.Logistic.score(feats, w)
+          .withColumn("keep", col("score") >= lit(0.5d))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        ${lrCtes(4, "1.0", 8)},
+        waf AS (SELECT list(w ORDER BY pos) AS wv FROM w8)
+        SELECT id, round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS score,
+          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5 AS keep
+        FROM feat, waf"""),
+      bench = true),
 
     // Duplicate CLUSTERS from near-dup PAIRS: connected components (min-label
     // propagation, graft.graph.Graphs.connectedComponents) over the q33

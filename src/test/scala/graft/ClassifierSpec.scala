@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Evaluate, Knn, NaiveBayes}
+import graft.ml.{Evaluate, Knn, Logistic, NaiveBayes}
 import graft.operators.TextPipeline
 import org.apache.spark.sql.functions._
 
@@ -126,5 +126,26 @@ class ClassifierSpec extends SparkSpec {
     val test = Seq((10L, "zzz")).toDF("doc_id", "term")
     val model = NaiveBayes.train(train)
     assert(NaiveBayes.predict(test, model).count() == 0L)
+  }
+
+  test("logistic regression separates a linearly separable fixture") {
+    // x = [bias, f] with f = 0 for class 0, f = 1 for class 1: GD must push
+    // the f-weight positive and the class scores to the right side of 0.5
+    val data = Seq(
+      (1L, Seq(1.0, 0.0), 0.0), (2L, Seq(1.0, 0.1), 0.0), (3L, Seq(1.0, 0.05), 0.0),
+      (4L, Seq(1.0, 1.0), 1.0), (5L, Seq(1.0, 0.9), 1.0), (6L, Seq(1.0, 0.95), 1.0)
+    ).toDF("id", "x", "y")
+    val w = Logistic.train(data, lr = 2.0, iterations = 50)
+      .as[(Long, Double)].collect().toMap
+    assert(w(1L) > 0.0) // feature weight learned positive
+    val scores = Logistic.score(data, Logistic.train(data, lr = 2.0, iterations = 50)
+      .toDF("pos", "weight")).as[(Long, Double)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(scores(_) < 0.5))
+    assert(Seq(4L, 5L, 6L).forall(scores(_) > 0.5))
+    // zero-weight start: first-round sigmoid is exactly 0.5, so one round
+    // with lr=0 stays at the origin (the deterministic seed)
+    val w0 = Logistic.train(data, lr = 0.0, iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(w0 == Map(0L -> 0.0, 1L -> 0.0))
   }
 }
