@@ -1093,6 +1093,49 @@ object Curation {
           round(CAST(tot AS DOUBLE) / CAST(n_src * n_tokens AS DOUBLE), 6) AS mix_weight
         FROM agg, tot""")),
 
+    // Mixture REBALANCE — q78 reports the mixture, this row enforces one:
+    // per-source down-sampling rates computed FROM the data (uniform target
+    // share, achievable total bounded by the scarcest source: quota_s =
+    // min_s n_s, rate_s = quota/n_s in exact ppm integer arithmetic),
+    // applied with the q77 deterministic hash coin. Sampling is therefore
+    // reproducible across engines AND stable under corpus growth (a doc's
+    // keep/drop never depends on partitioning or row order). Shape: one
+    // source-keyed agg (map-side collapse) + a source-count broadcast + a
+    // per-row coin against the broadcast rate — scan-shaped, nothing
+    // corpus-sized shuffles twice. Statistical quotas by design (per-mille
+    // coin ⇒ binomial counts); an exact-quota variant would use the A4
+    // two-phase rank over (source, coin) instead.
+    QueryDef("q98_mix_rebalance",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"), col("doc_id"))
+        val agg = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = agg.agg(min(col("n_docs")).as("min_docs"))
+        val rates = agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            least(lit(1000000L), expr("(1000000 * min_docs) DIV n_docs")).as("rate_ppm"))
+        val sampled = d.join(broadcast(rates), "source")
+          .filter(Exprs.h60(concat(lit("mix:"), col("doc_id"))) % 1000000L < col("rate_ppm"))
+        sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+          .join(rates, "source")
+          .select(col("source"), col("n_docs"), col("rate_ppm"),
+            col("n_sampled"), col("first_doc"))
+      },
+      oracle = Some("""
+        WITH agg AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        tot AS (SELECT MIN(n_docs) AS min_docs FROM agg),
+        rates AS (SELECT source, n_docs,
+            CAST(least(1000000, (1000000 * min_docs) // n_docs) AS BIGINT) AS rate_ppm
+          FROM agg, tot),
+        sampled AS (
+          SELECT d.source, d.doc_id FROM documents d JOIN rates r ON d.source = r.source
+          WHERE CAST('0x' || substr(md5('mix:' || doc_id), 1, 15) AS BIGINT) % 1000000
+                < r.rate_ppm)
+        SELECT r.source, r.n_docs, r.rate_ppm,
+          COUNT(*) AS n_sampled, MIN(s.doc_id) AS first_doc
+        FROM sampled s JOIN rates r ON s.source = r.source
+        GROUP BY r.source, r.n_docs, r.rate_ppm""")),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
