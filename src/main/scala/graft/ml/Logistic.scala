@@ -31,7 +31,12 @@ import org.apache.spark.storage.StorageLevel
 object Logistic {
 
   /** data: (id, x: array<double> — bias feature included by the caller,
-    * y: double 0/1). Returns (pos, weight), pos 0-based over x. */
+    * y: double 0/1). Returns (pos, weight), pos 0-based over x.
+    *
+    * Contract: `data` is non-empty and every `x` has the same length (the
+    * dimension is read from one row; [[graft.functions.DotProduct]]
+    * min-truncates a ragged vector rather than erroring, so a violation
+    * surfaces as a silently misfit model, not an exception). */
   def train(data: DataFrame, lr: Double, iterations: Int): DataFrame = {
     val e = data.select(col("id"), col("x"), col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -43,4 +43,27 @@ class CurationPlanSpec extends SparkSpec {
     assert(totalTokenizations("q76_dup_spans") <= 2) // sp feeds dfreq + join
     assert(totalTokenizations("q73_decontamination") <= 4) // bench/train/sizes branches
   }
+
+  test("q98 joins the corpus against rates by broadcast, never sort-merge") {
+    // the rate table is source-count-sized: a regression to SortMergeJoin
+    // would shuffle the whole corpus on `source` (a handful of hot keys)
+    val phys = Caching.scoped {
+      SparkEntry.queries("q98_mix_rebalance")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+    assert(!phys.contains("SortMergeJoin"), phys.take(2000))
+  }
+
+  test("q97 scoring plan has no Window operator (gradient agg, not rank)") {
+    // training runs eagerly at plan-construction (checkpointed rounds); the
+    // RESULT plan must be pure scan+broadcast work — a Window sneaking in
+    // would mean some stage ranks corpus-sized data
+    val phys = Caching.scoped {
+      SparkEntry.queries("q97_lr_filter")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("Window"), phys.take(2000))
+    assert(!phys.contains("SortMergeJoin"), phys.take(2000))
+  }
 }
