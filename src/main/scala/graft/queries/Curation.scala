@@ -1093,6 +1093,41 @@ object Curation {
           round(CAST(tot AS DOUBLE) / CAST(n_src * n_tokens AS DOUBLE), 6) AS mix_weight
         FROM agg, tot""")),
 
+    // Embedding-space decontamination — the q73/q92 semantics a third way:
+    // instead of shingle overlap (q73) or Bloom membership (q92), a corpus
+    // item is contaminated when its EMBEDDING sits near a benchmark vector —
+    // the paraphrase-leak case n-gram overlap misses. Composes the bounded-
+    // heap top-k kernel (q62's scale path): the benchmark side is broadcast
+    // (eval-suite-sized, the q73 posture) and the per-doc best match partial-
+    // aggregates map-side, so |corpus|·1 rows reach the shuffle, never
+    // |corpus|·|bench|.
+    QueryDef("q99_embedding_decontam",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val bench = emb.filter(col("vec_id") % 25 === 0)
+        val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+        Similarity.bruteTopKAgg(corpus, bench, k = 1)
+          .filter(col("sim") >= 0.3)
+          .select(col("q_id").as("doc_vec_id"), col("n_id").as("bench_vec_id"),
+            col("sim"))
+      },
+      oracle = Some("""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bench AS (SELECT * FROM emb WHERE vec_id % 25 = 0),
+        corpus AS (SELECT * FROM emb WHERE vec_id % 25 <> 0),
+        sims AS (
+          SELECT c.vec_id AS q_id, b.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(c.e, b.e) /
+                   (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e))) END, 6) AS sim
+          FROM corpus c JOIN bench b ON c.vec_id <> b.vec_id)
+        SELECT q_id AS doc_vec_id, n_id AS bench_vec_id, sim FROM (
+          SELECT q_id, n_id, sim,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+          FROM sims) r
+        WHERE rk = 1 AND sim >= 0.3""")),
+
     // Mixture REBALANCE — q78 reports the mixture, this row enforces one:
     // per-source down-sampling rates computed FROM the data (uniform target
     // share, achievable total bounded by the scarcest source: quota_s =
