@@ -1128,6 +1128,86 @@ object Curation {
           FROM sims) r
         WHERE rk = 1 AND sim >= 0.3""")),
 
+    // The composed batch curation pass — q64's successor built from the
+    // round-6 web-corpus stages: markup strip (q86) → PII redaction (q74) →
+    // minimum-token gate → keep-first exact dedup. Same chain
+    // [[graft.streaming.StreamingCuration]] runs on a stream; here the
+    // dedup survivor is pinned to min doc_id per cleaned content so the
+    // whole pipeline is hash-matchable (streaming's dropDuplicates keeps
+    // the arrival-order winner — the documented divergence). Stages reuse
+    // the q86/q74 deterministic enrichments so each observably fires —
+    // including the dedup: the driver corpus has ZERO exact duplicates
+    // (q32 is all singletons), so every 50th doc is replaced by one fixed
+    // boilerplate page (the q91 injection pattern) that must collapse to a
+    // single min-id survivor with n_copies = the flood size. Everything
+    // before the final groupBy is per-row scan work; the dedup is one
+    // hash-shuffle on the cleaned content.
+    QueryDef("q100_curation_e2e",
+      (s, dir) => {
+        val wrapped = when(col("doc_id") % 5 === 0,
+          concat(lit("<html><body class=\"c\"><p>"), col("text"),
+            lit("</p><script>var a = 1;</script>&amp; more &lt;raw&gt; text</body></html>")))
+          .otherwise(col("text"))
+        val withPii = concat(wrapped, when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com or call 555"),
+            col("doc_id"), lit("0100"))).otherwise(lit("")))
+        val withBoiler = when(col("doc_id") % 50 === 1,
+          lit("<p>All rights reserved contact admin@example.com for details</p>"))
+          .otherwise(withPii)
+        docs(s, dir).select(col("doc_id"), withBoiler.as("t"))
+          .withColumn("clean",
+            TextStats.redactPii(TextStats.stripMarkup(col("t"))))
+          .withColumn("n_tok", size(Exprs.tokens(col("clean"))).cast("long"))
+          .filter(col("n_tok") >= 5)
+          .groupBy(col("clean"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"),
+            count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_tok"), col("n_copies"))
+      },
+      oracle = Some("""
+        WITH enr AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 50 = 1
+              THEN '<p>All rights reserved contact admin@example.com for details</p>'
+              ELSE
+                (CASE WHEN doc_id % 5 = 0
+                  THEN '<html><body class="c"><p>' || text ||
+                       '</p><script>var a = 1;</script>&amp; more &lt;raw&gt; text</body></html>'
+                  ELSE text END) ||
+                (CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id || '@example.com or call 555' || doc_id || '0100'
+                  ELSE '' END)
+            END AS t
+          FROM documents),
+        st AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(
+                regexp_replace(
+                  regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+                  '<[^>]+>', ' ', 'g'),
+                '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+              '\s+', ' ', 'g')) AS stripped
+          FROM enr),
+        red AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(stripped,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{7,}', '<PHONE>', 'g') AS clean
+          FROM st),
+        tok AS (
+          SELECT doc_id, clean,
+            CAST(len(list_filter(
+              string_split_regex(regexp_replace(lower(clean), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              x -> x <> '')) AS BIGINT) AS n_tok
+          FROM red),
+        gated AS (SELECT * FROM tok WHERE n_tok >= 5)
+        SELECT MIN(doc_id) AS doc_id, MIN(n_tok) AS n_tok, COUNT(*) AS n_copies
+        FROM gated GROUP BY clean"""),
+      bench = true),
+
     // Mixture REBALANCE — q78 reports the mixture, this row enforces one:
     // per-source down-sampling rates computed FROM the data (uniform target
     // share, achievable total bounded by the scarcest source: quota_s =
