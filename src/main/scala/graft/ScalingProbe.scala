@@ -135,7 +135,16 @@ object ScalingProbe {
       // posexplode shuffle into d keys — should scale like the scan in
       // BOTH regimes (the weight vector is feature-count-bounded and the
       // gradient aggregate map-side-combines)
-      "q97_lr_filter")
+      "q97_lr_filter",
+      // embedding decontamination: the bench side stays eval-suite-sized
+      // under id-shift (bench ∩ shifted copies grows, but the broadcast is
+      // 1/25 of the corpus — the probe watches that it stays a broadcast)
+      // and the per-doc best match is one partial-aggregated pass
+      "q99_embedding_decontam",
+      // the composed curation pass: per-row chain + one content-keyed
+      // shuffle whose hot key (the injected boilerplate flood) grows
+      // ×factor under id-shift — partial aggregation must absorb it
+      "q100_curation_e2e")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -143,7 +152,8 @@ object ScalingProbe {
       "q35_simhash_pairs", "q70_dup_clusters", "q72_dedup_purge",
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
-      "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter")
+      "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
+      "q100_curation_e2e")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
