@@ -38,6 +38,8 @@ object Logistic {
     * min-truncates a ragged vector rather than erroring, so a violation
     * surfaces as a silently misfit model, not an exception). */
   def train(data: DataFrame, lr: Double, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"Logistic.train iterations must be >= 0, got $iterations")
+    require(!lr.isNaN && !lr.isInfinite, s"Logistic.train lr must be finite, got $lr")
     val e = data.select(col("id"), col("x"), col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count().toDouble

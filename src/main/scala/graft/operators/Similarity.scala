@@ -72,6 +72,9 @@ object Similarity {
     * shrinks clusters instead of raising the cap. */
   def semanticDedup(emb: DataFrame, k: Int = 8, iterations: Int = 3,
                     threshold: Double = 0.3, maxBlock: Int = 10000): DataFrame = {
+    require(k >= 1, s"semanticDedup k must be >= 1, got $k")
+    require(iterations >= 0, s"semanticDedup iterations must be >= 0, got $iterations")
+    require(maxBlock >= 1, s"semanticDedup maxBlock must be >= 1, got $maxBlock")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val centroids = graft.ml.KMeans.fit(e, k, iterations)
     // assigned feeds two branches (pair generation + survivor anti-join):

@@ -34,6 +34,9 @@ object StreamingJoins {
   def attributionJoin(impressions: DataFrame, clicks: DataFrame, keyCol: String,
                       maxDelay: String, watermark: String = "1 hour",
                       joinType: String = "inner"): DataFrame = {
+    require(keyCol != "ts", "attributionJoin keyCol must differ from the event-time column 'ts'")
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"attributionJoin joinType must be inner or leftOuter, got $joinType")
     val imp = impressions.select(col(keyCol).as("imp_key"), col("ts").as("imp_ts"))
       .withWatermark("imp_ts", watermark)
     val clk = clicks.select(col(keyCol).as("clk_key"), col("ts").as("clk_ts"))

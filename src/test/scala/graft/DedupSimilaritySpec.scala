@@ -277,6 +277,12 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.editDistancePairs(docs, prefixLen = 3, maxDist = 4)
     }
     intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(docs, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.Logistic.train(docs, lr = Double.NaN, iterations = 1)
+    }
+    intercept[IllegalArgumentException] {
       Dedup.minhashLshPairs(docs, numHashes = 8, bands = 16)
     }
     intercept[IllegalArgumentException] {
