@@ -88,6 +88,20 @@ object Similarity {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x_i|, q_i =
+    * round(x_i / scale · 127) — the 4×-smaller-than-float32 storage format a
+    * 100 TB embedding store actually ships. Every step is deterministic
+    * double arithmetic (division, multiply, half-away-from-zero round), so
+    * an external engine reproduces the EXACT integer codes — unlike float
+    * compression there is nothing approximate about the encoding itself,
+    * only about the similarities computed from it (q101 measures that error
+    * corpus-wide under an exact oracle). Zero vectors quantize to zeros. */
+  def quantizeInt8(vec: Column): Column = {
+    val s = array_max(transform(vec, x => abs(x)))
+    when(s === lit(0.0d), transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => round(x / s * lit(127.0d), 0).cast(LongType)))
+  }
+
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
     * corpus rows (self excluded). Corpus side is broadcast. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -1128,6 +1128,61 @@ object Curation {
           FROM sims) r
         WHERE rk = 1 AND sim >= 0.3""")),
 
+    // int8-quantized similarity — the storage-side scale lever: per-vector
+    // symmetric quantization (exactly replayable integer codes — the
+    // encoding is deterministic, only the similarity is approximate) and a
+    // corpus-wide error report of quantized vs float cosine over capped
+    // within-label pairs (the q36 block posture). A hash-matched row on
+    // BOTH similarity columns plus the per-label error aggregate: the
+    // engine knows precisely what the 4× storage saving costs in cosine
+    // fidelity, and a quantizer regression moves max_abs_err and fails the
+    // row.
+    QueryDef("q101_quantized_cosine",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val q = e.withColumn("qv",
+          Similarity.quantizeInt8(col("v")).cast("array<double>"))
+        val w = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+        val capped = q.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10000).drop("rn")
+        val err = round(abs(round(Exprs.cosine(col("a.v"), col("b.v")), 6) -
+          round(Exprs.cosine(col("a.qv"), col("b.qv")), 6)), 6)
+        capped.as("a").join(capped.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"), err.as("abs_err"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_pairs"),
+            max(col("abs_err")).as("max_abs_err"),
+            round(Exprs.davg(col("abs_err"), 10), 8).as("avg_abs_err"))
+      },
+      oracle = Some("""
+        WITH emb AS (
+          SELECT vec_id, label, v, CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+            ELSE list_transform(v, x -> CAST(CAST(round(x / s * 127.0, 0) AS BIGINT) AS DOUBLE))
+            END AS qv
+          FROM (
+            SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS s
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b)),
+        capped AS (
+          SELECT vec_id, label, v, qv FROM (
+            SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) AS rn
+            FROM emb) z
+          WHERE rn <= 10000),
+        pairs AS (
+          SELECT a.label,
+            round(abs(
+              round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                THEN 0.0 ELSE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END, 6) -
+              round(CASE WHEN sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)) = 0
+                THEN 0.0 ELSE list_dot_product(a.qv, b.qv) /
+                  (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) END, 6)), 6) AS abs_err
+          FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label, COUNT(*) AS n_pairs, MAX(abs_err) AS max_abs_err,
+          round(CAST(SUM(CAST(abs_err AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_abs_err
+        FROM pairs GROUP BY label""")),
+
     // The composed batch curation pass — q64's successor built from the
     // round-6 web-corpus stages: markup strip (q86) → PII redaction (q74) →
     // minimum-token gate → keep-first exact dedup. Same chain

@@ -360,6 +360,19 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: exact codes, full range, zero-vector safe") {
+    val emb = Seq(
+      (1L, Seq(1.0, -0.5, 0.25, 0.0)), // scale 1.0 → codes 127,-64,32,0 (63.5 rounds up)
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),   // zero vector → all-zero codes
+      (3L, Seq(-2.0, 2.0, 1.0, -1.0))  // scale 2 → -127,127,64,-64
+    ).toDF("vec_id", "v")
+    val got = emb.select($"vec_id", Similarity.quantizeInt8($"v").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(127L, -64L, 32L, 0L))
+    assert(got(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(got(3L) == Seq(-127L, 127L, 64L, -64L))
+  }
+
   test("semantic dedup: hand-computed k-means clusters and keep-first purge") {
     // k=2, lowest-id init → c1=(10,0), c2=(0,10); both rounds converge to
     // cluster1={1,3}, cluster2={2,4,5} (v5 joins c2: d²=200 < 400). Pairs at
