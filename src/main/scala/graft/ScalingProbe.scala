@@ -144,7 +144,16 @@ object ScalingProbe {
       // the composed curation pass: per-row chain + one content-keyed
       // shuffle whose hot key (the injected boilerplate flood) grows
       // ×factor under id-shift — partial aggregation must absorb it
-      "q100_curation_e2e")
+      "q100_curation_e2e",
+      // mixture rebalance: a source census + per-row coin — the ratio
+      // should be the scan ratio (id-shift multiplies every source count
+      // ×factor, rates come out identical)
+      "q98_mix_rebalance",
+      // quantized-cosine fidelity report: per-row quantization + the q36
+      // capped within-label pair join — id-shift deepens label blocks
+      // ×factor, so like q36 the pair term is quadratic-in-factor below
+      // the cap; the cap is the declared work bound
+      "q101_quantized_cosine")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
