@@ -8,7 +8,7 @@ class CatalogSpec extends SparkSpec {
   test("query names are unique and stably prefixed") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("oracle SQL references only known tables") {
