@@ -188,6 +188,10 @@ object Curation {
   private val Boiler1 = "subscribe to our newsletter for daily updates"
   private val Boiler2 = "all rights reserved by the example corpus project"
 
+  /** q102's injected repetition unit: exactly 8 tokens, so five copies tile
+    * into five identical width-8 chunks. Declared before [[defs]]. */
+  private val RepSentence = "the quick brown fox jumps over the lazy"
+
   /** q92 Bloom geometry: 2^18 bits = 32 KiB bitmap, 3 hashes. */
   private val BloomBits = 1 << 18
   private val BloomK = 3
@@ -1127,6 +1131,58 @@ object Curation {
             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
           FROM sims) r
         WHERE rk = 1 AND sim >= 0.3""")),
+
+    // Within-document repetition PURGE — the action pair to q71's
+    // repetition REPORT (the q78→q98 pattern): Gopher-style removal of
+    // repeated spans inside a document, row-local by construction —
+    // `array_distinct` keeps each chunk's first occurrence, so there is no
+    // shuffle at all before the output; the op runs at scan speed on any
+    // corpus size. The driver corpus has little organic span repetition,
+    // so every 9th doc is replaced by one 8-token sentence repeated five
+    // times (the crawler duplicated-body artifact) plus a doc-unique
+    // marker: the purge must collapse 5 identical chunks to 1.
+    QueryDef("q102_doc_repetition_purge",
+      (s, dir) => {
+        val rep5 = Seq.fill(5)(RepSentence).mkString(" ")
+        val t = when(col("doc_id") % 9 === 2,
+          concat_ws(" ", lit(rep5), concat(lit("marker"), col("doc_id"))))
+          .otherwise(col("text"))
+        val toks = docs(s, dir).select(col("doc_id"), Exprs.tokens(t).as("tk"))
+        toks.select(col("doc_id"), LineDedup.chunkTokens(col("tk"), 8).as("chunks"))
+          .select(col("doc_id"), col("chunks"),
+            array_distinct(col("chunks")).as("kept"))
+          .select(col("doc_id"),
+            size(col("chunks")).cast("long").as("n_chunks"),
+            size(col("kept")).cast("long").as("n_kept"),
+            (size(col("chunks")) - size(col("kept"))).cast("long").as("n_removed"),
+            array_join(col("kept"), " ").as("clean_text"))
+      },
+      oracle = Some(s"""
+        WITH enr AS (
+          SELECT doc_id, CASE WHEN doc_id % 9 = 2
+            THEN '${Seq.fill(5)(RepSentence).mkString(" ")} marker' || doc_id
+            ELSE text END AS t
+          FROM documents),
+        seq AS (
+          SELECT doc_id, string_split_regex(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          FROM enr),
+        ch AS (
+          SELECT doc_id,
+            list_transform(range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+              i -> array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ')) AS l
+          FROM seq),
+        ded AS (
+          SELECT doc_id, line, MIN(i) AS first_i, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(l) AS line,
+                  unnest(generate_series(1, len(l))) AS i FROM ch)
+          GROUP BY doc_id, line)
+        SELECT doc_id,
+          CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+          COUNT(*) AS n_kept,
+          CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_removed,
+          string_agg(line, ' ' ORDER BY first_i) AS clean_text
+        FROM ded GROUP BY doc_id"""),
+      bench = false),
 
     // int8-quantized similarity — the storage-side scale lever: per-vector
     // symmetric quantization (exactly replayable integer codes — the
