@@ -149,6 +149,9 @@ object ScalingProbe {
       // should be the scan ratio (id-shift multiplies every source count
       // ×factor, rates come out identical)
       "q98_mix_rebalance",
+      // within-doc repetition purge: row-local array_distinct, zero
+      // shuffles — the ratio IS the scan ratio in both regimes
+      "q102_doc_repetition_purge",
       // quantized-cosine fidelity report: per-row quantization + the q36
       // capped within-label pair join — id-shift deepens label blocks
       // ×factor, so like q36 the pair term is quadratic-in-factor below
@@ -162,7 +165,7 @@ object ScalingProbe {
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
-      "q100_curation_e2e")
+      "q100_curation_e2e", "q102_doc_repetition_purge")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
