@@ -166,21 +166,27 @@ object ScalingProbe {
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
       "q100_curation_e2e", "q102_doc_repetition_purge")
-    def time(name: String, dir: String): Double = {
+    // Measurement harness shared by EVERY probe row (time() and the q95
+    // k-scaled timeK below — one copy, so the hygiene can't diverge between
+    // rows): time the action, then reset all cache state. Same hygiene as
+    // Bench — no pinned-cache carry-over between measurements — plus
+    // localCheckpoint blocks, which clearCache() does NOT drop (they are
+    // plain persisted RDDs, not cached plans). Leaving q25's ×10 checkpoint
+    // blocks resident inflated the NEXT query's base timing 6× in the first
+    // probe run of round 5, overstating that query's ratio collapse.
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      body
       val sec = (System.nanoTime() - t0) / 1e9
-      // same hygiene as Bench: no pinned-cache carry-over between measurements —
-      // plus localCheckpoint blocks, which clearCache() does NOT drop (they are
-      // plain persisted RDDs, not cached plans). Leaving q25's ×10 checkpoint
-      // blocks resident inflated the NEXT query's base timing 6× in the first
-      // probe run of round 5, overstating that query's ratio collapse.
       Caching.release()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       sec
     }
+    def time(name: String, dir: String): Double =
+      timed(SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save())
     val rows = probeQueries.map { name =>
       time(name, baseDir) // warm-up
       val base = math.min(time(name, baseDir), time(name, baseDir))
@@ -199,19 +205,11 @@ object ScalingProbe {
     // so the generic probe above can only exercise the fixed-k quadratic
     // regime that the operator's scaladoc already declares.
     if (only.forall(_.contains("q95_semantic_dedup"))) {
-      def timeK(dir: String, k: Int): Double = {
-        val t0 = System.nanoTime()
-        graft.operators.Similarity.semanticDedup(
+      def timeK(dir: String, k: Int): Double =
+        timed(graft.operators.Similarity.semanticDedup(
           graft.sources.Tables(spark, dir, "embeddings"),
           k = k, iterations = 3, threshold = 0.3, maxBlock = 10000)
-          .write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        Caching.release()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
-        sec
-      }
+          .write.format("noop").mode("overwrite").save())
       timeK(baseDir, 8) // warm-up
       val kBase = math.min(timeK(baseDir, 8), timeK(baseDir, 8))
       val kBig = timeK(outDir, 8 * factor)

@@ -1164,7 +1164,12 @@ object Curation {
             ELSE text END AS t
           FROM documents),
         seq AS (
-          SELECT doc_id, string_split_regex(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          -- empty tokens FILTERED (unlike q91's trim-split form): a doc that
+          -- normalizes to '' must yield ZERO chunks, matching Exprs.tokens —
+          -- the unfiltered split would emit [''] → one phantom chunk
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                        x -> x <> '') AS tk
           FROM enr),
         ch AS (
           SELECT doc_id,

@@ -135,11 +135,10 @@ class ClassifierSpec extends SparkSpec {
       (1L, Seq(1.0, 0.0), 0.0), (2L, Seq(1.0, 0.1), 0.0), (3L, Seq(1.0, 0.05), 0.0),
       (4L, Seq(1.0, 1.0), 1.0), (5L, Seq(1.0, 0.9), 1.0), (6L, Seq(1.0, 0.95), 1.0)
     ).toDF("id", "x", "y")
-    val w = Logistic.train(data, lr = 2.0, iterations = 50)
-      .as[(Long, Double)].collect().toMap
+    val trained = Logistic.train(data, lr = 2.0, iterations = 50)
+    val w = trained.as[(Long, Double)].collect().toMap
     assert(w(1L) > 0.0) // feature weight learned positive
-    val scores = Logistic.score(data, Logistic.train(data, lr = 2.0, iterations = 50)
-      .toDF("pos", "weight")).as[(Long, Double)].collect().toMap
+    val scores = Logistic.score(data, trained).as[(Long, Double)].collect().toMap
     assert(Seq(1L, 2L, 3L).forall(scores(_) < 0.5))
     assert(Seq(4L, 5L, 6L).forall(scores(_) > 0.5))
     // zero-weight start: first-round sigmoid is exactly 0.5, so one round
