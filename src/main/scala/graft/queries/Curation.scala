@@ -24,7 +24,7 @@ object Curation {
     * Kept separate from the WITH keyword so q70/q72 can prepend RECURSIVE. */
   private val shCteBody = s"""seq AS (
       SELECT doc_id, lang,
-        string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+        list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
       FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, lang AS block,
@@ -817,7 +817,7 @@ object Curation {
       oracle = Some("""
         WITH seq AS (
           SELECT doc_id,
-            string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
           FROM documents),
         bg AS (
           SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
@@ -991,7 +991,7 @@ object Curation {
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, lang, CAST(floor(doc_id / 64) AS BIGINT) AS shard,
-            CAST(len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+            CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) AS BIGINT) AS n_tok
           FROM documents),
         cum AS (
           SELECT lang, shard, n_tok,
@@ -1029,7 +1029,7 @@ object Curation {
       oracle = Some("""
         WITH seq AS (
           SELECT doc_id,
-            string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
           FROM documents),
         sp AS (
           SELECT DISTINCT doc_id, array_to_string(tk[i:i+9], ' ') AS g
@@ -1087,7 +1087,7 @@ object Curation {
       oracle = Some("""
         WITH toks AS (
           SELECT source,
-            CAST(len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+            CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) AS BIGINT) AS n_tok
           FROM documents),
         agg AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
                 FROM toks GROUP BY 1),
@@ -1524,7 +1524,7 @@ object Curation {
       },
       oracle = Some(s"""
         WITH seq AS (
-          SELECT doc_id, string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
           FROM documents),
         ch AS (
           SELECT doc_id, list_concat(list_concat(
