@@ -79,6 +79,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes in range, reconstruction error <= scale/254") {
+    // symmetric max-abs quantization contract: every code fits int8, the
+    // max-|x| element maps to ±127 exactly, and dequantizing (q·s/127)
+    // reconstructs each element within half a quantization step (s/254)
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-1e3, 1e3)).map(_.take(16))
+    for (seed <- 1L to 5L) {
+      val vecs = sample(Gen.nonEmptyListOf(vecGen), seed).take(8)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val rows = df.select($"vec_id", $"v",
+        graft.operators.Similarity.quantizeInt8($"v").as("q"))
+        .as[(Long, Seq[Double], Seq[Long])].collect()
+      for ((_, v, q) <- rows) {
+        val s = v.map(math.abs).max
+        assert(q.forall(c => c >= -127L && c <= 127L), s"seed=$seed")
+        if (s > 0) {
+          assert(q.map(math.abs).max == 127L, s"seed=$seed") // range fully used
+          v.zip(q).foreach { case (x, c) =>
+            assert(math.abs(x - c * s / 127.0) <= s / 254.0 + 1e-9, s"seed=$seed")
+          }
+        } else assert(q.forall(_ == 0L), s"seed=$seed")
+      }
+    }
+  }
+
   test("kNN prediction is invariant under train-set row order") {
     val train = Seq(
       (1L, "A", Array(1.0, 0.1)), (2L, "A", Array(0.9, 0.2)),
