@@ -1130,7 +1130,8 @@ object Curation {
           SELECT q_id, n_id, sim,
             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
           FROM sims) r
-        WHERE rk = 1 AND sim >= 0.3""")),
+        WHERE rk = 1 AND sim >= 0.3"""),
+      bench = true),
 
     // Within-document repetition PURGE — the action pair to q71's
     // repetition REPORT (the q78→q98 pattern): Gopher-style removal of
@@ -1187,7 +1188,7 @@ object Curation {
           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_removed,
           string_agg(line, ' ' ORDER BY first_i) AS clean_text
         FROM ded GROUP BY doc_id"""),
-      bench = false),
+      bench = true),
 
     // int8-quantized similarity — the storage-side scale lever: per-vector
     // symmetric quantization (exactly replayable integer codes — the
@@ -1242,7 +1243,8 @@ object Curation {
           FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT label, COUNT(*) AS n_pairs, MAX(abs_err) AS max_abs_err,
           round(CAST(SUM(CAST(abs_err AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_abs_err
-        FROM pairs GROUP BY label""")),
+        FROM pairs GROUP BY label"""),
+      bench = true),
 
     // The composed batch curation pass — q64's successor built from the
     // round-6 web-corpus stages: markup strip (q86) → PII redaction (q74) →
@@ -1365,7 +1367,8 @@ object Curation {
         SELECT r.source, r.n_docs, r.rate_ppm,
           COUNT(*) AS n_sampled, MIN(s.doc_id) AS first_doc
         FROM sampled s JOIN rates r ON s.source = r.source
-        GROUP BY r.source, r.n_docs, r.rate_ppm""")),
+        GROUP BY r.source, r.n_docs, r.rate_ppm"""),
+      bench = true),
 
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
