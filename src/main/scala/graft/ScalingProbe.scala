@@ -152,6 +152,10 @@ object ScalingProbe {
       // within-doc repetition purge: row-local array_distinct, zero
       // shuffles — the ratio IS the scan ratio in both regimes
       "q102_doc_repetition_purge",
+      // LSA power iteration: per round two cell-table equi-shuffles — the
+      // cell count is what grows; vocabgrow also multiplies the vector
+      // frame ×10 (never broadcast, so it only widens the shuffle)
+      "q103_lsa_component",
       // quantized-cosine fidelity report: per-row quantization + the q36
       // capped within-label pair join — id-shift deepens label blocks
       // ×factor, so like q36 the pair term is quadratic-in-factor below
@@ -165,7 +169,7 @@ object ScalingProbe {
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
-      "q100_curation_e2e", "q102_doc_repetition_purge")
+      "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -43,6 +43,32 @@ object Text {
     (900000001L, "郭靖和黄蓉在桃花岛遇到洪七公，郭靖学降龙十八掌。"),
     (900000002L, "洪七公传掌法，黄蓉识破真相，靖字辈排行。"))
 
+  /** Unrolled DuckDB replay of [[graft.ml.Lsa.topSingular]] for the q103
+    * oracle, appended after a `cells(doc_id, term, w)` CTE: round r computes
+    * `u_r = A v_{r-1}` (join on term, 12-dp products through DECIMAL(30,12),
+    * result re-rounded to 12 dp), `w_r = Aᵀ u_r` (join on doc_id, same
+    * ladder), the 10-dp-rounded norm, and the 12-dp-normalized `v_r` — the
+    * identical arithmetic the Spark loop performs, so every iteration is
+    * bit-equal across engines. */
+  private def lsaCtes(iterations: Int): String = {
+    val v0 = """v0 AS (SELECT DISTINCT term, 1.0 AS v FROM cells)"""
+    val rounds = (1 to iterations).map { r =>
+      s"""u$r AS (
+          SELECT c.doc_id,
+            round(CAST(SUM(CAST(round(c.w * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN v${r - 1} v USING (term) GROUP BY c.doc_id),
+        w$r AS (
+          SELECT c.term,
+            round(CAST(SUM(CAST(round(c.w * u.u, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS vv
+          FROM cells c JOIN u$r u USING (doc_id) GROUP BY c.term),
+        n$r AS (
+          SELECT round(sqrt(CAST(SUM(CAST(round(vv * vv, 12) AS DECIMAL(30,12))) AS DOUBLE)), 10) AS nm
+          FROM w$r),
+        v$r AS (SELECT term, round(vv / nm, 12) AS v FROM w$r, n$r)"""
+    }
+    (v0 +: rounds).mkString(",\n        ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q18_term_stats",
@@ -92,6 +118,39 @@ object Text {
           FROM toks GROUP BY 1)
         SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS tfidf
         FROM tf JOIN idf ON tf.term = idf.term"""),
+      bench = true),
+
+    // LSA first topic — the matrix-factorization family: top right-singular
+    // vector of the TF-IDF matrix by power iteration on AᵀA, every round
+    // bit-portable (products→12 dp→DECIMAL sums→12 dp, sqrt→10 dp,
+    // normalize→12 dp; sign pinned by the non-negative start). Per round:
+    // two equi-shuffle join+sum passes over the cell table and a 1-row norm
+    // broadcast — the vector frames are never collected or broadcast, so
+    // vocabulary size only bounds the shuffle. The oracle unrolls all four
+    // rounds as CTEs on top of q21's TF-IDF chain.
+    QueryDef("q103_lsa_component",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val cells = TextPipeline.tfidf(
+          TextPipeline.tf(TextPipeline.termCounts(t)), TextPipeline.idf(t))
+          .select(col("doc_id"), col("term"), col("tfidf").as("w"))
+        graft.ml.Lsa.topSingular(cells, iterations = 4)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term,
+          CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        idf AS (SELECT term,
+          CAST((SELECT n_docs FROM n) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS idf
+          FROM toks GROUP BY 1),
+        cells AS MATERIALIZED (
+          SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS w
+          FROM tf JOIN idf ON tf.term = idf.term),
+        ${lsaCtes(4)}
+        SELECT term, round(v, 8) AS weight FROM v4"""),
       bench = true),
 
     QueryDef("q22_doc_vectors",

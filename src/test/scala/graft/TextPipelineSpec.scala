@@ -62,4 +62,19 @@ class TextPipelineSpec extends SparkSpec {
     // tf = 0.5 each, idf = 1.0 each → 0.5*1e6 = 500000
     assert(vec == "1:500000 2:500000")
   }
+
+  test("LSA power iteration recovers a rank-1 matrix's singular vector exactly") {
+    // A = a·bᵀ with a=(1,2), b=(3,4): the top right-singular vector is
+    // b/|b| = (0.6, 0.8) in closed form, reached EXACTLY after one round
+    // (v0=(1,1): u=(7,14); Aᵀu=(105,140); norm=175) and stable thereafter
+    val cells = Seq(
+      (1L, "x", 3.0), (1L, "y", 4.0),
+      (2L, "x", 6.0), (2L, "y", 8.0)
+    ).toDF("doc_id", "term", "w")
+    for (iters <- Seq(1, 4)) {
+      val v = graft.ml.Lsa.topSingular(cells, iters)
+        .as[(String, Double)].collect().toMap
+      assert(v == Map("x" -> 0.6, "y" -> 0.8), s"iters=$iters")
+    }
+  }
 }
