@@ -168,7 +168,49 @@ object Graph {
         Graphs.pageRankGeneral(e, iterations = 10)
           .select(col("v"), round(col("rank"), 6).as("rank"))
       },
-      oracle = Some(pageRankDanglingSql(10, 0.85)))
+      oracle = Some(pageRankDanglingSql(10, 0.85))),
+
+    // Cohesion statistic over the co-occurrence network: per-term triangle
+    // participation via degree orientation + wedge closure (Graphs
+    // .triangleCounts — Cohen CiSE'09 / Suri-Vassilvitskii WWW'11). The
+    // oracle replays the SAME orientation and closure joins, so counts are
+    // exact integers — hash-match needs no rounding ladder.
+    QueryDef("q104_triangle_counts",
+      (s, dir) => Graphs.triangleCounts(
+        Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .select(col("src"), col("dst")))
+        .select(col("v").as("term"), col("triangles")),
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT DISTINCT a.term AS src, b.term AS dst
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM cooc),
+        deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) ends GROUP BY 1),
+        ori AS (
+          SELECT
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN db.deg ELSE da.deg END AS dw
+          FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+        wed AS (
+          SELECT e1.u AS t1, e1.w AS t2, e2.w AS t3
+          FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND
+            (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+        tri AS (
+          SELECT t1, t2, t3 FROM wed JOIN ori ON wed.t2 = ori.u AND wed.t3 = ori.w),
+        pv AS (SELECT v, COUNT(*) AS tri FROM (
+          SELECT t1 AS v FROM tri UNION ALL
+          SELECT t2 AS v FROM tri UNION ALL
+          SELECT t3 AS v FROM tri) corners GROUP BY 1)
+        SELECT deg.v AS term, CAST(COALESCE(pv.tri, 0) AS BIGINT) AS triangles
+        FROM deg LEFT JOIN pv ON deg.v = pv.v"""),
+      bench = true)
   )
 
   /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):

@@ -112,4 +112,27 @@ class GraphsSpec extends SparkSpec {
     assert(two == prop)
     assert(two(40L) == 10L && two(62L) == 50L && two(72L) == 70L && two(90L) == 2L)
   }
+
+  test("triangle counts: clique, pendant, and triangle-free components") {
+    // 4-clique {1,2,3,4} (each vertex in C(3,2)=3 triangles), pendant 5–1,
+    // and a triangle-free edge 6–7; input deliberately mixes directions
+    // and duplicates to exercise canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (5L, 1L), (6L, 7L), (6L, 7L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("triangle counts: apex fan-out is bounded by orientation, not hub degree") {
+    // star hub 0 with 40 leaves plus one closing edge (1,2): exactly one
+    // triangle {0,1,2}. Degree orientation must find it while never using
+    // the hub as a wedge apex.
+    val edges = ((1L to 40L).map(i => (0L, i)) ++ Seq((1L, 2L))).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got(0L) == 1L && got(1L) == 1L && got(2L) == 1L)
+    assert((3L to 40L).forall(got(_) == 0L))
+    assert(got.values.sum == 3L)
+  }
 }
