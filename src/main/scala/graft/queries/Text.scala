@@ -69,6 +69,48 @@ object Text {
     (v0 +: rounds).mkString(",\n        ")
   }
 
+  /** Unrolled replay of [[graft.ml.Lsa.secondSingular]] for the q105
+    * oracle: phase 1 is [[lsaCtes]] verbatim (yielding v$iterations), then
+    * λ₁ = ‖A v₁‖² via the same product ladder, then `iterations` deflation
+    * rounds s_r = normalize(AᵀA s_{r-1} − round(λ₁·(v₁·s_{r-1}), 12)·v₁).
+    * MATERIALIZED is load-bearing on every CTE that is read twice per
+    * round (v1m, lam, s_r, e_r) — DuckDB's default inlining would expand
+    * exponentially many copies of the deep phase-1 subtree (the q81
+    * lesson). */
+  private def lsaDeflCtes(iterations: Int): String = {
+    val head = s"""v1m AS MATERIALIZED (SELECT term, v FROM v$iterations),
+        lu AS (
+          SELECT c.doc_id,
+            round(CAST(SUM(CAST(round(c.w * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN v1m v USING (term) GROUP BY c.doc_id),
+        lam AS MATERIALIZED (
+          SELECT round(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS lam
+          FROM lu),
+        s0 AS MATERIALIZED (SELECT DISTINCT term, 1.0 AS v FROM cells)"""
+    val rounds = (1 to iterations).map { r =>
+      s"""a$r AS (
+          SELECT c.doc_id,
+            round(CAST(SUM(CAST(round(c.w * s.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN s${r - 1} s USING (term) GROUP BY c.doc_id),
+        b$r AS (
+          SELECT c.term,
+            round(CAST(SUM(CAST(round(c.w * a.u, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS vv
+          FROM cells c JOIN a$r a USING (doc_id) GROUP BY c.term),
+        d$r AS MATERIALIZED (
+          SELECT round(CAST(SUM(CAST(round(v1.v * s.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS dot
+          FROM v1m v1 JOIN s${r - 1} s USING (term)),
+        e$r AS MATERIALIZED (
+          SELECT b.term,
+            round(b.vv - round((SELECT round(lam.lam * d.dot, 12) FROM lam, d$r d) * v1.v, 12), 12) AS vv
+          FROM b$r b JOIN v1m v1 USING (term)),
+        m$r AS (
+          SELECT round(sqrt(CAST(SUM(CAST(round(vv * vv, 12) AS DECIMAL(30,12))) AS DOUBLE)), 10) AS nm
+          FROM e$r),
+        s$r AS MATERIALIZED (SELECT term, round(vv / nm, 12) AS v FROM e$r, m$r)"""
+    }
+    (head +: rounds).mkString(",\n        ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q18_term_stats",
@@ -151,6 +193,37 @@ object Text {
           FROM tf JOIN idf ON tf.term = idf.term),
         ${lsaCtes(4)}
         SELECT term, round(v, 8) AS weight FROM v4"""),
+      bench = true),
+
+    // The stated top-k extension of q103 delivered: component 2 by
+    // deflation (power iteration on AᵀA − λ₁v₁v₁ᵀ), every round of BOTH
+    // phases unrolled in the oracle. The signed iterate is bit-identical
+    // across engines (all-ones start + the 12-dp ladder), so no sign
+    // canonicalization is needed — the oracle replays the sign too.
+    QueryDef("q105_lsa_second",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val cells = TextPipeline.tfidf(
+          TextPipeline.tf(TextPipeline.termCounts(t)), TextPipeline.idf(t))
+          .select(col("doc_id"), col("term"), col("tfidf").as("w"))
+        graft.ml.Lsa.secondSingular(cells, iterations = 4)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term,
+          CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        idf AS (SELECT term,
+          CAST((SELECT n_docs FROM n) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS idf
+          FROM toks GROUP BY 1),
+        cells AS MATERIALIZED (
+          SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS w
+          FROM tf JOIN idf ON tf.term = idf.term),
+        ${lsaCtes(4)},
+        ${lsaDeflCtes(4)}
+        SELECT term, round(v, 8) AS weight FROM s4"""),
       bench = true),
 
     QueryDef("q22_doc_vectors",

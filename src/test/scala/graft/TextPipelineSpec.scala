@@ -77,4 +77,20 @@ class TextPipelineSpec extends SparkSpec {
       assert(v == Map("x" -> 0.6, "y" -> 0.8), s"iters=$iters")
     }
   }
+
+  test("LSA deflation recovers the second singular direction of a diagonal matrix") {
+    // A = diag(3, 2, 1) over terms x,y,z: v1 = e_x exactly, and after
+    // deflating λ₁ = 9 the second component must converge to e_y — unit
+    // norm, orthogonal to v1, nothing on x or z beyond rounding dust.
+    val cells = Seq(
+      (1L, "x", 3.0), (2L, "y", 2.0), (3L, "z", 1.0)
+    ).toDF("doc_id", "term", "w")
+    val v1 = graft.ml.Lsa.topSingular(cells, 8).as[(String, Double)].collect().toMap
+    assert(math.abs(v1("x")) > 0.999 && math.abs(v1("y")) < 0.03 && math.abs(v1("z")) < 0.03)
+    val v2 = graft.ml.Lsa.secondSingular(cells, 8).as[(String, Double)].collect().toMap
+    assert(math.abs(v2("y")) > 0.999, s"expected e_y, got $v2")
+    assert(math.abs(v2("x")) < 0.03 && math.abs(v2("z")) < 0.03, s"got $v2")
+    val dot = Seq("x", "y", "z").map(t => v1(t) * v2(t)).sum
+    assert(math.abs(dot) < 0.05, s"components not orthogonal: dot=$dot")
+  }
 }
