@@ -309,6 +309,131 @@ object Events {
           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         FROM anchors a JOIN ev e ON e.us >= a.t0 AND e.us < a.t1
         GROUP BY 1"""),
-      bench = true)
+      bench = true),
+
+    // Ordered conversion funnel: users progressing view → click → purchase
+    // with strictly increasing event times. Three stage frames, each an
+    // equi-shuffle on user_id (min-timestamp aggregate, then a filtered
+    // re-join of the next stage's events) — no window over a global order,
+    // no per-user event collection, so the plan survives power-law users.
+    QueryDef("q106_funnel",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        t1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(t3.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      oracle = Some("""
+        WITH t1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+               (SELECT COUNT(*) FROM t2) AS n_view_click,
+               (SELECT COUNT(*) FROM t3) AS n_view_click_purchase""")),
+
+    // Cohort retention: users grouped by first-activity date, retention at
+    // each day offset = distinct active users / cohort size. The user-day
+    // distinct and the first-day aggregate are both user_id equi-shuffles;
+    // the per-cohort rollup is date-keyed (bounded by the calendar, never
+    // corpus-sized). Dates ship cross-engine as ISO strings.
+    QueryDef("q107_retention",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts").cast(DateType).as("d"))
+        val first = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        val sizes = first.groupBy(col("d0")).agg(count(lit(1)).as("cohort_n"))
+        val userDays = e.distinct()
+        val act = userDays.join(first, "user_id")
+          .groupBy(col("d0"), datediff(col("d"), col("d0")).cast(LongType).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .filter(col("day_offset") <= 14)
+        act.join(sizes, "d0")
+          .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_date"),
+            col("day_offset"), col("cohort_n"), col("n_active"),
+            round(col("n_active").cast(DoubleType) / col("cohort_n").cast(DoubleType), 8)
+              .as("retention"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1),
+        sizes AS (SELECT d0, COUNT(*) AS cohort_n FROM first GROUP BY 1),
+        act AS (
+          SELECT f.d0, CAST(ud.d - f.d0 AS BIGINT) AS day_offset, COUNT(*) AS n_active
+          FROM (SELECT DISTINCT user_id, d FROM e) ud JOIN first f USING (user_id)
+          GROUP BY 1, 2 HAVING day_offset <= 14)
+        SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_date, a.day_offset, s.cohort_n,
+          a.n_active,
+          round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 8) AS retention
+        FROM act a JOIN sizes s USING (d0)""")),
+
+    // Multi-level aggregate in one pass: ROLLUP(event_type, day) computes the
+    // detail cells, per-type subtotals, and the grand total in a single
+    // shuffle (Spark expands grouping sets map-side; no re-scan per level).
+    // NULL grouping placeholders are coalesced to an 'ALL' sentinel on both
+    // engines so the hash compare never orders NULLs.
+    QueryDef("q108_rollup",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .rollup(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value"), 8).as("sum_value"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("day"), lit("ALL")).as("day"),
+            col("cnt"), col("sum_value"))
+      },
+      oracle = Some("""
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+          COALESCE(day, 'ALL') AS day, COUNT(*) AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+        GROUP BY ROLLUP (event_type, day)""")),
+
+    // Hourly error-count anomalies at 2σ. The moments are integer sums
+    // (S1 = Σcnt, S2 = Σcnt²) and the 2σ test is multiplied through to an
+    // all-integer comparison, (n·cnt − S1)² > 4·(n·S2 − S1²), evaluated in
+    // DECIMAL(38,0) — no double mean/stddev whose rounding could flip a
+    // boundary row on one engine but not the other. Single hour-keyed
+    // shuffle + a 1-row broadcast of the moments.
+    QueryDef("q113_anomaly",
+      (s, dir) => {
+        val hourly = Tables(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(epochTrunc("hour", col("ts")).as("hour_epoch"))
+          .agg(count(lit(1)).as("cnt"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val moments = hourly.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+        hourly.crossJoin(broadcast(moments))
+          .select(col("hour_epoch"), col("cnt"),
+            ((col("n").cast(dec) * col("cnt").cast(dec) - col("s1").cast(dec)) *
+              (col("n").cast(dec) * col("cnt").cast(dec) - col("s1").cast(dec)) >
+              lit(4).cast(dec) * (col("n").cast(dec) * col("s2").cast(dec) -
+                col("s1").cast(dec) * col("s1").cast(dec))).as("is_anomaly"))
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, COUNT(*) AS cnt
+          FROM events WHERE event_type = 'error' GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM hourly)
+        SELECT h.hour_epoch, h.cnt,
+          (CAST(m.n AS DECIMAL(38,0)) * CAST(h.cnt AS DECIMAL(38,0)) - CAST(m.s1 AS DECIMAL(38,0)))
+            * (CAST(m.n AS DECIMAL(38,0)) * CAST(h.cnt AS DECIMAL(38,0)) - CAST(m.s1 AS DECIMAL(38,0)))
+            > 4 * (CAST(m.n AS DECIMAL(38,0)) * CAST(m.s2 AS DECIMAL(38,0))
+                   - CAST(m.s1 AS DECIMAL(38,0)) * CAST(m.s1 AS DECIMAL(38,0))) AS is_anomaly
+        FROM hourly h CROSS JOIN m"""))
   )
 }

@@ -13,10 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingWindows {
 
+  /** Watermarks require TIMESTAMP (with local tz); parquet written by other
+    * engines (and the driver's testdata) often carries TIMESTAMP_NTZ. Cast
+    * the event-time column up front — under a fixed session timezone the
+    * wall-clock value (and thus every window assignment) is unchanged, and
+    * batch/stream parity holds because the batch queries bucket the NTZ
+    * column by the same wall clock. */
+  private def eventTime(stream: DataFrame, tsCol: String): DataFrame =
+    stream.schema(stream.schema.fieldIndex(tsCol)).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => stream
+    }
+
   /** Tumbling-window counts per key over an event-time column. */
   def windowedCounts(stream: DataFrame, keyCol: String, windowLen: String,
                      watermark: String = "1 hour"): DataFrame =
-    stream.withWatermark("ts", watermark)
+    eventTime(stream, "ts").withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
@@ -36,7 +49,7 @@ object StreamingWindows {
     * `duration = end - start - gap`. */
   def sessionCounts(stream: DataFrame, keyCol: String, gap: String,
                     watermark: String = "1 hour"): DataFrame =
-    stream.withWatermark("ts", watermark)
+    eventTime(stream, "ts").withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("w.start").as("session_start"),
@@ -45,7 +58,7 @@ object StreamingWindows {
   /** Tumbling-window average of a value column per key. */
   def windowedAvg(stream: DataFrame, keyCol: String, valueCol: String,
                   windowLen: String, watermark: String = "1 hour"): DataFrame =
-    stream.withWatermark("ts", watermark)
+    eventTime(stream, "ts").withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col(keyCol))
       .agg(count(lit(1)).as("cnt"), avg(col(valueCol)).as("avg_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
