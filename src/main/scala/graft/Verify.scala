@@ -26,6 +26,11 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Any query that throws (even at plan/analysis time) is recorded here and
+    // written to outDir/failed.json — a broken query must surface as a loud
+    // red artifact, never as a silently absent parquet dir (round-6 lesson:
+    // q87's DATATYPE_MISMATCH vanished from the correctness surface).
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         // per-query pin scope: operator pins release when THIS query's dump
@@ -36,7 +41,8 @@ object Verify {
             .parquet(s"$outDir/$name")
         }
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.put(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
         }
       }
     }
@@ -59,6 +65,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failed.json is always written (empty object when all green) so its
+    // absence vs emptiness is never ambiguous to the driver or a human.
+    import scala.jdk.CollectionConverters._
+    val failedJson = failed.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    if (!failed.isEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+        failed.keySet.asScala.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }

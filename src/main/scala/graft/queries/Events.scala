@@ -360,11 +360,16 @@ object Events {
           .groupBy(col("d0"), datediff(col("d"), col("d0")).cast(LongType).as("day_offset"))
           .agg(count(lit(1)).as("n_active"))
           .filter(col("day_offset") <= 14)
+        // retention ships as an integer: the half-up-rounded ratio ×1e8,
+        // computed in pure BIGINT arithmetic ((2·n·1e8 + d) div 2d) — no
+        // double rounding whose representational boundaries could flip a
+        // digit on one engine but not the other (the repo's exact-decimal
+        // ethos: dsum, q113's integer 2-sigma rewrite).
         act.join(sizes, "d0")
           .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_date"),
             col("day_offset"), col("cohort_n"), col("n_active"),
-            round(col("n_active").cast(DoubleType) / col("cohort_n").cast(DoubleType), 8)
-              .as("retention"))
+            expr("(n_active * 200000000L + cohort_n) div (2 * cohort_n)")
+              .as("retention_e8"))
       },
       oracle = Some("""
         WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -376,27 +381,30 @@ object Events {
           GROUP BY 1, 2 HAVING day_offset <= 14)
         SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_date, a.day_offset, s.cohort_n,
           a.n_active,
-          round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 8) AS retention
+          (a.n_active * 200000000 + s.cohort_n) // (2 * s.cohort_n) AS retention_e8
         FROM act a JOIN sizes s USING (d0)""")),
 
     // Multi-level aggregate in one pass: ROLLUP(event_type, day) computes the
     // detail cells, per-type subtotals, and the grand total in a single
     // shuffle (Spark expands grouping sets map-side; no re-scan per level).
-    // NULL grouping placeholders are coalesced to an 'ALL' sentinel on both
-    // engines so the hash compare never orders NULLs.
+    // Subtotal rows are labeled 'ALL' via GROUPING(col) — the grouping
+    // indicator, not a COALESCE of the grouped value — so a genuine NULL
+    // (or literal 'ALL') data value can never masquerade as a subtotal.
     QueryDef("q108_rollup",
       (s, dir) => {
         Tables(s, dir, "events")
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .rollup(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("cnt"), dsum(col("value"), 8).as("sum_value"))
-          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-            coalesce(col("day"), lit("ALL")).as("day"),
+          .agg(count(lit(1)).as("cnt"), dsum(col("value"), 8).as("sum_value"),
+            grouping(col("event_type")).as("g_et"), grouping(col("day")).as("g_day"))
+          .select(
+            when(col("g_et") === 1, lit("ALL")).otherwise(col("event_type")).as("event_type"),
+            when(col("g_day") === 1, lit("ALL")).otherwise(col("day")).as("day"),
             col("cnt"), col("sum_value"))
       },
       oracle = Some("""
-        SELECT COALESCE(event_type, 'ALL') AS event_type,
-          COALESCE(day, 'ALL') AS day, COUNT(*) AS cnt,
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day, COUNT(*) AS cnt,
           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
         GROUP BY ROLLUP (event_type, day)""")),

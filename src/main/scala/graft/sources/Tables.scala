@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -15,12 +15,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and truncate to the engine's micros domain.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // The events table stores timestamp[us] with isAdjustedToUTC=false, which
+    // Spark 4 infers as TIMESTAMP_NTZ. Type-strict instant functions
+    // (unix_micros, ...) reject NTZ at analysis time, so normalize to
+    // TIMESTAMP here. All entry points pin spark.sql.session.timeZone=UTC,
+    // so the cast preserves the wall clock and epoch micros match DuckDB's
+    // epoch_us over the same parquet.
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }

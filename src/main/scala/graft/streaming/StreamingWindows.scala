@@ -15,13 +15,17 @@ object StreamingWindows {
 
   /** Watermarks require TIMESTAMP (with local tz); parquet written by other
     * engines (and the driver's testdata) often carries TIMESTAMP_NTZ. Cast
-    * the event-time column up front — under a fixed session timezone the
-    * wall-clock value (and thus every window assignment) is unchanged, and
-    * batch/stream parity holds because the batch queries bucket the NTZ
-    * column by the same wall clock. */
+    * the event-time column up front. The wall-clock value (and thus every
+    * window assignment) is preserved ONLY under a fixed-offset session
+    * timezone — under a DST zone, nonexistent/ambiguous local times would
+    * shift and diverge from the batch NTZ bucketing — so this asserts the
+    * session timezone is UTC (which every entry point in this repo pins). */
   private def eventTime(stream: DataFrame, tsCol: String): DataFrame =
     stream.schema(stream.schema.fieldIndex(tsCol)).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"NTZ event-time cast requires spark.sql.session.timeZone=UTC (fixed offset), got $tz")
         stream.withColumn(tsCol, col(tsCol).cast("timestamp"))
       case _ => stream
     }
