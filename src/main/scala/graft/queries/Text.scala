@@ -111,6 +111,61 @@ object Text {
     (head +: rounds).mkString(",\n        ")
   }
 
+  /** Unrolled replay of [[graft.ml.Lsa.topK]]'s THIRD phase for the q109
+    * oracle: power iteration on AᵀA − λ₁v₁v₁ᵀ − λ₂v₂v₂ᵀ, deflating against
+    * the long-format component frame exactly as the Spark loop does —
+    * per round one dots aggregate per component (prev ⋈ t on term, grouped
+    * by comp), k−1 coefficients, and ONE apply join (prev ⋈ coefs, grouped
+    * by term, DECIMAL-summed then re-rounded) — so the SQL ladder is the
+    * generalized multi-component arithmetic, not a per-component chain.
+    * Requires [[lsaCtes]] (yielding v1m via [[lsaDeflCtes]]'s head) and
+    * [[lsaDeflCtes]] (yielding s$iterations = v₂ and lam = λ₁) upstream. */
+  private def lsaPhase3Ctes(iterations: Int): String = {
+    val head = s"""lu2 AS (
+          SELECT c.doc_id,
+            round(CAST(SUM(CAST(round(c.w * s.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN s$iterations s USING (term) GROUP BY c.doc_id),
+        lam2 AS MATERIALIZED (
+          SELECT round(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS lam
+          FROM lu2),
+        prev3 AS MATERIALIZED (
+          SELECT 1 AS comp, term, v FROM v1m
+          UNION ALL SELECT 2 AS comp, term, v FROM s$iterations),
+        lams3 AS MATERIALIZED (
+          SELECT 1 AS comp, lam FROM lam
+          UNION ALL SELECT 2 AS comp, lam FROM lam2),
+        t0 AS MATERIALIZED (SELECT DISTINCT term, 1.0 AS v FROM cells)"""
+    val rounds = (1 to iterations).map { r =>
+      s"""x$r AS (
+          SELECT c.doc_id,
+            round(CAST(SUM(CAST(round(c.w * t.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN t${r - 1} t USING (term) GROUP BY c.doc_id),
+        y$r AS (
+          SELECT c.term,
+            round(CAST(SUM(CAST(round(c.w * x.u, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS vv
+          FROM cells c JOIN x$r x USING (doc_id) GROUP BY c.term),
+        dt$r AS MATERIALIZED (
+          SELECT p.comp,
+            round(CAST(SUM(CAST(round(p.v * t.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS dot
+          FROM prev3 p JOIN t${r - 1} t USING (term) GROUP BY p.comp),
+        cf$r AS MATERIALIZED (
+          SELECT d.comp, round(l.lam * d.dot, 12) AS coef
+          FROM dt$r d JOIN lams3 l USING (comp)),
+        dd$r AS MATERIALIZED (
+          SELECT p.term,
+            round(CAST(SUM(CAST(round(cf.coef * p.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS dd
+          FROM prev3 p JOIN cf$r cf USING (comp) GROUP BY p.term),
+        z$r AS MATERIALIZED (
+          SELECT y.term, round(y.vv - d.dd, 12) AS vv
+          FROM y$r y JOIN dd$r d USING (term)),
+        zn$r AS (
+          SELECT round(sqrt(CAST(SUM(CAST(round(vv * vv, 12) AS DECIMAL(30,12))) AS DOUBLE)), 10) AS nm
+          FROM z$r),
+        t$r AS MATERIALIZED (SELECT term, round(vv / nm, 12) AS v FROM z$r, zn$r)"""
+    }
+    (head +: rounds).mkString(",\n        ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q18_term_stats",
@@ -224,6 +279,46 @@ object Text {
         ${lsaCtes(4)},
         ${lsaDeflCtes(4)}
         SELECT term, round(v, 8) AS weight FROM s4"""),
+      bench = true),
+
+    // Top-k LSA components behind one API (k=3): the q103/q105 deflation
+    // loop generalized — each later phase deflates against ALL previous
+    // components through one long-format frame (per round: one dots
+    // aggregate grouped by component, a k−1-row coefficient broadcast, one
+    // apply join grouped by term), so per-round cost is independent of k.
+    // Components are memoized per (session, cells-plan, iterations):
+    // running q103+q105+q109 in one session costs three phase loops, not
+    // six. The oracle unrolls all THREE phases — 12 power-iteration rounds
+    // plus two eigenvalue estimates — as CTEs.
+    QueryDef("q109_lsa_topk",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val cells = TextPipeline.tfidf(
+          TextPipeline.tf(TextPipeline.termCounts(t)), TextPipeline.idf(t))
+          .select(col("doc_id"), col("term"), col("tfidf").as("w"))
+        graft.ml.Lsa.topK(cells, k = 3, iterations = 4)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term,
+          CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        idf AS (SELECT term,
+          CAST((SELECT n_docs FROM n) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS idf
+          FROM toks GROUP BY 1),
+        cells AS MATERIALIZED (
+          SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS w
+          FROM tf JOIN idf ON tf.term = idf.term),
+        ${lsaCtes(4)},
+        ${lsaDeflCtes(4)},
+        ${lsaPhase3Ctes(4)}
+        SELECT CAST(1 AS BIGINT) AS component, term, round(v, 8) AS weight FROM v4
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS component, term, round(v, 8) AS weight FROM s4
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS component, term, round(v, 8) AS weight FROM t4"""),
       bench = true),
 
     QueryDef("q22_doc_vectors",

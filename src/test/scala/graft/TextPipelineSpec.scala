@@ -93,4 +93,44 @@ class TextPipelineSpec extends SparkSpec {
     val dot = Seq("x", "y", "z").map(t => v1(t) * v2(t)).sum
     assert(math.abs(dot) < 0.05, s"components not orthogonal: dot=$dot")
   }
+
+  test("LSA topK recovers all three axes of a diagonal matrix, pairwise orthogonal") {
+    // A = diag(3, 2, 1): components must come out in eigenvalue order
+    // e_x, e_y, e_z, each unit-norm and orthogonal to the others.
+    val cells = Seq(
+      (1L, "x", 3.0), (2L, "y", 2.0), (3L, "z", 1.0)
+    ).toDF("doc_id", "term", "w")
+    val comps = graft.ml.Lsa.topK(cells, k = 3, iterations = 8)
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(comps.keySet == Set(1L, 2L, 3L))
+    for ((c, axis) <- Seq(1L -> "x", 2L -> "y", 3L -> "z")) {
+      assert(math.abs(comps(c)(axis)) > 0.999, s"component $c should be e_$axis: ${comps(c)}")
+      for (other <- Seq("x", "y", "z") if other != axis)
+        assert(math.abs(comps(c)(other)) < 0.05, s"component $c leaked onto $other: ${comps(c)}")
+    }
+    for (a <- 1L to 3L; b <- (a + 1) to 3L) {
+      val dot = Seq("x", "y", "z").map(t => comps(a)(t) * comps(b)(t)).sum
+      assert(math.abs(dot) < 0.05, s"components $a,$b not orthogonal: dot=$dot")
+    }
+  }
+
+  test("LSA memoizes extracted components per (session, plan, iterations)") {
+    // same cells plan → topSingular, secondSingular and topK(3) share the
+    // underlying factorization: component 1 from topK must be bit-equal to
+    // topSingular's result (the memo returned the SAME checkpointed frame)
+    graft.ml.Lsa.clearMemo()
+    def cells = Seq(
+      (1L, "x", 3.0), (1L, "y", 1.0), (2L, "y", 2.0), (3L, "z", 1.0)
+    ).toDF("doc_id", "term", "w")
+    val v1 = graft.ml.Lsa.topSingular(cells, 4).as[(String, Double)].collect().toMap
+    val topk = graft.ml.Lsa.topK(cells, k = 2, iterations = 4)
+      .as[(Long, String, Double)].collect()
+    val k1 = topk.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    assert(k1 == v1, "topK component 1 must reuse the memoized topSingular iterate")
+    val v2 = graft.ml.Lsa.secondSingular(cells, 4).as[(String, Double)].collect().toMap
+    val k2 = topk.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    assert(k2 == v2, "secondSingular must reuse the memoized component 2")
+    graft.ml.Lsa.clearMemo()
+  }
 }
