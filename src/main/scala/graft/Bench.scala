@@ -36,10 +36,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
       .map { q =>
+      // LSA's factorization memo is session-scoped product behavior: a
+      // query needing components 1..k reuses whatever earlier queries
+      // extracted (q105 after q103 pays only phase 2). Each timed pass
+      // restores the memo to its PRE-warm-up state so the pass measures
+      // that marginal work — never a free hit on its own warm-up's entry.
+      // clearCache() below leaves the memo intact (checkpoint blocks are
+      // persisted RDDs, not catalog cache entries), so cross-QUERY sharing
+      // is exactly what a user session would see.
+      val memoSnap = ml.Lsa.memoSnapshot()
+      def timedPass(): Double = { ml.Lsa.restoreMemo(memoSnap); runOnce(q) }
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
         // min of two timed passes — damps scheduler/GC noise in local mode
-        q.name -> math.min(runOnce(q), runOnce(q))
+        q.name -> math.min(timedPass(), timedPass())
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

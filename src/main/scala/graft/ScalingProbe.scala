@@ -183,6 +183,10 @@ object ScalingProbe {
       body
       val sec = (System.nanoTime() - t0) / 1e9
       Caching.release()
+      // the unpersist-all below would clear memoized components' checkpoint
+      // blocks and poison surviving memo entries — and a memo hit would
+      // make a repeated base measurement near-free, corrupting the ratio
+      ml.Lsa.clearMemo()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

@@ -59,8 +59,23 @@ object Lsa {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[Key, Vector[Comp]]()
 
-  /** Drop all memoized components (tests / long-lived sessions). */
+  /** Drop all memoized components (tests / long-lived sessions / probe
+    * harnesses that unpersist all RDDs — a cleared checkpoint block would
+    * otherwise poison a surviving memo entry). */
   def clearMemo(): Unit = memo.clear()
+
+  /** Opaque snapshot of the memo for measurement harnesses: [[Bench]]
+    * restores the snapshot taken BEFORE a query's warm-up ahead of each
+    * timed pass, so the pass measures the query's MARGINAL work given the
+    * components extracted by EARLIER queries in the session — never a free
+    * memo hit from its own warm-up. */
+  def memoSnapshot(): AnyRef = new java.util.HashMap[Key, Vector[Comp]](memo)
+
+  /** Restore a [[memoSnapshot]] (see there). */
+  def restoreMemo(snap: AnyRef): Unit = {
+    memo.clear()
+    memo.putAll(snap.asInstanceOf[java.util.HashMap[Key, Vector[Comp]]])
+  }
 
   /** cells: (doc_id, term, w), w ≥ 0. Returns (term, weight): the
     * unit-norm top right-singular vector, rounded to 8 dp. */
@@ -140,7 +155,10 @@ object Lsa {
       val raw = c.join(u, "doc_id")
         .groupBy(col("term"))
         .agg(round(dsum(round(col("w") * col("u"), 12), 12), 12).as("vv"))
-      val vv = defl match {
+      // materialize the round's product ONCE: without this checkpoint the
+      // norm aggregate and the normalize both re-derive the two cell-table
+      // joins from scratch — every round paid its heavy work twice
+      val vv = (defl match {
         case None => raw
         case Some((pvs, lams)) =>
           val dots = pvs.join(v.select(col("term"), col("v").as("s")), "term")
@@ -153,7 +171,7 @@ object Lsa {
             .agg(round(dsum(round(col("coef") * col("pv"), 12), 12), 12).as("d"))
           raw.join(d, "term")
             .select(col("term"), round(col("vv") - col("d"), 12).as("vv"))
-      }
+      }).localCheckpoint(eager = true)
       val nm = vv.agg(round(sqrt(dsum(round(col("vv") * col("vv"), 12), 12)), 10).as("nm"))
       v = vv.crossJoin(broadcast(nm))
         .select(col("term"), round(col("vv") / col("nm"), 12).as("v"))

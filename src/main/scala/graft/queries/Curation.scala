@@ -34,6 +34,40 @@ object Curation {
 
   private val shCte = s"WITH $shCteBody"
 
+  /** The q34 portable MinHash+LSH pipeline as reusable CTE bodies over
+    * [[shCteBody]], ending in `mh_pairs(doc_a, doc_b, jaccard)` — q112
+    * builds duplicate clusters on exactly these pairs, so its oracle
+    * composes these CTEs with a recursive transitive closure (the q70/q72
+    * pattern on the Jaccard pair set). */
+  private val minhashPairsCtes = """
+    seeds AS (SELECT unnest(range(0, 32)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+        MIN(CAST('0x' || substr(md5(seed || ':' || shingle),1,15) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+        string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    kept AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig) <= 64),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    pc AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    mh_pairs AS (
+      SELECT doc_a, doc_b,
+        CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) AS jaccard
+      FROM pc JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) >= 0.05)"""
+
   /** The q33 capped-Jaccard pair set as reusable CTEs over [[shCteBody]] —
     * q70/q72 build duplicate clusters on exactly these pairs, so their
     * oracles compose these CTEs with a recursive transitive closure. */
@@ -244,32 +278,8 @@ object Curation {
         maxBucketSize = Some(64)),
       bench = true, // native per-row signing + bucket join in the headline run
       oracle = Some(s"""$shCte,
-        seeds AS (SELECT unnest(range(0, 32)) AS seed),
-        sig AS (
-          SELECT doc_id, seed,
-            MIN(CAST('0x' || substr(md5(seed || ':' || shingle),1,15) AS BIGINT)) AS mh
-          FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-        banded AS (
-          SELECT doc_id, seed // 4 AS band,
-            string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS band_sig
-          FROM sig GROUP BY 1, 2),
-        kept AS (
-          SELECT * FROM banded
-          QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig) <= 64),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b
-            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        pc AS (
-          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-          CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) AS jaccard
-        FROM pc JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE)/CAST(za.sz + zb.sz - n_common AS DOUBLE) >= 0.05""")),
+        $minhashPairsCtes
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs""")),
 
     // SimHash in portable-hash mode (60-bit md5-derived fingerprint). The
     // Spark plan is banded (pigeonhole over maxDist+1 bit-bands) with the
@@ -511,6 +521,106 @@ object Curation {
         SELECT af.vec_id, af.cid AS cluster FROM af
         WHERE af.vec_id NOT IN (SELECT vec_id FROM dropped)"""),
       bench = true),
+
+    // Standalone k-means clustering surface (q95 uses the same operator as
+    // dedup plumbing; this row ships the clustering itself): per-cluster
+    // population + centroid norm. The deterministic chain — lowest-id init,
+    // exact DECIMAL(30,12) centroid means, argmin ties on centroid id — is
+    // what makes all 3 rounds replayable as CTEs; the centroid norm goes
+    // through the same sequential-fold dot product both engines share
+    // (q60's precedent). Scale: per round one k×d broadcast + one n×d
+    // shuffle; the summary is a k-row aggregate.
+    QueryDef("q110_kmeans_clusters",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cents = graft.ml.KMeans.fit(e, k = 8, iterations = 3)
+        graft.ml.KMeans.assign(e, cents)
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .join(cents, "centroid_id")
+          .select(col("centroid_id").as("cluster"), col("n_vectors"),
+            round(sqrt(Exprs.dot(col("centroid"), col("centroid"))), 6).as("centroid_norm"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${kmeansCtes(8, 3)}
+        SELECT a.cid AS cluster, a.n_vectors,
+          round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm
+        FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM af GROUP BY 1) a
+        JOIN c3 c USING (cid)""")),
+
+    // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per
+    // language, chosen by a deterministic portable hash rank (md5-48 of the
+    // doc id — 48 bits so the key is exactly representable as the TopK
+    // aggregator's double score). q77's hash-coin Bernoulli sampler hits a
+    // RATE; this row hits a COUNT, which is what a fixed-size eval-set or
+    // annotation draw needs. Scale path: the bounded-heap TopK aggregator
+    // (q62's operator) — shuffle volume is ≤ quota·|strata| regardless of
+    // corpus size, with NO per-stratum global-order window.
+    QueryDef("q111_sample_quota",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val quota = 100
+        docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            // score = −h48: TopK keeps largest (score desc, id asc) ≡
+            // smallest (h asc, doc_id asc); 48-bit values negate exactly
+            // in a double
+            -conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast(org.apache.spark.sql.types.LongType)
+              .cast(org.apache.spark.sql.types.DoubleType).as("score"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
+          .agg(graft.ml.TopK.topK(quota).toColumn.name("top"))
+          .toDF("lang", "top")
+          .select(col("lang"), explode(col("top")).as("s"))
+          .select(col("lang"), col("s.id").as("doc_id"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT lang, doc_id,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+          FROM documents)
+        SELECT lang, doc_id FROM h
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) <= 100""")),
+
+    // MinHash dedup shipped end to end: q34's LSH pair set → large-star/
+    // small-star connected components → keep-min purge, one plan. q70/q72
+    // prove the chain on the n-gram Jaccard pairs; this row proves it on
+    // the MinHash pairs — the configuration an actual 100 TB dedup run
+    // uses (signatures scan-shaped, candidate generation bucket-joined,
+    // clusters in O(log n) equi-shuffle rounds). The oracle composes the
+    // full MinHash replay with a recursive transitive closure.
+    QueryDef("q112_minhash_cluster_purge",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), threshold = 0.05,
+            portable = true, maxBucketSize = Some(64))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val comp = graft.graph.Graphs.connectedComponents(pairs)
+          .withColumnRenamed("v", "doc_id")
+        docs(s, dir).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          .withColumn("kept", col("doc_id") === col("cluster_id"))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody,
+        $minhashPairsCtes,
+        und2 AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                 UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach2(a, b) AS (
+          SELECT a, b FROM und2
+          UNION
+          SELECT r.a, u.b FROM reach2 r JOIN und2 u ON r.b = u.a),
+        mclusters AS (
+          SELECT d.doc_id,
+            CAST(CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id ELSE m.mn END AS BIGINT)
+              AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT a AS doc_id, MIN(b) AS mn FROM reach2 GROUP BY 1) m USING (doc_id))
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS kept FROM mclusters""")),
 
     // Fuzzy dedup by edit distance on doc prefixes — the BRUTE-FORCE BASELINE
     // row of the edit-distance family (q37's role in the ANN family): exact
