@@ -160,7 +160,33 @@ object ScalingProbe {
       // capped within-label pair join — id-shift deepens label blocks
       // ×factor, so like q36 the pair term is quadratic-in-factor below
       // the cap; the cap is the declared work bound
-      "q101_quantized_cosine")
+      "q101_quantized_cosine",
+      // round-7 additions. Triangle counting: id-shift keeps the DISTINCT
+      // co-occurrence edge set constant (same 31-term vocab) while the
+      // pre-distinct pair volume grows ×factor; vocabgrow is 10 disjoint
+      // graph replicas — the wedge join (the skew-prone stage) is probed
+      // in both
+      "q104_triangle_counts",
+      // the deflation loops: q105 runs the phase loop twice, q109 three
+      // times, each round two cell-table equi-shuffles + vocab-keyed
+      // deflation joins — ratios should track q103's (the memo is cleared
+      // per measurement, so each probes the FULL factorization)
+      "q105_lsa_second", "q109_lsa_topk",
+      // ordered funnel: three user-keyed min-aggregates + filtered
+      // re-joins; id-shift multiplies events per user-stage, vocabgrow's
+      // longer-history replica multiplies users — both should scan-scale
+      "q106_funnel",
+      // k-means summary: per round one k×d broadcast + one n×d shuffle —
+      // id-shift deepens every cluster ×factor, the ratio should stay the
+      // shuffle ratio (no pair term anywhere)
+      "q110_kmeans_clusters",
+      // exact-quota sample: scan + bounded-heap TopK — shuffle volume is
+      // quota·|strata| CONSTANT in corpus size, so the ratio is the scan
+      "q111_sample_quota",
+      // MinHash dedup end to end: q34's pair generation + O(log n) CC
+      // rounds + purge — the composed chain must keep q34's/q70's
+      // sub-linearity in both regimes
+      "q112_minhash_cluster_purge")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -169,7 +195,9 @@ object ScalingProbe {
       "q73_decontamination", "q76_dup_spans", "q79_bpe_train", "q80_bpe_encode",
       "q87_range_join_windows", "q88_incremental_dedup", "q89_heavy_hitters",
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
-      "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component")
+      "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component",
+      "q104_triangle_counts", "q105_lsa_second", "q109_lsa_topk", "q106_funnel",
+      "q112_minhash_cluster_purge")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

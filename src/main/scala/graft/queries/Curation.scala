@@ -620,7 +620,8 @@ object Curation {
               AS cluster_id
           FROM documents d
           LEFT JOIN (SELECT a AS doc_id, MIN(b) AS mn FROM reach2 GROUP BY 1) m USING (doc_id))
-        SELECT doc_id, cluster_id, doc_id = cluster_id AS kept FROM mclusters""")),
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS kept FROM mclusters"""),
+      bench = true), // the composed MinHash dedup chain in the headline run
 
     // Fuzzy dedup by edit distance on doc prefixes — the BRUTE-FORCE BASELINE
     // row of the edit-distance family (q37's role in the ANN family): exact
