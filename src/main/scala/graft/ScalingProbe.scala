@@ -186,7 +186,15 @@ object ScalingProbe {
       // MinHash dedup end to end: q34's pair generation + O(log n) CC
       // rounds + purge — the composed chain must keep q34's/q70's
       // sub-linearity in both regimes
-      "q112_minhash_cluster_purge")
+      "q112_minhash_cluster_purge",
+      // k-core peel: per round one degree count + two semi joins; id-shift
+      // multiplies edge MULTIPLICITY pre-distinct only, vocabgrow gives 10
+      // disjoint replicas (peel depth unchanged — rounds are depth-bound,
+      // not size-bound)
+      "q114_kcore",
+      // Adamic-Adar: the capped wedge join (deg² per common neighbor below
+      // the cap) + an anti join — the q33 cost shape on the graph side
+      "q115_adamic_adar")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -197,7 +205,7 @@ object ScalingProbe {
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
       "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component",
       "q104_triangle_counts", "q105_lsa_second", "q109_lsa_topk", "q106_funnel",
-      "q112_minhash_cluster_purge")
+      "q112_minhash_cluster_purge", "q114_kcore", "q115_adamic_adar")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

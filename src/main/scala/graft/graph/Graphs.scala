@@ -343,4 +343,91 @@ object Graphs {
     oriented.unpersist(blocking = false)
     out
   }
+
+  /** k-core: the unique maximal subgraph in which every vertex has degree
+    * ≥ k, by parallel peeling — each round simultaneously removes every
+    * vertex whose current degree is < k, until fixpoint. Removal cascades
+    * (dropping a vertex lowers its neighbors' degrees), so the round count
+    * is the peel DEPTH of the input, not its size; each round is one
+    * grouped degree count + two semi joins — equi-shuffles only, nothing
+    * vertex-sized broadcast or collected. The result is unique regardless
+    * of peel order (the k-core is a closure), which is what makes the
+    * unrolled oracle engine-portable: extra no-op rounds past the fixpoint
+    * change nothing.
+    *
+    * Output: (v, core_deg) for every vertex of the k-core, with its degree
+    * INSIDE the core (≥ k by definition). */
+  def kCore(edges: DataFrame, k: Int): DataFrame = kCoreWithRounds(edges, k)._1
+
+  /** [[kCore]] plus the peel-round count (spec: cascade-depth bound). */
+  private[graft] def kCoreWithRounds(edges: DataFrame, k: Int): (DataFrame, Int) = {
+    require(k >= 1, s"kCore k must be >= 1, got $k")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var rounds = 0
+    var changed = n > 0
+    while (changed) {
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      val e2 = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(eager = true)
+      val n2 = e2.count()
+      changed = n2 != n
+      if (changed) rounds += 1
+      e = e2
+      n = n2
+    }
+    val core = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+    (core, rounds)
+  }
+
+  /** Adamic–Adar link prediction over an undirected graph: for every
+    * NON-adjacent pair (x, y) with at least one common neighbor,
+    * AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) — common neighbors weighted
+    * inversely by how promiscuous they are. A common neighbor has degree
+    * ≥ 2 by construction, so ln is never zero.
+    *
+    * Portability ladder: ln(deg) rounds to 10 dp (the libm precedent), the
+    * reciprocal to 12 dp, the sum through the exact DECIMAL accumulator,
+    * the score to 8 dp.
+    *
+    * Scale: the wedge join fans out deg(z)² pairs at each common neighbor —
+    * `maxDegree` (the q33-df-cap pattern) drops z from the COMMON-NEIGHBOR
+    * role when deg(z) > cap, bounding join work at O(cap·m); the discarded
+    * hubs are the ones contributing least (1/ln(deg) → 0), but the cap is
+    * still the CALLER's truncation decision — the library default is
+    * lossless. Pair volume itself is the operator's output, as with q33. */
+  def adamicAdar(edges: DataFrame, maxDegree: Option[Int] = None): DataFrame = {
+    import graft.functions.Exprs.dsum
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrs = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("degn"))
+    val z = maxDegree.foldLeft(nbrs.join(deg, "n"))((d, cap) => d.filter(col("degn") <= cap))
+    val z1 = z.as("z1")
+    val z2 = z.as("z2")
+    val wedges = z1.join(z2, col("z1.n") === col("z2.n") && col("z1.v") < col("z2.v"))
+      .select(col("z1.v").as("x"), col("z2.v").as("y"), col("z1.degn").as("degz"))
+    val cand = wedges.join(und.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+    val out = cand
+      .select(col("x"), col("y"),
+        round(lit(1.0d) / round(log(col("degz").cast(DoubleType)), 10), 12).as("t"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), round(dsum(col("t"), 12), 8).as("aa_score"))
+    und.unpersist(blocking = false)
+    out
+  }
 }

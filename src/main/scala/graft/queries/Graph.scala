@@ -210,7 +210,97 @@ object Graph {
           SELECT t3 AS v FROM tri) corners GROUP BY 1)
         SELECT deg.v AS term, CAST(COALESCE(pv.tri, 0) AS BIGINT) AS triangles
         FROM deg LEFT JOIN pv ON deg.v = pv.v"""),
-      bench = true)
+      bench = true),
+
+    // k-core of the thresholded co-occurrence network (k = 2, cnt ≥ 20):
+    // parallel peeling until fixpoint, O(peel-depth) equi-shuffle rounds.
+    // The corpus graph is too dense to cascade (every term survives), so
+    // the query unions a fixture subgraph — the q61 precedent — mirrored
+    // verbatim in the oracle: an 8-vertex chain that peels from both ends
+    // over FOUR cascading rounds (each removal drops its neighbor below
+    // k), and a triangle that survives as its own 2-core. The oracle
+    // unrolls six peel rounds (fixpoint + margin — the k-core is unique,
+    // so extra rounds are no-ops).
+    QueryDef("q114_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val real = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+        val fixture = (
+          (1 to 7).map(i => (s"kcfix$i", s"kcfix${i + 1}")) ++
+            Seq(("ktfix1", "ktfix2"), ("ktfix2", "ktfix3"), ("ktfix1", "ktfix3"))
+          ).toDF("src", "dst")
+        Graphs.kCore(real.union(fixture), k = 2)
+          .select(col("v").as("term"), col("core_deg"))
+      },
+      oracle = Some {
+        val chain = (1 to 7).map(i => s"('kcfix$i', 'kcfix${i + 1}')")
+        val tri = Seq("('ktfix1', 'ktfix2')", "('ktfix2', 'ktfix3')", "('ktfix1', 'ktfix3')")
+        val fixtureVals = (chain ++ tri).mkString(", ")
+        // MATERIALIZED is load-bearing (the q81 lesson): every round reads
+        // e{r-1} three times — DuckDB's default inlining would expand
+        // exponentially many copies of the whole upstream chain
+        val rounds = (1 to 6).map { r =>
+          s"""k$r AS MATERIALIZED (
+              SELECT v FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b AS v FROM e${r - 1}) ends
+              GROUP BY 1 HAVING COUNT(*) >= 2),
+          e$r AS MATERIALIZED (
+              SELECT e.a, e.b FROM e${r - 1} e JOIN k$r x ON e.a = x.v JOIN k$r y ON e.b = y.v)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        alle AS (
+          SELECT src, dst FROM cooc WHERE cnt >= 20
+          UNION ALL SELECT * FROM (VALUES $fixtureVals) fx(src, dst)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM alle WHERE src <> dst),
+        $rounds
+        SELECT v AS term, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM (SELECT a AS v FROM e6 UNION ALL SELECT b AS v FROM e6) ends GROUP BY 1"""
+      }),
+
+    // Adamic–Adar link prediction on the same thresholded network: every
+    // non-adjacent pair scored by Σ 1/ln(deg) over common neighbors (the
+    // classic friend-of-friend signal). Wedge join with the q33-style
+    // degree cap passed explicitly (deg ≤ 64 — a no-op on this graph,
+    // the declared work bound at scale); ln→10 dp, reciprocal→12 dp,
+    // DECIMAL sum→8 dp, so the score is bit-portable.
+    QueryDef("q115_adamic_adar",
+      (s, dir) => {
+        val edges = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+        Graphs.adamicAdar(edges, maxDegree = Some(64))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM cooc WHERE cnt >= 20),
+        nb AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+        dg AS (SELECT n, COUNT(*) AS degn FROM nb GROUP BY 1),
+        z AS (SELECT nb.v, nb.n, dg.degn FROM nb JOIN dg USING (n) WHERE dg.degn <= 64),
+        w AS (
+          SELECT z1.v AS x, z2.v AS y, z1.degn AS degz
+          FROM z z1 JOIN z z2 ON z1.n = z2.n AND z1.v < z2.v),
+        c AS (
+          SELECT w.x, w.y, w.degz FROM w
+          LEFT JOIN und ON und.a = w.x AND und.b = w.y
+          WHERE und.a IS NULL)
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+          round(CAST(SUM(CAST(round(1.0/round(ln(CAST(degz AS DOUBLE)), 10), 12)
+            AS DECIMAL(30,12))) AS DOUBLE), 8) AS aa_score
+        FROM c GROUP BY 1, 2"""))
   )
 
   /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):

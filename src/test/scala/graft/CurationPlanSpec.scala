@@ -66,4 +66,39 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("Window"), phys.take(2000))
     assert(!phys.contains("SortMergeJoin"), phys.take(2000))
   }
+
+  test("q111 sample quota has no Window operator (bounded-heap aggregate, not rank)") {
+    // the whole point of the operator: exact-quota selection WITHOUT a
+    // per-stratum global-order window — a Window regression would sort
+    // every stratum's full candidate set through one task
+    val phys = Caching.scoped {
+      SparkEntry.queries("q111_sample_quota")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("Window"), phys.take(2000))
+  }
+
+  test("q110 assigns vectors against BROADCAST centroids (no n x k shuffle join)") {
+    // the centroid table is k rows: a regression to a shuffle join would
+    // exchange the full vector frame once per k-means round
+    val phys = Caching.scoped {
+      SparkEntry.queries("q110_kmeans_clusters")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastExchange"),
+      phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+  }
+
+  test("q112 composed dedup plan has no cartesian product and no Window") {
+    // pair generation must stay the banded bucket equi-join; the closure
+    // must stay equi-shuffle rounds (components run eagerly at plan time,
+    // but the assembled result plan must not smuggle either shape in)
+    val phys = Caching.scoped {
+      SparkEntry.queries("q112_minhash_cluster_purge")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    assert(!phys.contains("Window"), phys.take(2000))
+  }
 }

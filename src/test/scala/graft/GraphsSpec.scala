@@ -135,4 +135,55 @@ class GraphsSpec extends SparkSpec {
     assert((3L to 40L).forall(got(_) == 0L))
     assert(got.values.sum == 3L)
   }
+
+  test("k-core: chain cascades one layer per round, triangle survives as a 2-core") {
+    // 8-vertex chain (1..8) + disjoint triangle (10,11,12). At k=2 the
+    // chain peels from both ends — each round's removal drops the next
+    // vertex below k — so 4 cascading rounds empty it; the triangle is
+    // exactly the surviving 2-core.
+    val edges = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L))).toDF("src", "dst")
+    val (core, rounds) = Graphs.kCoreWithRounds(edges, k = 2)
+    val got = core.as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 11L -> 2L, 12L -> 2L), s"core: $got")
+    assert(rounds == 4, s"expected 4 cascading peel rounds, got $rounds")
+  }
+
+  test("k-core: k above the max degree yields an empty core; clique survives intact") {
+    val clique = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toDF("src", "dst")
+    val all = Graphs.kCore(clique, k = 4).as[(Long, Long)].collect().toMap
+    assert(all == (1L to 5L).map(_ -> 4L).toMap)
+    assert(Graphs.kCore(clique, k = 5).count() == 0L)
+  }
+
+  test("adamic-adar: hand-computed scores, adjacent pairs excluded") {
+    // path 1-2-3 plus hub 4 adjacent to all of {1,2,3}:
+    //   deg: 1->2 (2,4), 2->3 (1,3,4), 3->2 (2,4), 4->3 (1,2,3)
+    //   non-adjacent pairs: only (1,3), common neighbors {2, 4}
+    //   AA(1,3) = 1/ln(3) + 1/ln(3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.adamicAdar(edges).as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1, s"expected only the (1,3) pair: ${got.mkString(",")}")
+    val (x, y, nc, score) = got.head
+    assert((x, y, nc) == ((1L, 3L, 2L)))
+    val term = BigDecimal(1.0 / BigDecimal(math.log(3.0)).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = BigDecimal(term + term).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(score == expected, s"got $score expected $expected")
+  }
+
+  test("adamic-adar: degree cap drops hub-mediated wedges only") {
+    // pairs mediated ONLY by a hub above the cap disappear; pairs with a
+    // low-degree common neighbor keep that neighbor's contribution
+    val hub = (1L to 10L).map(i => (100L, i))
+    val lowZ = Seq((1L, 50L), (2L, 50L)) // z=50 has degree 2
+    val got = Graphs.adamicAdar((hub ++ lowZ).toDF("src", "dst"), maxDegree = Some(5))
+      .as[(Long, Long, Long, Double)].collect()
+    // without the cap every pair (i,j), i<j≤10, shares hub 100 — 45 pairs.
+    // With it, hub-mediated wedges vanish: (1,2) survives via z=50 alone
+    // (one common neighbor — the hub's contribution is dropped), and
+    // (50,100) survives via its low-degree common neighbors z∈{1,2}
+    val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair == Map((1L, 2L) -> 1L, (50L, 100L) -> 2L), got.mkString(","))
+  }
 }
