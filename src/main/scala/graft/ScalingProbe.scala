@@ -194,7 +194,17 @@ object ScalingProbe {
       "q114_kcore",
       // Adamic-Adar: the capped wedge join (deg² per common neighbor below
       // the cap) + an anti join — the q33 cost shape on the graph side
-      "q115_adamic_adar")
+      "q115_adamic_adar",
+      // the event-mart trio: single-shuffle grouped aggregates (rollup
+      // expands grouping sets map-side; retention's user-day distinct is
+      // the only wide stage; anomaly is hour-keyed + a 1-row broadcast) —
+      // ratios should track the scan in both regimes
+      "q107_retention", "q108_rollup", "q113_anomaly",
+      // PCA: the corpus-sized stage is the row-local d² product generation
+      // collapsed map-side (the exchange carries d² partials per
+      // partition); the iteration runs on d-/d²-row frames — the ratio is
+      // the covariance scan. q117 adds one d-row broadcast over the corpus
+      "q116_pca_component", "q117_pca_scores")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -205,7 +215,8 @@ object ScalingProbe {
       "q90_charlm_ppl", "q91_line_dedup", "q92_bloom_decontam", "q97_lr_filter",
       "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component",
       "q104_triangle_counts", "q105_lsa_second", "q109_lsa_topk", "q106_funnel",
-      "q112_minhash_cluster_purge", "q114_kcore", "q115_adamic_adar")
+      "q112_minhash_cluster_purge", "q114_kcore", "q115_adamic_adar",
+      "q107_retention", "q108_rollup", "q113_anomaly")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

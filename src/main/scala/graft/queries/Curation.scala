@@ -155,6 +155,46 @@ object Curation {
     (init +: rounds :+ assignCte("af", s"c$iterations")).mkString(",\n        ")
   }
 
+  /** Unrolled DuckDB replay of [[graft.ml.Pca]] for the q116/q117 oracles,
+    * appended after an `e(vec_id, v DOUBLE[])` CTE: exact 12-dp per-position
+    * means, centered vectors, the d²-cell covariance through the
+    * DECIMAL(30,12) ladder, and `iterations` power-iteration rounds
+    * (u = C v by a j-keyed join, 10-dp norm, 12-dp normalize) — the
+    * identical arithmetic the Spark operator walks. The two-step
+    * ci/cij UNNEST produces the (i, j) CROSS product (parallel UNNESTs in
+    * one SELECT would zip); MATERIALIZED on every multiply-read CTE (the
+    * q81 lesson). */
+  private def pcaCtes(iterations: Int): String = {
+    val head = s"""mu AS MATERIALIZED (
+          SELECT pos, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 12) AS mu
+          FROM (SELECT UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos FROM e) u
+          GROUP BY pos),
+        muarr AS MATERIALIZED (SELECT list(mu ORDER BY pos) AS m FROM mu),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+        cvecs AS MATERIALIZED (
+          SELECT list_transform(range(1, len(v) + 1), i -> round(v[i] - m[i], 12)) AS cv
+          FROM e, muarr),
+        ci AS (SELECT cv, UNNEST(range(1, len(cv) + 1)) AS i FROM cvecs),
+        cij AS (SELECT cv, i, UNNEST(range(1, len(cv) + 1)) AS j FROM ci),
+        cells AS MATERIALIZED (
+          SELECT i, j,
+            round(round(CAST(SUM(CAST(round(cv[i] * cv[j], 12) AS DECIMAL(30,12))) AS DOUBLE), 12)
+              / (SELECT n FROM nn), 12) AS c
+          FROM cij GROUP BY i, j),
+        pv0 AS (SELECT DISTINCT i AS pos, 1.0 AS v FROM cells)"""
+    val rounds = (1 to iterations).map { r =>
+      s"""pu$r AS (
+          SELECT c.i, round(CAST(SUM(CAST(round(c.c * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN pv${r - 1} v ON c.j = v.pos GROUP BY c.i),
+        pn$r AS (
+          SELECT round(sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(30,12))) AS DOUBLE)), 10) AS nm
+          FROM pu$r),
+        pv$r AS MATERIALIZED (SELECT i AS pos, round(u / nm, 12) AS v FROM pu$r, pn$r)"""
+    }
+    (head +: rounds).mkString(",\n        ")
+  }
+
   /** q96/q97 feature frame: (id, x, y) with x = [1.0 (bias), stopword
     * ratio, type-token ratio, min(n_tokens,100)/100] — every component an
     * exact integer division or literal, so both engines derive identical
@@ -549,6 +589,37 @@ object Curation {
           round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm
         FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM af GROUP BY 1) a
         JOIN c3 c USING (cid)""")),
+
+    // PCA top component over the embedding column — the dense-matrix
+    // sibling of q103's sparse LSA: exact 12-dp means, d²-cell covariance
+    // (product terms generated ROW-LOCALLY and collapsed map-side — the
+    // exchange carries d² partials, never n·d² rows), then power iteration
+    // entirely on d-/d²-row frames. Sign not canonicalized (the q105
+    // stance: the all-ones start makes the signed iterate deterministic).
+    // The oracle unrolls means → covariance → all four rounds.
+    QueryDef("q116_pca_component",
+      (s, dir) => graft.ml.Pca.topComponent(Tables(s, dir, "embeddings"), iterations = 4),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pcaCtes(4)}
+        SELECT pos, round(v, 8) AS weight FROM pv4"""),
+      bench = true),
+
+    // The component applied: every vector's centered projection along the
+    // top principal direction — one d-row broadcast against the corpus,
+    // scan-shaped (the whitening/outlier-scoring primitive an embedding
+    // pipeline runs after fitting). Same sequential-fold dot product both
+    // engines share.
+    QueryDef("q117_pca_scores",
+      (s, dir) => graft.ml.Pca.projectTop(Tables(s, dir, "embeddings"), iterations = 4),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pcaCtes(4)},
+        varr AS (SELECT list(v ORDER BY pos) AS w FROM pv4)
+        SELECT vec_id,
+          round(list_reduce(list_transform(range(1, len(v) + 1),
+            i -> round(round(v[i] - m[i], 12) * w[i], 12)), (a, b) -> a + b), 8) AS score
+        FROM e, muarr, varr""")),
 
     // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per
     // language, chosen by a deterministic portable hash rank (md5-48 of the

@@ -115,6 +115,22 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PCA recovers a rank-1 direction exactly and scores centered projections") {
+    // points t·(3,4) for t ∈ {1,2,3}: centered data is {−1,0,1}·(3,4), the
+    // covariance is rank-1 along (3,4), and one power round from (1,1)
+    // lands exactly on (0.6, 0.8). Scores are the centered projections:
+    // ∓5 at the ends, 0 at the mean.
+    val emb = Seq(
+      (1L, Array(3.0, 4.0)), (2L, Array(6.0, 8.0)), (3L, Array(9.0, 12.0))
+    ).toDF("vec_id", "embedding")
+    val comp = graft.ml.Pca.topComponent(emb, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(comp == Map(1L -> 0.6, 2L -> 0.8), s"got $comp")
+    val scores = graft.ml.Pca.projectTop(emb, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(scores == Map(1L -> -5.0, 2L -> 0.0, 3L -> 5.0), s"got $scores")
+  }
+
   test("LSA memoizes extracted components per (session, plan, iterations)") {
     // same cells plan → topSingular, secondSingular and topK(3) share the
     // underlying factorization: component 1 from topK must be bit-equal to
