@@ -204,7 +204,11 @@ object ScalingProbe {
       // collapsed map-side (the exchange carries d² partials per
       // partition); the iteration runs on d-/d²-row frames — the ratio is
       // the covariance scan. q117 adds one d-row broadcast over the corpus
-      "q116_pca_component", "q117_pca_scores")
+      "q116_pca_component", "q117_pca_scores",
+      // PMI: two vocab-keyed joins on the co-occurrence aggregate;
+      // LSA doc scores: the q103 loop + one term-keyed join — both should
+      // track their parents' ratios
+      "q118_pmi", "q119_lsa_doc_scores")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -216,7 +220,8 @@ object ScalingProbe {
       "q100_curation_e2e", "q102_doc_repetition_purge", "q103_lsa_component",
       "q104_triangle_counts", "q105_lsa_second", "q109_lsa_topk", "q106_funnel",
       "q112_minhash_cluster_purge", "q114_kcore", "q115_adamic_adar",
-      "q107_retention", "q108_rollup", "q113_anomaly")
+      "q107_retention", "q108_rollup", "q113_anomaly", "q118_pmi",
+      "q119_lsa_doc_scores")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -92,6 +92,19 @@ object Lsa {
       .select(col("term"), round(col("v"), 8).as("weight"))
   }
 
+  /** Per-document loading along the top component: u = A v₁ — each doc's
+    * score on the first LSA topic. One term-keyed join + doc-grouped sum
+    * over the cell table, reusing the memoized component; the assignment
+    * a topic-model pipeline ships after fitting (the q117 shape, sparse). */
+  def docScores(cells: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"Lsa.docScores iterations must be >= 1, got $iterations")
+    val v = comps(cells, 1, iterations).last.v
+    cells.select(col("doc_id"), col("term"), col("w"))
+      .join(v, "term")
+      .groupBy(col("doc_id"))
+      .agg(round(round(dsum(round(col("w") * col("v"), 12), 12), 12), 8).as("score"))
+  }
+
   /** Top-k right-singular directions. Returns (component, term, weight)
     * with component ∈ 1..k in extraction order. */
   def topK(cells: DataFrame, k: Int, iterations: Int): DataFrame = {

@@ -300,7 +300,47 @@ object Graph {
         SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
           round(CAST(SUM(CAST(round(1.0/round(ln(CAST(degz AS DOUBLE)), 10), 12)
             AS DECIMAL(30,12))) AS DOUBLE), 8) AS aa_score
-        FROM c GROUP BY 1, 2"""))
+        FROM c GROUP BY 1, 2""")),
+
+    // Positive PMI word-association scores over the co-occurrence counts:
+    // PMI(a,b) = ln(cnt·T / (m_a·m_b)) with the marginals and total from
+    // the same count table — the classic collocation / word-association
+    // statistic (the step before PPMI-SVD embeddings; q103's LSA covers
+    // the factorization half). Two vocab-keyed equi joins + a 1-row total
+    // broadcast on top of the co-occurrence aggregate; every arithmetic
+    // step is a deterministic IEEE op and the ln rounds to 8 dp on both
+    // engines.
+    QueryDef("q118_pmi",
+      (s, dir) => {
+        val cooc = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+        val marg = cooc.groupBy(col("src")).agg(sum(col("cnt")).as("m"))
+        val tot = cooc.agg(sum(col("cnt")).as("t"))
+        cooc
+          .join(marg.select(col("src"), col("m").as("ma")), "src")
+          .join(marg.select(col("src").as("dst"), col("m").as("mb")), "dst")
+          .crossJoin(broadcast(tot))
+          .select(col("src"), col("dst"), col("cnt"),
+            round(log(col("cnt").cast("double") * col("t").cast("double") /
+              (col("ma").cast("double") * col("mb").cast("double"))), 8).as("pmi"))
+          .filter(col("pmi") > 0)
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        marg AS (SELECT src, SUM(cnt) AS m FROM cooc GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS t FROM cooc)
+        SELECT c.src, c.dst, c.cnt,
+          round(ln(CAST(c.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE) /
+            (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 8) AS pmi
+        FROM cooc c
+        JOIN marg ma ON c.src = ma.src
+        JOIN marg mb ON mb.src = c.dst, tot
+        WHERE round(ln(CAST(c.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE) /
+            (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 8) > 0"""))
   )
 
   /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):

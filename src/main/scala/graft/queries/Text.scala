@@ -321,6 +321,36 @@ object Text {
         SELECT CAST(3 AS BIGINT) AS component, term, round(v, 8) AS weight FROM t4"""),
       bench = true),
 
+    // The fitted topic applied to documents: each doc's loading u = A·v₁ on
+    // the first LSA component (q117's projection shape on the SPARSE
+    // matrix) — one term-keyed join + doc-grouped sum, component reused
+    // from the session memo. The oracle appends one CTE to q103's chain.
+    QueryDef("q119_lsa_doc_scores",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val cells = TextPipeline.tfidf(
+          TextPipeline.tf(TextPipeline.termCounts(t)), TextPipeline.idf(t))
+          .select(col("doc_id"), col("term"), col("tfidf").as("w"))
+        graft.ml.Lsa.docScores(cells, iterations = 4)
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term,
+          CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        idf AS (SELECT term,
+          CAST((SELECT n_docs FROM n) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS idf
+          FROM toks GROUP BY 1),
+        cells AS MATERIALIZED (
+          SELECT doc_id, tf.term AS term, tf.tf * idf.idf AS w
+          FROM tf JOIN idf ON tf.term = idf.term),
+        ${lsaCtes(4)}
+        SELECT c.doc_id,
+          round(round(CAST(SUM(CAST(round(c.w * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12), 8) AS score
+        FROM cells c JOIN v4 v USING (term) GROUP BY c.doc_id""")),
+
     QueryDef("q22_doc_vectors",
       (s, dir) => {
         val t = toks(s, dir)

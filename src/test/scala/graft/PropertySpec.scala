@@ -103,6 +103,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("k-core equals the in-memory reference peel on random graphs") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L)))
+    for (seed <- 1L to 5L) {
+      val raw = sample(edgeGen, seed).filter { case (a, b) => a != b }
+      val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val k = 2 + (seed % 3).toInt
+      // reference: sequential peel to fixpoint on the in-memory edge set
+      var cur = und
+      var done = false
+      while (!done) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= k).keys.toSet
+        val nxt = cur.filter(e => keep(e._1) && keep(e._2))
+        done = nxt == cur
+        cur = nxt
+      }
+      val expect = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Graphs.kCore(raw.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed=$seed k=$k: got $got expect $expect")
+    }
+  }
+
+  test("adamic-adar equals the in-memory reference on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 1L to 5L) {
+      val raw = sample(edgeGen, seed).filter { case (a, b) => a != b }
+      val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nbr = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val verts = nbr.keys.toSeq.sorted
+      val expect = (for {
+        x <- verts; y <- verts if x < y && !und((x, y))
+        common = nbr(x) & nbr(y) if common.nonEmpty
+      } yield {
+        val terms = common.toSeq.sorted.map(z => r(1.0 / r(math.log(nbr(z).size.toDouble), 10), 12))
+        // mirror the DECIMAL accumulator: exact sum of 12-dp terms, then 8 dp
+        val s = terms.map(BigDecimal(_)).sum.toDouble
+        (x, y) -> ((common.size.toLong, r(s, 8)))
+      }).toMap
+      val got = Graphs.adamicAdar(raw.toDF("src", "dst"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+      assert(got == expect, s"seed=$seed: got $got expect $expect")
+    }
+  }
+
   test("kNN prediction is invariant under train-set row order") {
     val train = Seq(
       (1L, "A", Array(1.0, 0.1)), (2L, "A", Array(0.9, 0.2)),
