@@ -34,7 +34,13 @@ object Pca {
     * d²-cell covariance table (i, j, c), 1-based positions, plus the
     * per-position means as (pos, mu) — both checkpointed. */
   private def covariance(emb: DataFrame): (DataFrame, DataFrame) = {
+    // repartition BEFORE the d²-per-row expansion: the product generation
+    // must parallelize by available cores, not by the input's file count —
+    // a single-file local read would otherwise run the whole covariance on
+    // one task (values are exact DECIMAL sums, so partitioning never
+    // changes the result)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mu = e.select(posexplode(col("v")).as(Seq("p0", "x")))
       .groupBy((col("p0") + 1).cast(LongType).as("pos"))
