@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for the library-free formats — PPM/PGM (P6/P5) and
   * uncompressed 24-bit BMP are header + raw pixels, PNG (8-bit gray /
   * truecolor, non-interlaced) is zlib via the JDK's Inflater plus the five
-  * scanline filters, and WAV (RIFF PCM 16-bit) is chunked headers + raw
-  * samples — all parsed here directly (dimensions + feature vectors,
-  * spec'd against hand-built payloads) — and a STUB only for codec-bound
-  * formats (JPEG, MP3, H.264…), since this container ships no codec
-  * libraries. Malformed or
+  * scanline filters, GIF (87a/89a, first frame, interlaced or not) is a
+  * palette raster behind a hand-rolled variable-width LZW decoder, and WAV
+  * (RIFF PCM 16-bit) is chunked headers + raw samples — all parsed here
+  * directly (dimensions + feature vectors, spec'd against hand-built
+  * payloads) — and a STUB only for codec-bound formats (JPEG, MP3,
+  * H.264…), since this container ships no codec libraries. Malformed or
   * unrecognized payloads fall back to the deterministic byte-statistics
   * stub rather than failing the partition — the junk-file-guard posture
   * (SURVEY §2 P7): one corrupt file must never kill a 100 TB scan.
@@ -235,6 +236,140 @@ object Multimodal {
     }))
   }
 
+  /** Real GIF parse using only the JDK: GIF is a palette raster behind LZW
+    * with variable-width codes (GIF87a/89a, up to 12 bits, LSB-first bit
+    * packing). Supported: the FIRST image frame, global or local color
+    * table, interlaced or sequential row order; extension blocks (graphic
+    * control, comments, application) are skipped. Anything malformed — bad
+    * code stream, truncated sub-blocks, missing color table — returns None
+    * and falls back, the standing posture. Animation beyond frame 1 is out
+    * of scope (frame composition/disposal is a video concern, see
+    * [[sampleFrames]]). */
+  private[graft] def decodeGif(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    rasterGif(content).map { case (w, h, rgb) => (w, h, pixelFeatures(w, h, rgb)) }
+
+  private[graft] def rasterGif(content: Array[Byte]): Option[(Int, Int, Int => Int)] = {
+    if (content.length < 14) return None
+    val hdr = new String(content, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    var pos = 6
+    val packed = content(pos + 4) & 0xff
+    pos += 7 // logical screen descriptor
+    var table = -1 // color table offset
+    var tableLen = 0
+    if ((packed & 0x80) != 0) {
+      tableLen = 1 << ((packed & 7) + 1)
+      table = pos
+      pos += 3 * tableLen
+      if (pos > content.length) return None
+    }
+    // walk blocks to the first image descriptor
+    while (pos < content.length && (content(pos) & 0xff) == 0x21) {
+      pos += 2 // extension introducer + label
+      while (pos < content.length && content(pos) != 0) pos += 1 + (content(pos) & 0xff)
+      pos += 1 // block terminator
+    }
+    if (pos + 10 > content.length || (content(pos) & 0xff) != 0x2c) return None
+    val w = u16(pos + 5); val h = u16(pos + 7)
+    val ipacked = content(pos + 9) & 0xff
+    val interlaced = (ipacked & 0x40) != 0
+    pos += 10
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      tableLen = 1 << ((ipacked & 7) + 1)
+      table = pos
+      pos += 3 * tableLen
+    }
+    if (w <= 0 || h <= 0 || table < 0 || table + 3 * tableLen > content.length ||
+        pos >= content.length) return None
+    if (3L * w * h > Int.MaxValue - 16) return None // bound BEFORE allocating
+    val minCode = content(pos) & 0xff
+    if (minCode < 2 || minCode > 8) return None
+    pos += 1
+    // concatenate data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < content.length && content(pos) != 0) {
+      val len = content(pos) & 0xff
+      if (pos + 1 + len > content.length) return None
+      data.write(content, pos + 1, len)
+      pos += 1 + len
+    }
+    val bytes = data.toByteArray
+    if (bytes.isEmpty) return None
+    // LZW decode, variable code width, LSB-first
+    val clear = 1 << minCode; val endCode = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    var dictSize = endCode + 1
+    var width = minCode + 1
+    var prev = -1
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    var acc = 0L; var accBits = 0; var bi = 0
+    val stack = new Array[Int](4097)
+    def emit(code: Int): Int = { // expand `code` into out; returns its FIRST index
+      var sp = 0; var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c
+      if (outPos + sp + 1 > out.length) return -1 // more pixels than w*h
+      out(outPos) = c.toByte; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp).toByte; outPos += 1 }
+      first
+    }
+    var done = false
+    while (!done && outPos < out.length) {
+      while (accBits < width && bi < bytes.length) {
+        acc |= (bytes(bi) & 0xffL) << accBits; accBits += 8; bi += 1
+      }
+      if (accBits < width) return None // truncated code stream
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) { dictSize = endCode + 1; width = minCode + 1; prev = -1 }
+      else if (code == endCode) done = true
+      else if (prev == -1) {
+        if (code >= clear) return None // first code must be a root
+        if (emit(code) < 0) return None
+        prev = code
+      } else {
+        if (code > dictSize || (code == dictSize && dictSize >= 4096)) return None
+        val toExpand = if (code == dictSize) prev else code
+        val first = emit(toExpand)
+        if (first < 0) return None
+        if (code == dictSize) { // KwKwK case: sequence is prev + first(prev)
+          if (outPos >= out.length) return None
+          out(outPos) = first.toByte; outPos += 1
+        }
+        if (dictSize < 4096) {
+          // the new entry is prev's sequence + the first byte of the
+          // CURRENT output (identical rule in the KwKwK case)
+          prefix(dictSize) = prev
+          suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (outPos < out.length) return None // not enough pixels decoded
+    // interlace: rows arrive in 4 passes (0,8..; 4,12..; 2,6..; 1,3..)
+    val rowMap = new Array[Int](h)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowMap(r) = y; r += 1
+      }
+    } else { var y = 0; while (y < h) { rowMap(y) = y; y += 1 } }
+    val inv = new Array[Int](h) // display row -> decoded row
+    var r2 = 0
+    while (r2 < h) { inv(rowMap(r2)) = r2; r2 += 1 }
+    val tl = tableLen
+    Some((w, h, { i: Int =>
+      val px = i / 3; val ch = i % 3
+      val row = px / w
+      val idx = out(inv(row) * w + px % w) & 0xff
+      if (idx >= tl) 0 else content(table + 3 * idx + ch) & 0xff
+    }))
+  }
+
   /** Real WAV (RIFF, PCM 16-bit) parse — audio's library-free common case,
     * extending real decode beyond rasters. Returns audio's "dimensions" in
     * the (width, height) slots — (channels, sample rate) — plus a 16-dim
@@ -299,7 +434,7 @@ object Multimodal {
     * stub instead of failing the partition (ADVICE r5). */
   private[graft] def decode(kind: String, content: Array[Byte]): (Int, Int, Array[Float]) =
     try decodePpm(content).orElse(decodeBmp(content)).orElse(decodePng(content))
-      .orElse(decodeWav(content))
+      .orElse(decodeGif(content)).orElse(decodeWav(content))
       .getOrElse(decodeStub(kind, content))
     catch { case scala.util.control.NonFatal(_) => decodeStub(kind, content) }
 
@@ -336,6 +471,7 @@ object Multimodal {
     * throw) on anything unrecognized or malformed, same posture as decode. */
   private[graft] def decodeRaster(content: Array[Byte]): Option[(Int, Int, Int => Int)] =
     try rasterPpm(content).orElse(rasterBmp(content)).orElse(rasterPng(content))
+      .orElse(rasterGif(content))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Nearest-neighbor resize of any raster-decodable payload, re-encoded as

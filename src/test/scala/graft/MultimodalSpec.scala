@@ -179,6 +179,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(f => !(f.width == 2 && f.height == 2)))
   }
 
+  /** Hand-assembled 2×2 GIF89a: 2-color global palette
+    * ((10,20,30), (200,100,50)), pixels [0,1 / 1,0], LZW stream built by
+    * hand at min code size 2 — codes [clear,0,1,1] at 3 bits then [0,end]
+    * at 4 bits (the width bump fires when the dictionary reaches 8), which
+    * packs LSB-first into exactly [0x44, 0x02, 0x05]. */
+  private def buildGif(interlaceBitSet: Boolean = false): Array[Byte] = {
+    val ipacked: Byte = if (interlaceBitSet) 0x40.toByte else 0x00.toByte
+    Array[Byte](
+      'G', 'I', 'F', '8', '9', 'a',
+      2, 0, 2, 0, 0x80.toByte, 0, 0, // LSD: 2x2, global table of 2
+      10, 20, 30, 200.toByte, 100, 50, // palette
+      0x2c, 0, 0, 0, 0, 2, 0, 2, 0, ipacked, // image descriptor
+      2, // LZW min code size
+      3, 0x44, 0x02, 0x05, // one data sub-block
+      0, 0x3b) // terminator + trailer
+  }
+
+  test("GIF decode is real: hand-built LZW stream with a mid-stream width bump") {
+    val raster = Multimodal.rasterGif(buildGif())
+    assert(raster.isDefined, "GIF golden should decode")
+    val (w, h, rgb) = raster.get
+    assert(w == 2 && h == 2)
+    val px = (0 until 12).map(rgb)
+    assert(px == Seq(10, 20, 30, 200, 100, 50, 200, 100, 50, 10, 20, 30), px)
+  }
+
+  test("GIF with an extension block and an 89a graphic control still decodes") {
+    val base = buildGif()
+    // splice a graphic-control extension (0x21 0xF9, 4-byte block, term)
+    // between the palette and the image descriptor
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val withExt = base.take(19) ++ ext ++ base.drop(19)
+    val raster = Multimodal.rasterGif(withExt)
+    assert(raster.isDefined, "extension blocks must be skipped")
+    assert((0 until 3).map(raster.get._3) == Seq(10, 20, 30))
+  }
+
+  test("corrupt or truncated GIFs fall back, never throw") {
+    val good = buildGif()
+    val cases = Seq(
+      good.take(10), // truncated header
+      good.updated(0, 'J'.toByte), // wrong magic
+      good.dropRight(4), // missing data terminator + trailer
+      good.updated(31, 0x7f.toByte), // garbage in the LZW stream
+      Array[Byte]('G', 'I', 'F', '8', '9', 'a'))
+    for (c <- cases) assert(Multimodal.rasterGif(c).isEmpty, "must degrade to None")
+    // and through the decode chain: the stub takes over, the scan survives
+    val ds = Seq(MediaRecord(40L, "image", good.dropRight(4), Map())).toDS()
+    assert(Multimodal.extractFeatures(ds).collect().head.features.length == 16)
+  }
+
+  test("GIF feeds resize like every other raster") {
+    val out = Multimodal.resizeImage(buildGif(), 1, 1)
+    assert(out.isDefined)
+    // 1x1 nearest-neighbor takes the top-left pixel -> (10,20,30) as P6
+    val (w, h, rgb) = Multimodal.rasterPpm(out.get).get
+    assert(w == 1 && h == 1 && (0 until 3).map(rgb) == Seq(10, 20, 30))
+  }
+
   test("WAV decode is real: RMS, zero-crossing rate, and histogram from PCM") {
     // mono 8000 Hz, 8 samples of a +-16384 square wave: every amplitude is
     // exactly 0.5, every adjacent pair crosses zero
