@@ -1687,6 +1687,29 @@ object Curation {
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""),
       bench = true), // train + encode end to end in the headline run
 
+    // BPE decode roundtrip as a GATE: concatenating each doc's subwords
+    // must reproduce the concatenation of its tokens byte-for-byte (merges
+    // can regroup characters but never invent, drop, or cross-word-leak
+    // them). Spark genuinely computes the comparison; the oracle pins the
+    // expected verdict (the q50 invariant pattern) and hash-matches the
+    // per-doc subword counts against its own training replay — so a
+    // tokenizer regression fails the row from either side.
+    QueryDef("q120_bpe_roundtrip",
+      (s, dir) => {
+        val merges = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+        docs(s, dir).select(col("doc_id"), Exprs.tokens(col("text")).as("tks"))
+          .select(col("doc_id"), col("tks"), Bpe.encode(col("tks"), merges).as("subs"))
+          .select(col("doc_id"),
+            coalesce(size(col("subs")), lit(0)).cast("long").as("n_subwords"),
+            (concat_ws("", col("subs")) === concat_ws("", col("tks"))).as("roundtrip_ok"))
+      },
+      oracle = Some(bpeTrainSql(BpeMergeRounds) + s""",
+        agg AS (SELECT t.doc_id, SUM(len(r.syms)) AS n
+                FROM toks t JOIN r$BpeMergeRounds r ON t.word = r.word GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords,
+          TRUE AS roundtrip_ok
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
+
     // C4-style cross-document line dedup — boilerplate removal. The corpus
     // has no newlines, so "lines" are synthesized deterministically (the q74
     // enrichment pattern): width-12 token chunks of each doc, plus injected

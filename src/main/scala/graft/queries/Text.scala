@@ -349,7 +349,8 @@ object Text {
         ${lsaCtes(4)}
         SELECT c.doc_id,
           round(round(CAST(SUM(CAST(round(c.w * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12), 8) AS score
-        FROM cells c JOIN v4 v USING (term) GROUP BY c.doc_id""")),
+        FROM cells c JOIN v4 v USING (term) GROUP BY c.doc_id"""),
+      bench = true), // rides the session memo: the row measures the marginal join
 
     QueryDef("q22_doc_vectors",
       (s, dir) => {
