@@ -208,7 +208,12 @@ object ScalingProbe {
       // PMI: two vocab-keyed joins on the co-occurrence aggregate;
       // LSA doc scores: the q103 loop + one term-keyed join — both should
       // track their parents' ratios
-      "q118_pmi", "q119_lsa_doc_scores")
+      "q118_pmi", "q119_lsa_doc_scores",
+      // BPE roundtrip: the q80 train+encode chain + a per-row comparison.
+      // (q121 personalized PageRank is NOT probed: its input is the
+      // 30-vertex nation fixture — not replicated, and structurally q81's
+      // already-measured shape with a seed-gated teleport)
+      "q120_bpe_roundtrip")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in

@@ -138,6 +138,55 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRankGeneral]] with the teleport — and the
+    * dangling mass — directed at a SEED set instead of all vertices
+    * (uniform over seeds), the random-walk-with-restart scoring behind
+    * "related items" / seed-expansion retrieval. Non-seed vertices receive
+    * mass only through in-edges, so disconnected regions score exactly 0.
+    * Same exact-accumulator ladder as the general variant (scaled-long
+    * sums, 12-dp re-sync per round); the start vector IS the teleport
+    * distribution. Seeds absent from the graph are ignored; at least one
+    * must be present. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(eager = true)
+    val sd = verts.join(seeds.select(col("v")), Seq("v"), "left_semi")
+      .localCheckpoint(eager = true)
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val dangling = verts.join(e.select(col("src").as("v")).distinct(),
+      Seq("v"), "left_anti").localCheckpoint(eager = true)
+    // sm ∈ {0,1}: seed-membership as a multiplier (1·x = x and 0·x = 0
+    // exactly, so the arithmetic matches the oracle's CASE form bit-for-bit)
+    val seedMark = verts.join(sd.select(col("v"), lit(1.0d).as("sm")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("sm"), lit(0.0d)).as("sm"))
+      .localCheckpoint(eager = true)
+    var ranks = seedMark
+      .select(col("v"), (col("sm") * lit(1.0d / nS)).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val dmRow = ranks.join(dangling, "v")
+        .agg(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)).as("dm"))
+        .collect()(0)
+      val dm = if (dmRow.isNullAt(0)) 0L else dmRow.getLong(0)
+      // the whole seed share — teleport + dangling return — is one driver
+      // double, mirrored by the oracle in the same operation order
+      val seedShare = (1.0d - damping) / nS + damping * (dm.toDouble / 1.0e12d / nS.toDouble)
+      val inc = e.join(ranks, e("src") === ranks("v"))
+        .groupBy(col("dst").as("v2"))
+        .agg((sum(floor(col("rank") * col("w") * lit(1.0e18d) + lit(0.5d))
+          .cast(LongType)).cast(DoubleType) / lit(1.0e18d)).as("inc"))
+      ranks = seedMark.join(inc, seedMark("v") === inc("v2"), "left")
+        .select(col("v"), round(col("sm") * lit(seedShare) +
+          lit(damping) * coalesce(col("inc"), lit(0.0d)), 12).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Connected components over an undirected edge list (src, dst) by the
     * large-star / small-star alternation (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round contracts

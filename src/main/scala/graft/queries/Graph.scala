@@ -170,6 +170,25 @@ object Graph {
       },
       oracle = Some(pageRankDanglingSql(10, 0.85))),
 
+    // Personalized PageRank (random walk with restart): the q81 digraph
+    // scored from a three-nation seed set — teleport AND the dangling
+    // return flow to the seeds only, so mass concentrates on the seeds and
+    // their regions while everything unreachable scores exactly 0. The
+    // seed-expansion / "related items" primitive. Oracle: every round
+    // unrolled with the identical scaled-long ladder and the seed share
+    // computed in the same operation order.
+    QueryDef("q121_personalized_pagerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("src"),
+          (col("n_regionkey") + 100).cast("long").as("dst"),
+          lit(1.0d).as("w"))
+        val seeds = { import s.implicits._; Seq(0L, 5L, 10L).toDF("v") }
+        Graphs.personalizedPageRank(e, seeds, iterations = 10)
+          .select(col("v"), round(col("rank"), 6).as("rank"))
+      },
+      oracle = Some(personalizedPageRankSql(10, 0.85, Seq(0L, 5L, 10L)))),
+
     // Cohesion statistic over the co-occurrence network: per-term triangle
     // participation via degree orientation + wedge closure (Graphs
     // .triangleCounts — Cohen CiSE'09 / Suri-Vassilvitskii WWW'11). The
@@ -353,6 +372,52 @@ object Graph {
     * reads the previous rank frame twice (dangling sum + join), and
     * DuckDB's default CTE inlining would expand 2^rounds plans (the q79
     * lesson). */
+  /** Unrolled personalized-PageRank oracle ([[Graphs.personalizedPageRank]]
+    * on the q81 digraph): identical scaled-long accumulators, with the
+    * teleport + dangling share gated on seed membership via a CASE whose
+    * arithmetic matches the Spark side's {0,1}-multiplier form exactly
+    * (1·x = x, 0·x = 0), and the share computed in the same operation
+    * order: (1−d)/ns + d·(dm/1e12/ns). */
+  private def personalizedPageRankSql(iters: Int, d: Double, seeds: Seq[Long]): String = {
+    val seedVals = seeds.map(s => s"($s)").mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+        SELECT COALESCE(SUM(CAST(floor(r.rank*1e12 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r${i - 1} r LEFT JOIN srcs s ON r.v = s.v WHERE s.v IS NULL),
+      r$i AS MATERIALIZED (
+        SELECT vt.v,
+          round(CASE WHEN sd.v IS NOT NULL THEN
+              (SELECT CAST(1.0-$d AS DOUBLE)/ns FROM nsd) +
+              $d*(SELECT CAST(dm AS DOUBLE)/1e12/(SELECT ns FROM nsd) FROM d${i - 1})
+            ELSE CAST(0.0 AS DOUBLE) END +
+            $d*COALESCE(a.inc, CAST(0.0 AS DOUBLE)), 12) AS rank
+        FROM verts vt
+        LEFT JOIN seeds sd ON vt.v = sd.v
+        LEFT JOIN (
+          SELECT e.dst AS v,
+            CAST(SUM(CAST(floor(r.rank*e.w*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18 AS inc
+          FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst) a ON vt.v = a.v)"""
+    }.mkString(",\n")
+    s"""
+    WITH edges AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS src,
+             CAST(n_regionkey + 100 AS BIGINT) AS dst,
+             CAST(1.0 AS DOUBLE) AS w
+      FROM nation),
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+    srcs AS (SELECT DISTINCT src AS v FROM edges),
+    seeds AS (SELECT CAST(s.v AS BIGINT) AS v FROM (VALUES $seedVals) s(v)
+              WHERE s.v IN (SELECT v FROM verts)),
+    nsd AS (SELECT COUNT(*) AS ns FROM seeds),
+    r0 AS (
+      SELECT vt.v,
+        CASE WHEN sd.v IS NOT NULL THEN CAST(1.0 AS DOUBLE)/(SELECT ns FROM nsd)
+             ELSE CAST(0.0 AS DOUBLE) END AS rank
+      FROM verts vt LEFT JOIN seeds sd ON vt.v = sd.v),
+    $rounds
+    SELECT v, round(rank, 6) AS rank FROM r$iters"""
+  }
+
   private def pageRankDanglingSql(iters: Int, d: Double): String = {
     val rounds = (1 to iters).map { i =>
       s"""d${i - 1} AS MATERIALIZED (

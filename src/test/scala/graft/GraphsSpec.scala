@@ -136,6 +136,23 @@ class GraphsSpec extends SparkSpec {
     assert(got.values.sum == 3L)
   }
 
+  test("personalized pagerank: unreachable vertices score exactly zero, mass conserved") {
+    // two disjoint 2-cycles (1↔2, 3↔4), seed {1}: the walk can never reach
+    // {3,4} (exact 0.0, not epsilon); teleport+walk keeps total mass 1
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 4L, 1.0), (4L, 3L, 1.0))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("v")
+    val got = Graphs.personalizedPageRank(edges, seeds, iterations = 12)
+      .as[(Long, Double)].collect().toMap
+    assert(got(3L) == 0.0 && got(4L) == 0.0, s"unreachable must be exact 0: $got")
+    assert(got(1L) > got(2L) && got(2L) > 0, s"seed must outrank its neighbor: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass not conserved: ${got.values.sum}")
+    // a seed set disjoint from the graph is refused loudly
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges, Seq(99L).toDF("v"), iterations = 2)
+    }
+  }
+
   test("k-core: chain cascades one layer per round, triangle survives as a 2-core") {
     // 8-vertex chain (1..8) + disjoint triangle (10,11,12). At k=2 the
     // chain peels from both ends — each round's removal drops the next
