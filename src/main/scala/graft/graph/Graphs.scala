@@ -138,7 +138,8 @@ object Graphs {
     ranks
   }
 
-  /** Personalized PageRank: [[pageRankGeneral]] with the teleport — and the
+  /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom, "Scaling
+    * Personalized Web Search", WWW'03): [[pageRankGeneral]] with the teleport — and the
     * dangling mass — directed at a SEED set instead of all vertices
     * (uniform over seeds), the random-walk-with-restart scoring behind
     * "related items" / seed-expansion retrieval. Non-seed vertices receive
@@ -393,8 +394,9 @@ object Graphs {
     out
   }
 
-  /** k-core: the unique maximal subgraph in which every vertex has degree
-    * ≥ k, by parallel peeling — each round simultaneously removes every
+  /** k-core (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983): the unique maximal subgraph in which every vertex has
+    * degree ≥ k, by parallel peeling — each round simultaneously removes every
     * vertex whose current degree is < k, until fixpoint. Removal cascades
     * (dropping a vertex lowers its neighbors' degrees), so the round count
     * is the peel DEPTH of the input, not its size; each round is one
@@ -438,7 +440,8 @@ object Graphs {
     (core, rounds)
   }
 
-  /** Adamic–Adar link prediction over an undirected graph: for every
+  /** Adamic–Adar link prediction (Adamic & Adar, "Friends and neighbors
+    * on the Web", Social Networks 2003) over an undirected graph: for every
     * NON-adjacent pair (x, y) with at least one common neighbor,
     * AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) — common neighbors weighted
     * inversely by how promiscuous they are. A common neighbor has degree

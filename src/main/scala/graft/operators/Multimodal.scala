@@ -236,9 +236,10 @@ object Multimodal {
     }))
   }
 
-  /** Real GIF parse using only the JDK: GIF is a palette raster behind LZW
-    * with variable-width codes (GIF87a/89a, up to 12 bits, LSB-first bit
-    * packing). Supported: the FIRST image frame, global or local color
+  /** Real GIF parse using only the JDK, per the public GIF89a
+    * specification (CompuServe, 1990) and its LZW variant (Welch, IEEE
+    * Computer 1984): a palette raster behind LZW with variable-width codes
+    * (up to 12 bits, LSB-first bit packing). Supported: the FIRST image frame, global or local color
     * table, interlaced or sequential row order; extension blocks (graphic
     * control, comments, application) are skipped. Anything malformed — bad
     * code stream, truncated sub-blocks, missing color table — returns None
