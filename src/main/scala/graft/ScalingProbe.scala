@@ -213,7 +213,10 @@ object ScalingProbe {
       // (q121 personalized PageRank is NOT probed: its input is the
       // 30-vertex nation fixture — not replicated, and structurally q81's
       // already-measured shape with a seed-gated teleport)
-      "q120_bpe_roundtrip")
+      "q120_bpe_roundtrip",
+      // weighted sampling: tokenize + per-row key + the bounded heap —
+      // the ratio is the scan ratio (≤100 rows ever reach the shuffle)
+      "q122_weighted_sample")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in

@@ -658,6 +658,48 @@ object Curation {
         SELECT lang, doc_id FROM h
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) <= 100""")),
 
+    // Weighted sampling without replacement (Efraimidis & Spirakis, IPL
+    // 2006) — the third member of the sampling family (q77: rate-targeting
+    // coin; q111: exact quota; here: inclusion probability ∝ weight): each
+    // doc gets key ln(u)/w with u from the portable md5-48 hash (exact in
+    // a double: /2^48 is a power-of-two scale) and w = its token count;
+    // the 100 largest keys win. Every arithmetic step is one deterministic
+    // IEEE op (ln→10 dp, the standing rule), so both engines derive
+    // identical keys. Scale path: the bounded-heap TopK aggregator again —
+    // ≤ 100 rows per partition reach the single-group shuffle; the oracle
+    // is the global rank window the Spark plan avoids.
+    QueryDef("q122_weighted_sample",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, dir)
+          .select(col("doc_id"),
+            greatest(size(Exprs.tokens(col("text"))), lit(1)).cast("double").as("w"),
+            conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .select(col("doc_id"),
+            (round(log((col("h").cast("double") + lit(1.0d)) / lit(281474976710656.0d)), 10) /
+              col("w")).as("es_key"))
+          .as[(Long, Double)]
+          .groupByKey(_ => 0)
+          .mapValues(r => graft.ml.TopK.Scored(r._1, r._2))
+          .agg(graft.ml.TopK.topK(100).toColumn.name("top"))
+          .toDF("g", "top")
+          .select(explode(col("top")).as("s"))
+          .select(col("s.id").as("doc_id"), round(col("s.score"), 8).as("es_key"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        ntok AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        k AS (
+          SELECT d.doc_id,
+            round(ln((CAST('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                + 1.0) / 281474976710656.0), 10)
+              / CAST(greatest(COALESCE(nt.n, 0), 1) AS DOUBLE) AS es_key
+          FROM documents d LEFT JOIN ntok nt ON d.doc_id = nt.doc_id)
+        SELECT doc_id, round(es_key, 8) AS es_key FROM k
+        QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= 100""")),
+
     // MinHash dedup shipped end to end: q34's LSH pair set → large-star/
     // small-star connected components → keep-min purge, one plan. q70/q72
     // prove the chain on the n-gram Jaccard pairs; this row proves it on

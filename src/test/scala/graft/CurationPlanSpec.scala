@@ -90,6 +90,14 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"), phys.take(2000))
   }
 
+  test("q122 weighted sample has no Window operator (bounded-heap, not rank)") {
+    val phys = Caching.scoped {
+      SparkEntry.queries("q122_weighted_sample")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("Window"), phys.take(2000))
+  }
+
   test("q112 composed dedup plan has no cartesian product and no Window") {
     // pair generation must stay the banded bucket equi-join; the closure
     // must stay equi-shuffle rounds (components run eagerly at plan time,
