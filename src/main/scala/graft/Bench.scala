@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries (QueryDef.bench) against
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   *
-  * Each query runs twice: a warm-up pass (JIT + codegen + page cache) and a
-  * timed pass. Execution materializes every output column through the noop
+  * Each query runs four times: a warm-up pass (JIT + codegen + page cache)
+  * and three timed passes, recording the MEDIAN — a single GC pause or
+  * scheduler stall in local mode can inflate one pass by multiples, and the
+  * median is robust to one outlier where min-of-2 still let a lucky/unlucky
+  * pair through. Execution materializes every output column through the noop
   * sink, so projections can't be cheated away by a count-only plan.
   */
 object Bench {
@@ -48,8 +51,9 @@ object Bench {
       def timedPass(): Double = { ml.Lsa.restoreMemo(memoSnap); runOnce(q) }
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
-        // min of two timed passes — damps scheduler/GC noise in local mode
-        q.name -> math.min(timedPass(), timedPass())
+        // median of three timed passes — robust to a single outlier pass
+        val ts = Array.fill(3)(timedPass()).sorted
+        q.name -> ts(1)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

@@ -588,7 +588,8 @@ object Curation {
         SELECT a.cid AS cluster, a.n_vectors,
           round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm
         FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM af GROUP BY 1) a
-        JOIN c3 c USING (cid)""")),
+        JOIN c3 c USING (cid)"""),
+      bench = true),
 
     // PCA top component over the embedding column — the dense-matrix
     // sibling of q103's sparse LSA: exact 12-dp means, d²-cell covariance
@@ -619,7 +620,8 @@ object Curation {
         SELECT vec_id,
           round(list_reduce(list_transform(range(1, len(v) + 1),
             i -> round(round(v[i] - m[i], 12) * w[i], 12)), (a, b) -> a + b), 8) AS score
-        FROM e, muarr, varr""")),
+        FROM e, muarr, varr"""),
+      bench = true),
 
     // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per
     // language, chosen by a deterministic portable hash rank (md5-48 of the
@@ -656,7 +658,8 @@ object Curation {
             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
           FROM documents)
         SELECT lang, doc_id FROM h
-        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) <= 100""")),
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) <= 100"""),
+      bench = true),
 
     // Weighted sampling without replacement (Efraimidis & Spirakis, IPL
     // 2006) — the third member of the sampling family (q77: rate-targeting
@@ -698,7 +701,8 @@ object Curation {
               / CAST(greatest(COALESCE(nt.n, 0), 1) AS DOUBLE) AS es_key
           FROM documents d LEFT JOIN ntok nt ON d.doc_id = nt.doc_id)
         SELECT doc_id, round(es_key, 8) AS es_key FROM k
-        QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= 100""")),
+        QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= 100"""),
+      bench = true),
 
     // MinHash dedup shipped end to end: q34's LSH pair set → large-star/
     // small-star connected components → keep-min purge, one plan. q70/q72
@@ -1750,7 +1754,8 @@ object Curation {
                 FROM toks t JOIN r$BpeMergeRounds r ON t.word = r.word GROUP BY t.doc_id)
         SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords,
           TRUE AS roundtrip_ok
-        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""),
+      bench = true),
 
     // C4-style cross-document line dedup — boilerplate removal. The corpus
     // has no newlines, so "lines" are synthesized deterministically (the q74

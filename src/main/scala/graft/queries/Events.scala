@@ -342,7 +342,8 @@ object Events {
           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
         SELECT (SELECT COUNT(*) FROM t1) AS n_view,
                (SELECT COUNT(*) FROM t2) AS n_view_click,
-               (SELECT COUNT(*) FROM t3) AS n_view_click_purchase""")),
+               (SELECT COUNT(*) FROM t3) AS n_view_click_purchase"""),
+      bench = true),
 
     // Cohort retention: users grouped by first-activity date, retention at
     // each day offset = distinct active users / cohort size. The user-day
@@ -382,7 +383,8 @@ object Events {
         SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_date, a.day_offset, s.cohort_n,
           a.n_active,
           (a.n_active * 200000000 + s.cohort_n) // (2 * s.cohort_n) AS retention_e8
-        FROM act a JOIN sizes s USING (d0)""")),
+        FROM act a JOIN sizes s USING (d0)"""),
+      bench = true),
 
     // Multi-level aggregate in one pass: ROLLUP(event_type, day) computes the
     // detail cells, per-type subtotals, and the grand total in a single
@@ -407,7 +409,8 @@ object Events {
           CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day, COUNT(*) AS cnt,
           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
-        GROUP BY ROLLUP (event_type, day)""")),
+        GROUP BY ROLLUP (event_type, day)"""),
+      bench = true),
 
     // Hourly error-count anomalies at 2σ. The moments are integer sums
     // (S1 = Σcnt, S2 = Σcnt²) and the 2σ test is multiplied through to an
@@ -442,6 +445,7 @@ object Events {
             * (CAST(m.n AS DECIMAL(38,0)) * CAST(h.cnt AS DECIMAL(38,0)) - CAST(m.s1 AS DECIMAL(38,0)))
             > 4 * (CAST(m.n AS DECIMAL(38,0)) * CAST(m.s2 AS DECIMAL(38,0))
                    - CAST(m.s1 AS DECIMAL(38,0)) * CAST(m.s1 AS DECIMAL(38,0))) AS is_anomaly
-        FROM hourly h CROSS JOIN m"""))
+        FROM hourly h CROSS JOIN m"""),
+      bench = true)
   )
 }

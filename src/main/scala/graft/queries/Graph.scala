@@ -187,7 +187,8 @@ object Graph {
         Graphs.personalizedPageRank(e, seeds, iterations = 10)
           .select(col("v"), round(col("rank"), 6).as("rank"))
       },
-      oracle = Some(personalizedPageRankSql(10, 0.85, Seq(0L, 5L, 10L)))),
+      oracle = Some(personalizedPageRankSql(10, 0.85, Seq(0L, 5L, 10L))),
+      bench = true),
 
     // Cohesion statistic over the co-occurrence network: per-term triangle
     // participation via degree orientation + wedge closure (Graphs
@@ -282,7 +283,8 @@ object Graph {
         $rounds
         SELECT v AS term, CAST(COUNT(*) AS BIGINT) AS core_deg
         FROM (SELECT a AS v FROM e6 UNION ALL SELECT b AS v FROM e6) ends GROUP BY 1"""
-      }),
+      },
+      bench = true),
 
     // Adamic–Adar link prediction on the same thresholded network: every
     // non-adjacent pair scored by Σ 1/ln(deg) over common neighbors (the
@@ -319,7 +321,8 @@ object Graph {
         SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
           round(CAST(SUM(CAST(round(1.0/round(ln(CAST(degz AS DOUBLE)), 10), 12)
             AS DECIMAL(30,12))) AS DOUBLE), 8) AS aa_score
-        FROM c GROUP BY 1, 2""")),
+        FROM c GROUP BY 1, 2"""),
+      bench = true),
 
     // Positive PMI word-association scores over the co-occurrence counts:
     // PMI(a,b) = ln(cnt·T / (m_a·m_b)) with the marginals and total from
@@ -359,7 +362,8 @@ object Graph {
         JOIN marg ma ON c.src = ma.src
         JOIN marg mb ON mb.src = c.dst, tot
         WHERE round(ln(CAST(c.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE) /
-            (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 8) > 0"""))
+            (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 8) > 0"""),
+      bench = true)
   )
 
   /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):
