@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * palette raster behind a hand-rolled variable-width LZW decoder, and WAV
   * (RIFF PCM 16-bit) is chunked headers + raw samples — all parsed here
   * directly (dimensions + feature vectors, spec'd against hand-built
-  * payloads) — and a STUB only for codec-bound formats (JPEG, MP3,
-  * H.264…), since this container ships no codec libraries. Malformed or
+  * payloads). JPEG decodes through the JDK's own baseline reader
+  * (`javax.imageio.ImageIO`, part of every JDK — still zero external
+  * dependencies), leaving a STUB only for the formats with no JDK codec
+  * (MP3, H.264…), since this container ships no codec libraries. Malformed or
   * unrecognized payloads fall back to the deterministic byte-statistics
   * stub rather than failing the partition — the junk-file-guard posture
   * (SURVEY §2 P7): one corrupt file must never kill a 100 TB scan.
@@ -371,6 +373,41 @@ object Multimodal {
     }))
   }
 
+  /** Real JPEG decode via the JDK's built-in baseline reader
+    * (`javax.imageio.ImageIO` — in every JDK since 1.4, so the repo's
+    * no-external-deps posture holds). Accepts only payloads opening with
+    * the JPEG SOI marker (FF D8 FF) so the hand-rolled parsers keep
+    * owning their formats and ImageIO's PNG/BMP/GIF readers are never
+    * consulted; anything its reader rejects (arithmetic-coded, truncated,
+    * exotic colorspaces) returns None and falls back, the standing
+    * posture. Pixels surface through the same interleaved-RGB accessor as
+    * every other raster, so [[extractFeatures]] and [[resizeImage]] work
+    * unchanged. */
+  private[graft] def decodeJpeg(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    rasterJpeg(content).map { case (w, h, rgb) => (w, h, pixelFeatures(w, h, rgb)) }
+
+  private[graft] def rasterJpeg(content: Array[Byte]): Option[(Int, Int, Int => Int)] = {
+    if (content.length < 3 || (content(0) & 0xff) != 0xff ||
+        (content(1) & 0xff) != 0xd8 || (content(2) & 0xff) != 0xff) return None
+    // no temp-file disk cache on executors (idempotent global toggle)
+    javax.imageio.ImageIO.setUseCache(false)
+    // the reader throws (not null) on truncated scans — degrade to None
+    // here so this parser honors the never-throw contract on its own
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue - 16) return None
+    // materialize packed ARGB once (colorspace conversion happens here);
+    // the accessor is then pure index arithmetic like the other rasters
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    Some((w, h, { i: Int =>
+      val px = i / 3; val ch = i % 3
+      (argb(px) >>> (8 * (2 - ch))) & 0xff
+    }))
+  }
+
   /** Real WAV (RIFF, PCM 16-bit) parse — audio's library-free common case,
     * extending real decode beyond rasters. Returns audio's "dimensions" in
     * the (width, height) slots — (channels, sample rate) — plus a 16-dim
@@ -435,7 +472,7 @@ object Multimodal {
     * stub instead of failing the partition (ADVICE r5). */
   private[graft] def decode(kind: String, content: Array[Byte]): (Int, Int, Array[Float]) =
     try decodePpm(content).orElse(decodeBmp(content)).orElse(decodePng(content))
-      .orElse(decodeGif(content)).orElse(decodeWav(content))
+      .orElse(decodeGif(content)).orElse(decodeJpeg(content)).orElse(decodeWav(content))
       .getOrElse(decodeStub(kind, content))
     catch { case scala.util.control.NonFatal(_) => decodeStub(kind, content) }
 
@@ -472,7 +509,7 @@ object Multimodal {
     * throw) on anything unrecognized or malformed, same posture as decode. */
   private[graft] def decodeRaster(content: Array[Byte]): Option[(Int, Int, Int => Int)] =
     try rasterPpm(content).orElse(rasterBmp(content)).orElse(rasterPng(content))
-      .orElse(rasterGif(content))
+      .orElse(rasterGif(content)).orElse(rasterJpeg(content))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Nearest-neighbor resize of any raster-decodable payload, re-encoded as
