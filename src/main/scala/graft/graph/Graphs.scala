@@ -104,7 +104,11 @@ object Graphs {
     * are 12-dp, so floor(rank·1e12+0.5) is exact) — every iteration is
     * bit-identical across engines and partitionings, and the q81 oracle
     * unrolls it round by round. Per round: one shuffle join + grouped sum,
-    * one vertex-sized left join, and a 1-row driver action for D_k. */
+    * one vertex-sized left join, and a cross-join of the 1-ROW D_k
+    * aggregate — the dangling mass stays in the plan (no per-round driver
+    * action: at cluster scale, 10 extra job launches per query are pure
+    * scheduler chatter; the identical long→double→/1e12→/n ladder runs as
+    * Column arithmetic instead, so the oracle unrolls unchanged). */
   def pageRankGeneral(edges: DataFrame, iterations: Int = 10,
                       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.LongType
@@ -116,12 +120,14 @@ object Graphs {
       Seq("v"), "left_anti").localCheckpoint(eager = true)
     var ranks = verts.withColumn("rank", lit(1.0d / n))
     for (_ <- 1 to iterations) {
-      val dmRow = ranks.join(dangling, "v")
-        .agg(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)).as("dm"))
-        .collect()(0)
-      val dm = if (dmRow.isNullAt(0)) 0L else dmRow.getLong(0)
+      // D_k as a 1-ROW FRAME cross-joined into the update, not a collect():
+      // the mass aggregate executes inside the same job as the round's
+      // checkpoint, eliminating a per-round driver barrier
+      val dmDf = ranks.join(dangling, "v")
+        .agg(coalesce(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)),
+          lit(0L)).as("dm"))
       // same operation ORDER as the oracle: dm/1e12, then /n, then d*(inc+·)
-      val dmTerm = dm.toDouble / 1.0e12d / n.toDouble
+      val dmTerm = col("dm").cast(DoubleType) / lit(1.0e12d) / lit(n.toDouble)
       val inc = e.join(ranks, e("src") === ranks("v"))
         .groupBy(col("dst").as("v2"))
         .agg((sum(floor(col("rank") * col("w") * lit(1.0e18d) + lit(0.5d))
@@ -129,10 +135,11 @@ object Graphs {
       // LEFT join from verts: a vertex with no in-edges still receives the
       // teleport + dangling share (the plain variant never meets this case)
       ranks = verts.join(inc, verts("v") === inc("v2"), "left")
+        .crossJoin(dmDf)
         .select(col("v"), round(lit((1.0d - damping) / n) +
-          lit(damping) * (coalesce(col("inc"), lit(0.0d)) + lit(dmTerm)), 12).as("rank"))
-        // every round already pays the D_k action; eager checkpoint keeps
-        // the next round's two consumers (dm agg + join) off a growing plan
+          lit(damping) * (coalesce(col("inc"), lit(0.0d)) + dmTerm), 12).as("rank"))
+        // eager checkpoint keeps the next round's two consumers (dm agg +
+        // join) off a growing plan
         .localCheckpoint(eager = true)
     }
     ranks
@@ -169,19 +176,22 @@ object Graphs {
       .select(col("v"), (col("sm") * lit(1.0d / nS)).as("rank"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
-      val dmRow = ranks.join(dangling, "v")
-        .agg(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)).as("dm"))
-        .collect()(0)
-      val dm = if (dmRow.isNullAt(0)) 0L else dmRow.getLong(0)
-      // the whole seed share — teleport + dangling return — is one driver
-      // double, mirrored by the oracle in the same operation order
-      val seedShare = (1.0d - damping) / nS + damping * (dm.toDouble / 1.0e12d / nS.toDouble)
+      // plan-side D_k, as in [[pageRankGeneral]]: 1-row aggregate
+      // cross-joined, no per-round driver action
+      val dmDf = ranks.join(dangling, "v")
+        .agg(coalesce(sum(floor(col("rank") * lit(1.0e12d) + lit(0.5d)).cast(LongType)),
+          lit(0L)).as("dm"))
+      // the whole seed share — teleport + dangling return — in the same
+      // operation order the oracle mirrors: dm/1e12, /nS, ·d, +(1-d)/nS
+      val seedShare = lit((1.0d - damping) / nS) +
+        lit(damping) * (col("dm").cast(DoubleType) / lit(1.0e12d) / lit(nS.toDouble))
       val inc = e.join(ranks, e("src") === ranks("v"))
         .groupBy(col("dst").as("v2"))
         .agg((sum(floor(col("rank") * col("w") * lit(1.0e18d) + lit(0.5d))
           .cast(LongType)).cast(DoubleType) / lit(1.0e18d)).as("inc"))
       ranks = seedMark.join(inc, seedMark("v") === inc("v2"), "left")
-        .select(col("v"), round(col("sm") * lit(seedShare) +
+        .crossJoin(dmDf)
+        .select(col("v"), round(col("sm") * seedShare +
           lit(damping) * coalesce(col("inc"), lit(0.0d)), 12).as("rank"))
         .localCheckpoint(eager = true)
     }
