@@ -47,8 +47,10 @@ object Bench {
       // clearCache() below leaves the memo intact (checkpoint blocks are
       // persisted RDDs, not catalog cache entries), so cross-QUERY sharing
       // is exactly what a user session would see.
-      val memoSnap = ml.Lsa.memoSnapshot()
-      def timedPass(): Double = { ml.Lsa.restoreMemo(memoSnap); runOnce(q) }
+      val memoSnap = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+      def timedPass(): Double = {
+        ml.Lsa.restoreMemo(memoSnap._1); ml.Pca.restoreMemo(memoSnap._2); runOnce(q)
+      }
       try {
         runOnce(q) // warm-up: JIT, codegen cache, OS page cache
         // median of three timed passes — robust to a single outlier pass

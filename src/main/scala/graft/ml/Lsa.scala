@@ -47,9 +47,19 @@ object Lsa {
   /** Extracted component: the unit iterate v and (once a later phase needs
     * it for deflation) its Rayleigh eigenvalue λ = ‖Av‖² as a 1-row frame.
     * `lam` is computed lazily so the LAST requested component never pays
-    * the extra A-pass. */
+    * the extra A-pass. [[release]] unpersists the checkpointed frames when
+    * the memo evicts the component (ADVICE r7: eviction must free the
+    * blocks, not strand them). */
   private final class Comp(val v: DataFrame, lamPlan: () => DataFrame) {
-    lazy val lam: DataFrame = lamPlan().localCheckpoint(eager = true)
+    private var lamCached: DataFrame = _
+    def lam: DataFrame = synchronized {
+      if (lamCached == null) lamCached = lamPlan().localCheckpoint(eager = true)
+      lamCached
+    }
+    def release(): Unit = synchronized {
+      Checkpoints.unpersist(v)
+      if (lamCached != null) Checkpoints.unpersist(lamCached)
+    }
   }
 
   private final case class Key(
@@ -61,8 +71,23 @@ object Lsa {
 
   /** Drop all memoized components (tests / long-lived sessions / probe
     * harnesses that unpersist all RDDs — a cleared checkpoint block would
-    * otherwise poison a surviving memo entry). */
-  def clearMemo(): Unit = memo.clear()
+    * otherwise poison a surviving memo entry), unpersisting their
+    * checkpointed frames. */
+  def clearMemo(): Unit = {
+    memo.values.forEach(_.foreach(_.release()))
+    memo.clear()
+  }
+
+  /** Release every Comp in the current memo that does not survive (by
+    * identity) into `surviving` — a Vector extension shares its prefix
+    * Comps with the snapshot, so membership MUST be by reference, never
+    * by key. */
+  private def releaseEvicted(surviving: java.util.Collection[Vector[Comp]]): Unit = {
+    val keep = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Comp, java.lang.Boolean]())
+    surviving.forEach(_.foreach(keep.add))
+    memo.values.forEach(_.foreach(c => if (!keep.contains(c)) c.release()))
+  }
 
   /** Opaque snapshot of the memo for measurement harnesses: [[Bench]]
     * restores the snapshot taken BEFORE a query's warm-up ahead of each
@@ -71,10 +96,15 @@ object Lsa {
     * memo hit from its own warm-up. */
   def memoSnapshot(): AnyRef = new java.util.HashMap[Key, Vector[Comp]](memo)
 
-  /** Restore a [[memoSnapshot]] (see there). */
+  /** Restore a [[memoSnapshot]] (see there). Components the restore evicts
+    * — extracted after the snapshot was taken — get their checkpoint blocks
+    * unpersisted, so a bench of many restore cycles never accumulates
+    * orphaned blocks (ADVICE r7). */
   def restoreMemo(snap: AnyRef): Unit = {
+    val restored = snap.asInstanceOf[java.util.HashMap[Key, Vector[Comp]]]
+    releaseEvicted(restored.values)
     memo.clear()
-    memo.putAll(snap.asInstanceOf[java.util.HashMap[Key, Vector[Comp]]])
+    memo.putAll(restored)
   }
 
   /** cells: (doc_id, term, w), w ≥ 0. Returns (term, weight): the

@@ -195,6 +195,52 @@ object Curation {
     (head +: rounds).mkString(",\n        ")
   }
 
+  /** q123: the eigenvalue λ_c = v_cᵀ C v_c of finished component `f$c` —
+    * u = C v by the j-keyed join, then the u·v fold, both on the ladder
+    * (mirrors `Pca.Comp.lam`). */
+  private def pcaLamCtes(c: Int): String =
+    s"""lu$c AS (
+          SELECT c.i AS pos, round(CAST(SUM(CAST(round(c.c * f.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+          FROM cells c JOIN f$c f ON c.j = f.pos GROUP BY c.i),
+        lam$c AS MATERIALIZED (
+          SELECT round(CAST(SUM(CAST(round(u.u * f.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS lam
+          FROM lu$c u JOIN f$c f ON u.pos = f.pos)"""
+
+  /** q123: deflated power iteration for component `c` ≥ 2 — every round
+    * subtracts round(Σⱼ round(round(λⱼ·(vⱼ·s), 12)·vⱼ, 12), 12) (the
+    * coef→apply ladder `Pca.iterate` walks) from the raw C·s product
+    * before the 10-dp norm. `f$j`/`lam$j` for j &lt; c must already be
+    * defined. */
+  private def pcaDeflCtes(c: Int, iterations: Int): String = {
+    val start = s"c${c}v0 AS (SELECT DISTINCT i AS pos, 1.0 AS v FROM cells)"
+    val rounds = (1 to iterations).map { r =>
+      val dots = (1 until c).map { j =>
+        s"""c${c}dot${j}r$r AS (
+          SELECT round(CAST(SUM(CAST(round(f.v * s.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS dot
+          FROM f$j f JOIN c${c}v${r - 1} s ON f.pos = s.pos)"""
+      }.mkString(",\n        ")
+      val deflUnion = (1 until c).map { j =>
+        s"""SELECT f.pos AS pos,
+              round(round((SELECT lam FROM lam$j) * (SELECT dot FROM c${c}dot${j}r$r), 12) * f.v, 12) AS t
+            FROM f$j f"""
+      }.mkString("\n          UNION ALL ")
+      s"""$dots,
+        c${c}d$r AS (
+          SELECT pos, round(CAST(SUM(CAST(t AS DECIMAL(30,12))) AS DOUBLE), 12) AS d
+          FROM ($deflUnion) GROUP BY pos),
+        c${c}u$r AS (
+          SELECT u.i, round(u.u - d.d, 12) AS u
+          FROM (SELECT c.i, round(CAST(SUM(CAST(round(c.c * v.v, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS u
+                FROM cells c JOIN c${c}v${r - 1} v ON c.j = v.pos GROUP BY c.i) u
+          JOIN c${c}d$r d ON u.i = d.pos),
+        c${c}n$r AS (
+          SELECT round(sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(30,12))) AS DOUBLE)), 10) AS nm
+          FROM c${c}u$r),
+        c${c}v$r AS MATERIALIZED (SELECT i AS pos, round(u / nm, 12) AS v FROM c${c}u$r, c${c}n$r)"""
+    }
+    (start +: rounds).mkString(",\n        ")
+  }
+
   /** q96/q97 feature frame: (id, x, y) with x = [1.0 (bias), stopword
     * ratio, type-token ratio, min(n_tokens,100)/100] — every component an
     * exact integer division or literal, so both engines derive identical
@@ -621,6 +667,28 @@ object Curation {
           round(list_reduce(list_transform(range(1, len(v) + 1),
             i -> round(round(v[i] - m[i], 12) * w[i], 12)), (a, b) -> a + b), 8) AS score
         FROM e, muarr, varr"""),
+      bench = true),
+
+    // Top-k PCA by deflation — the dense mirror of q109's sparse LSA top-k:
+    // component 2 power-iterates on C − λ₁v₁v₁ᵀ with λ₁ = v₁ᵀCv₁, all
+    // previous components flowing through one long-format frame so a
+    // round's deflation cost is independent of k. The covariance pass and
+    // component 1 are memo-shared with q116/q117 in-session (the Lsa memo
+    // pattern, bench-honest via snapshot/restore). The oracle unrolls BOTH
+    // eigensolvers — covariance, component 1's four rounds, λ₁, and the
+    // four deflated rounds — as CTEs on the standing 12-dp ladder.
+    QueryDef("q123_pca_topk",
+      (s, dir) => graft.ml.Pca.topK(Tables(s, dir, "embeddings"), k = 2, iterations = 4),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pcaCtes(4)},
+        f1 AS MATERIALIZED (SELECT pos, v FROM pv4),
+        ${pcaLamCtes(1)},
+        ${pcaDeflCtes(2, 4)},
+        f2 AS MATERIALIZED (SELECT pos, v FROM c2v4)
+        SELECT CAST(1 AS BIGINT) AS component, pos, round(v, 8) AS weight FROM f1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS component, pos, round(v, 8) AS weight FROM f2"""),
       bench = true),
 
     // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per

@@ -131,6 +131,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(scores == Map(1L -> -5.0, 2L -> 0.0, 3L -> 5.0), s"got $scores")
   }
 
+  test("PCA topK deflates to orthogonal unit components and memo-shares with topComponent") {
+    graft.ml.Pca.clearMemo()
+    // two independent axes with distinct variances: points sit ON the axes
+    // (±2·e_y, ±1·e_x), so the covariance is exactly diag(0.5, 2) —
+    // component 1 along y, component 2 along x after deflation
+    def emb = Seq(
+      (1L, Array(0.0, 2.0)), (2L, Array(0.0, -2.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val comps = graft.ml.Pca.topK(emb, k = 2, iterations = 6)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
+    assert(comps.keySet == Set(1L, 2L))
+    for (c <- 1L to 2L) {
+      val n = comps(c).values.map(w => w * w).sum
+      assert(math.abs(n - 1.0) < 1e-6, s"component $c not unit norm: $n")
+    }
+    // finite power iteration converges at rate (λ₂/λ₁)^r = (2/8)^6 ≈ 2e-4;
+    // the residual leakage bounds orthogonality, not machine epsilon
+    val dot = (1L to 2L).map(p => comps(1L)(p) * comps(2L)(p)).sum
+    assert(math.abs(dot) < 1e-3, s"components not orthogonal: dot=$dot")
+    // diagonal covariance: component 1 is ±y, component 2 is ±x (up to the
+    // same convergence residual)
+    assert(math.abs(math.abs(comps(1L)(2L)) - 1.0) < 1e-3, s"c1=${comps(1L)}")
+    assert(math.abs(math.abs(comps(2L)(1L)) - 1.0) < 1e-3, s"c2=${comps(2L)}")
+    // memo sharing: topComponent over the same plan returns component 1 bit-equal
+    val top = graft.ml.Pca.topComponent(emb, iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(top == comps(1L), "topComponent must reuse the memoized component 1")
+    graft.ml.Pca.clearMemo()
+  }
+
   test("LSA memoizes extracted components per (session, plan, iterations)") {
     // same cells plan → topSingular, secondSingular and topK(3) share the
     // underlying factorization: component 1 from topK must be bit-equal to
