@@ -67,8 +67,15 @@ object StreamingFunnel {
           val horizon = state.getCurrentWatermarkMs() * 1000L // micros
           // drop events already final past the horizon (they can no longer
           // change the fold: everything at/below the watermark is folded)
+          // full-precision micros from the fractional second: getTime*1000
+          // would truncate to ms, collapsing sub-millisecond-distinct events
+          // onto one key and diverging from the batch q106 fold, which
+          // compares timestamp[us] values exactly (ADVICE r7)
           val incoming = it
-            .map(e => (e.ts.getTime * 1000L, e.event_type))
+            .map { e =>
+              val i = e.ts.toInstant
+              (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_type)
+            }
             .filter(_._1 > horizon || horizon == 0L)
             .toList
           val all = prev.buffer ++ incoming

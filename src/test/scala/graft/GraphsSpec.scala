@@ -166,6 +166,25 @@ class GraphsSpec extends SparkSpec {
     assert(rounds == 4, s"expected 4 cascading peel rounds, got $rounds")
   }
 
+  test("k-core: q114's oracle unroll depth of 6 covers the query input's peel depth") {
+    // The q114 oracle unrolls a FIXED 6 peel rounds; the operator peels to
+    // fixpoint. This pins the margin on the query's ACTUAL verify-scale
+    // input (real corpus graph + fixture) instead of assuming it (ADVICE
+    // r7): if a corpus change ever cascades deeper than 6, this fails
+    // loudly here, not as an inscrutable oracle hash mismatch.
+    val real = graft.graph.Graphs.coOccurrence(
+      graft.operators.TextPipeline.tokenize(
+        graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")))
+      .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+    val fixture = (
+      (1 to 7).map(i => (s"kcfix$i", s"kcfix${i + 1}")) ++
+        Seq(("ktfix1", "ktfix2"), ("ktfix2", "ktfix3"), ("ktfix1", "ktfix3"))
+      ).toDF("src", "dst")
+    val (_, rounds) = Graphs.kCoreWithRounds(real.union(fixture), k = 2)
+    assert(rounds <= 6, s"q114 oracle unrolls 6 rounds but the input needs $rounds — " +
+      "extend the oracle's unroll depth")
+  }
+
   test("k-core: k above the max degree yields an empty core; clique survives intact") {
     val clique = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toDF("src", "dst")
     val all = Graphs.kCore(clique, k = 4).as[(Long, Long)].collect().toMap
