@@ -125,8 +125,15 @@ object Pca {
       // must parallelize by available cores, not by the input's file count —
       // a single-file local read would otherwise run the whole covariance on
       // one task (values are exact DECIMAL sums, so partitioning never
-      // changes the result)
-      val e = sel.repartition(col("vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
+      // changes the result). The partition count is EXPLICIT: a bare
+      // repartition(col) participates in AQE partition coalescing, and the
+      // pre-expansion frame is small enough (n·d doubles) that AQE folds it
+      // back to ~1 partition — reintroducing the single-task d² expansion
+      // the repartition exists to prevent (the post-expansion volume AQE
+      // can't see is n·d², 4096× larger)
+      val e = sel
+        .repartition(sel.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val mu = e.select(posexplode(col("v")).as(Seq("p0", "x")))
         .groupBy((col("p0") + 1).cast(LongType).as("pos"))
         .agg(round(davg(round(col("x"), 12), 12), 12).as("mu"))
