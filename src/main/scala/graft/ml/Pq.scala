@@ -1,0 +1,178 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI): split each d-dim vector into
+  * `m` contiguous subvectors, train an independent `k`-centroid codebook
+  * per subspace, and represent every vector by its m nearest-subcentroid
+  * ids — d floats collapse to m small ints (this corpus's 64-dim float
+  * embeddings: 256 B → 4 B at m=4, a 64× compression where the int8 path
+  * (q101) stops at 4×). The codes table is what a 100 TB ANN index ships
+  * to searchers; the full vectors are read once, at encode time.
+  *
+  * Training is GROUPED Lloyd's: all m subspace codebooks train in the SAME
+  * dataflow keyed by sub_id — per round one broadcast of m·k subcentroids
+  * plus one shuffle of n·d (sub, cluster, pos, value) triples, the cost of
+  * ONE full-dim k-means round, not m sequential fits. Per subspace the
+  * arithmetic is exactly [[KMeans.fit]] on the sliced input (lowest-id
+  * seeds, sequential-fold squared L2, exact DECIMAL(30,12) element means,
+  * argmin ties on centroid id), so the q124/q125 oracles replay each
+  * subspace with the standing unrolled k-means CTEs — bit-identical,
+  * verified by PqSpec's per-subspace parity test.
+  *
+  * ADC search ([[adcTopK]]; the paper's asymmetric distance computation):
+  * each query computes a distance TABLE of m·k cell distances against the
+  * broadcast codebooks once; a candidate's distance is then a row-local
+  * m-term table-lookup sum over its CODES — O(m) adds per candidate
+  * versus O(d) multiply-adds for brute force, with the corpus side
+  * streaming as (vec_id, m codes) and the full vectors never touched.
+  * Top-k per query through the bounded-heap Aggregator, so the shuffle
+  * carries ≤ k·|queries| rows no matter the corpus size.
+  */
+object Pq {
+
+  /** Row-local explode of (vec_id, vec) into m contiguous subvector slices
+    * (vec_id, sub_id ∈ [0, m), sv). d must be divisible by m (trailing
+    * dims would silently drop out of every codebook otherwise). */
+  private[ml] def subSlices(emb: DataFrame, m: Int): DataFrame =
+    emb.select(col("vec_id"), col("vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("vec_id"), col("sub_id"),
+        expr(s"slice(vec, sub_id * (size(vec) DIV $m) + 1, size(vec) DIV $m)").as("sv"))
+
+  /** Nearest subcentroid per (vector, subspace): broadcast the m·k-row
+    * codebook, sequential-fold squared L2 (the [[KMeans.assign]] fold),
+    * ties on centroid id. Returns (vec_id, sub_id, sv, centroid_id). */
+  private[ml] def assignCodes(sv: DataFrame, codebooks: DataFrame): DataFrame = {
+    val d2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    sv.join(broadcast(codebooks), "sub_id")
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub_id"), col("sv"), col("centroid_id"))
+  }
+
+  /** Train the m codebooks. emb: (vec_id, vec: array<double>). Returns
+    * (sub_id, centroid_id ∈ [1, k], centroid: array<double>). Seeds are the
+    * k lowest-vec_id vectors' slices in every subspace (KMeans.fit's init,
+    * per sub), so the whole chain is deterministic and replayable. */
+  def fit(emb: DataFrame, m: Int, k: Int, iterations: Int): DataFrame = {
+    require(m >= 1, s"Pq m must be >= 1, got $m")
+    require(k >= 1, s"Pq k must be >= 1, got $k")
+    require(iterations >= 0, s"Pq iterations must be >= 0, got $iterations")
+    val sv = subSlices(emb.select(col("vec_id"), col("vec")), m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // k·m seed rows through the per-sub rank window (the corpus never does)
+    val seedW = Window.partitionBy(col("sub_id")).orderBy(col("vec_id").asc)
+    var codebooks: DataFrame =
+      subSlices(emb.select(col("vec_id"), col("vec")).orderBy(col("vec_id").asc).limit(k), m)
+        .select(col("sub_id"),
+          row_number().over(seedW).cast(LongType).as("centroid_id"),
+          col("sv").as("centroid"))
+        .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      codebooks = assignCodes(sv, codebooks)
+        .select(col("sub_id"), col("centroid_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("centroid_id"), col("pos"))
+        // exact DECIMAL mean — order-independent, the KMeans.fit contract
+        .agg(graft.functions.Exprs.davg(col("x"), 12).as("m"))
+        .groupBy(col("sub_id"), col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("entries"))
+        .select(col("sub_id"), col("centroid_id"),
+          transform(col("entries"), x => x.getField("m")).as("centroid"))
+        .localCheckpoint(eager = true)
+    }
+    sv.unpersist(blocking = false)
+    codebooks
+  }
+
+  /** Encode the corpus: (vec_id, codes: array<long>) with codes[s] = the
+    * nearest sub-s centroid id. One broadcast + one vec_id-keyed shuffle of
+    * m rows per vector; the output is the 64×-compressed index. */
+  def encode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    assignCodes(subSlices(emb.select(col("vec_id"), col("vec")), m), codebooks)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("centroid_id")))).as("entries"))
+      .select(col("vec_id"),
+        transform(col("entries"), e => e.getField("centroid_id")).as("codes"))
+
+  /** Asymmetric-distance top-k: for each query vector, the k nearest CODES
+    * by the lookup-table distance Σ_s d²(q_s, codebook_s[codes[s]]).
+    *
+    * queries: (vec_id, vec); codes: [[encode]] output; codebooks: [[fit]]
+    * output with `k` centroids per sub. The per-query tables (m·k doubles
+    * each) broadcast to the codes scan — the BIG side streams, the small
+    * side replicates, the reverse of brute force's geometry. Distances are
+    * a left-associated sum in sub_id order and each cell is the standing
+    * sequential fold, so the oracle replays them exactly; output rounds to
+    * 6 dp with rank ties on n_id. Keys the lookup by sub·k + centroid_id
+    * through a map (not a flat array), so a centroid emptied during
+    * training cannot shift the indexing. */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+              m: Int, kc: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val d2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val dtab = subSlices(queries.select(col("vec_id"), col("vec")), m)
+      .join(broadcast(codebooks), "sub_id")
+      .select(col("vec_id").as("q_id"), col("sub_id"), col("centroid_id"), d2.as("d2"))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        (col("sub_id").cast(LongType) * kc + col("centroid_id")).cast("int").as("key"),
+        col("d2").as("value"))))).as("dt"))
+    val dist = (0 until m).map { s =>
+      element_at(col("dt"), (lit(s.toLong * kc) + element_at(col("codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
+    codes.crossJoin(broadcast(dtab))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), round(dist, 6).as("d2"))
+      .as[(Long, Long, Double)]
+      // bounded heap keeps the k best (score desc, id asc); negate so the
+      // SMALLEST distances win, exactly rank-by (d2 asc, n_id asc)
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, -r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
+
+  /** ADC + exact re-rank (the paper's IVFADC+R refinement, §VII): the code
+    * table prunes the corpus to a `shortlist`-size candidate set per query,
+    * then TRUE squared-L2 distances re-rank just those candidates to the
+    * final k. Full vectors are read for only shortlist·|queries| rows — an
+    * equi join on candidate id, never a scan — so the exactness of the
+    * final ranking costs a bounded fraction of brute force while recall
+    * recovers most of what coarse codebooks lose (PqSpec measures both
+    * stages on the same corpus). */
+  def adcRerankTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                    corpus: DataFrame, m: Int, kc: Int, shortlist: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    adcTopK(queries, codes, codebooks, m, kc, shortlist)
+      .select(col("q_id"), col("n_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .select(col("q_id"), col("n_id"), round(l2, 6).as("d2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, -r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
+}

@@ -129,7 +129,7 @@ object Curation {
     * aggregation order. `af` = the final assignment against `c_iterations`.
     * Emitted as CTE bodies to append after an `e(vec_id, v)` CTE; dim-
     * agnostic (`len(v)` drives the folds). */
-  private def kmeansCtes(k: Int, iterations: Int): String = {
+  private def kmeansCtes(k: Int, iterations: Int, p: String = ""): String = {
     def assignCte(name: String, from: String) = s"""$name AS MATERIALIZED (
           SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, c.cid,
@@ -137,7 +137,7 @@ object Curation {
                 list_reduce(list_transform(range(1, len(e.v) + 1),
                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (x, y) -> x + y) ASC,
                 c.cid ASC) AS rn
-            FROM e CROSS JOIN $from c) z
+            FROM ${p}e e CROSS JOIN $from c) z
           WHERE rn = 1)"""
     def updateCte(name: String, src: String) = s"""$name AS MATERIALIZED (
           SELECT cid, list(m ORDER BY pos) AS c FROM (
@@ -146,13 +146,60 @@ object Curation {
             FROM (SELECT cid, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos FROM $src) u
             GROUP BY cid, pos) g
           GROUP BY cid)"""
-    val init = s"""c0 AS (
+    val init = s"""${p}c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, v AS c
-          FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT $k) init)"""
+          FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id ASC LIMIT $k) init)"""
     val rounds = (1 to iterations).map { r =>
-      assignCte(s"a$r", s"c${r - 1}") + ",\n        " + updateCte(s"c$r", s"a$r")
+      assignCte(s"${p}a$r", s"${p}c${r - 1}") + ",\n        " + updateCte(s"${p}c$r", s"${p}a$r")
     }
-    (init +: rounds :+ assignCte("af", s"c$iterations")).mkString(",\n        ")
+    (init +: rounds :+ assignCte(s"${p}af", s"${p}c$iterations")).mkString(",\n        ")
+  }
+
+  /** q124/q125 product-quantization replay: per subspace s ∈ [0, m), a
+    * sliced `s${s}e` view of the standing `e` CTE plus the full
+    * [[kmeansCtes]] unroll under prefix `s$s`. [[graft.ml.Pq.fit]]'s
+    * grouped training is bit-identical per subspace to KMeans on the slice
+    * (PqSpec proves it), so m independent unrolls replay the whole fit. */
+  private def pqCtes(m: Int, sub: Int, k: Int, iterations: Int): String =
+    (0 until m).map { s =>
+      s"""s${s}e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM e),
+        ${kmeansCtes(k, iterations, s"s$s")}"""
+    }.mkString(",\n        ")
+
+  /** The encoded corpus: one row per vector, code k_{s+1} = its final
+    * sub-s assignment (`s${s}af`). */
+  private def pqCodesCte(m: Int): String = {
+    val joins = (0 until m).map(s => s"JOIN s${s}af s$s USING (vec_id)").mkString(" ")
+    val cols = (0 until m).map(s => s"s$s.cid AS k${s + 1}").mkString(", ")
+    s"""codes AS MATERIALIZED (
+          SELECT e.vec_id, $cols FROM e $joins)"""
+  }
+
+  /** ADC distance replay for q125/q126, after a `q(vec_id, v)` CTE: per
+    * subspace a (q_id, cid) distance table against the final codebook
+    * `s${s}c$iterations`, then `dist` = the left-associated m-term
+    * table-lookup sum over the codes — exactly [[graft.ml.Pq.adcTopK]]'s
+    * fold order, rounded to 6 dp, self-pairs excluded. */
+  private def pqDistCtes(m: Int, sub: Int, iterations: Int): String = {
+    val ts = (0 until m).map { s0 =>
+      s"""t$s0 AS MATERIALIZED (
+          SELECT qs.vec_id AS q_id, c.cid,
+            list_reduce(list_transform(range(1, len(qs.sv) + 1),
+              i -> (qs.sv[i] - c.c[i]) * (qs.sv[i] - c.c[i])), (x, y) -> x + y) AS d2
+          FROM (SELECT vec_id, v[${s0 * sub + 1}:${(s0 + 1) * sub}] AS sv FROM q) qs
+          CROSS JOIN s${s0}c$iterations c)"""
+    }
+    val joins = (1 until m)
+      .map(s0 => s"JOIN t$s0 ON t$s0.q_id = t0.q_id AND t$s0.cid = c.k${s0 + 1}")
+      .mkString("\n          ")
+    val sum = (0 until m).map(s0 => s"t$s0.d2").mkString(" + ")
+    ts.mkString(",\n        ") + s""",
+        dist AS (
+          SELECT t0.q_id, c.vec_id AS n_id, round($sum, 6) AS d2
+          FROM codes c
+          JOIN t0 ON t0.cid = c.k1
+          $joins
+          WHERE t0.q_id <> c.vec_id)"""
   }
 
   /** Unrolled DuckDB replay of [[graft.ml.Pca]] for the q116/q117 oracles,
@@ -689,6 +736,106 @@ object Curation {
         SELECT CAST(1 AS BIGINT) AS component, pos, round(v, 8) AS weight FROM f1
         UNION ALL
         SELECT CAST(2 AS BIGINT) AS component, pos, round(v, 8) AS weight FROM f2"""),
+      bench = true),
+
+    // Product quantization (Jégou et al. 2011) — the 64× ANN compression
+    // path: 4 contiguous 16-dim subspaces, an 8-centroid codebook each,
+    // every 256 B float vector re-expressed as 4 small ints. Training is
+    // GROUPED Lloyd's keyed by sub_id — all four codebooks share each
+    // round's one broadcast + one n·d shuffle, the cost of a single
+    // full-dim k-means round, not four. Per subspace the arithmetic is
+    // exactly KMeans.fit on the slice (lowest-id seeds, DECIMAL(30,12)
+    // means, argmin ties on centroid id — PqSpec pins the parity), so the
+    // oracle replays all four codebooks with the standing kmeansCtes
+    // unroll, prefixed per subspace.
+    QueryDef("q124_pq_codes",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cbs = graft.ml.Pq.fit(e, m = 4, k = 8, iterations = 2)
+        graft.ml.Pq.encode(e, cbs, m = 4)
+          .select(col("vec_id") +:
+            (0 until 4).map(s0 => element_at(col("codes"), s0 + 1).as(s"c${s0 + 1}")): _*)
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pqCtes(4, 16, 8, 2)},
+        ${pqCodesCte(4)}
+        SELECT vec_id, k1 AS c1, k2 AS c2, k3 AS c3, k4 AS c4 FROM codes"""),
+      bench = true),
+
+    // ADC search over the PQ index — the paper's asymmetric distance: each
+    // query computes its 4×8-cell distance table ONCE against the broadcast
+    // codebooks; a candidate's distance is then a row-local 4-term lookup
+    // sum over its CODES. O(m)=4 adds per candidate vs O(d)=64
+    // multiply-adds for brute cosine, and the corpus streams as 4-int code
+    // rows — the full vectors are never read at search time. The tiny side
+    // (per-query tables) broadcasts; top-10 per query via the bounded-heap
+    // aggregator (shuffle ≤ k·|queries|). The oracle replays the table
+    // joins and the left-associated 4-term sum exactly; rank ties on n_id.
+    QueryDef("q125_pq_adc_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cbs = graft.ml.Pq.fit(e, m = 4, k = 8, iterations = 2)
+        val codes = graft.ml.Pq.encode(e, cbs, m = 4)
+        graft.ml.Pq.adcTopK(e.filter(col("vec_id") % 20 === 0), codes, cbs,
+          m = 4, kc = 8, k = 10)
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pqCtes(4, 16, 8, 2)},
+        ${pqCodesCte(4)},
+        q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+        ${pqDistCtes(4, 16, 2)}
+        SELECT q_id, n_id, d2, rk FROM (
+          SELECT q_id, n_id, d2,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+          FROM dist) z
+        WHERE rk <= 10"""),
+      bench = true),
+
+    // ADC + exact re-rank (Jégou et al. §VII, the IVFADC+R refinement) in
+    // the production config — 8 subspaces × 16 centroids (4-bit codes:
+    // still 64× compression packed): the code table prunes the corpus to a
+    // 50-candidate shortlist per query, then TRUE squared-L2 re-ranks just
+    // those to the final 10. Full vectors are read for 50·|q| rows via an
+    // equi join on candidate id — never a corpus scan — and PqSpec measures
+    // what this buys on this corpus: recall@10 0.28 (pure ADC) → 0.62.
+    // The oracle replays shortlist AND re-rank; both rank ties on n_id.
+    QueryDef("q126_pq_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cbs = graft.ml.Pq.fit(e, m = 8, k = 16, iterations = 2)
+        val codes = graft.ml.Pq.encode(e, cbs, m = 8)
+        graft.ml.Pq.adcRerankTopK(e.filter(col("vec_id") % 20 === 0), codes, cbs, e,
+          m = 8, kc = 16, shortlist = 50, k = 10)
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pqCtes(8, 8, 16, 2)},
+        ${pqCodesCte(8)},
+        q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+        ${pqDistCtes(8, 8, 2)},
+        short AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rk
+            FROM dist) z
+          WHERE rk <= 50),
+        exact AS (
+          SELECT sh.q_id, sh.n_id,
+            round(list_reduce(list_transform(range(1, len(qq.v) + 1),
+              i -> (qq.v[i] - n.v[i]) * (qq.v[i] - n.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM short sh
+          JOIN q qq ON qq.vec_id = sh.q_id
+          JOIN e n ON n.vec_id = sh.n_id)
+        SELECT q_id, n_id, d2, rk FROM (
+          SELECT q_id, n_id, d2,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+          FROM exact) z
+        WHERE rk <= 10"""),
       bench = true),
 
     // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per
