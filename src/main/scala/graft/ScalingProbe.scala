@@ -236,7 +236,18 @@ object ScalingProbe {
       // d-/k·d-row deflation joins on top of q116's covariance scan, so
       // the ratio should track q116's (the memo is cleared per
       // measurement, so each probe pays the FULL two-component solve)
-      "q123_pca_topk")
+      "q123_pca_topk",
+      // BFS hops: per round one frontier⋈adjacency equi join + a grouped
+      // min — the k-core cost shape with a monotone distance table
+      "q127_bfs_hops",
+      // PQ training+encode: grouped Lloyd's is one n·d shuffle per round
+      // regardless of subspace count — the ratio is the k-means scan
+      // ratio. (q125/q126 are NOT probed in catalog form: their query set
+      // is vec_id%20, which grows WITH the corpus — |q|·n pairs is
+      // quadratic by construction, the same reason q37 brute is the
+      // unprobed baseline. The per-query search cost is probed below with
+      // a FIXED query set.)
+      "q124_pq_codes")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -255,7 +266,7 @@ object ScalingProbe {
       // embeddings-based rows ride the translated-copies replica above
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
-      "q123_pca_topk")
+      "q123_pca_topk", "q127_bfs_hops")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
@@ -367,6 +378,35 @@ object ScalingProbe {
       val (lshB, ivfB, nB) = recallAt(baseDir)
       val (lshX, ivfX, nX) = recallAt(outDir)
       println(f"""{"probe":"ann_recall","k":10,"base_n":$nB,"x${factor}_n":$nX,"lsh_recall_base":$lshB%.3f,"lsh_recall_x$factor":$lshX%.3f,"ivf_recall_base":$ivfB%.3f,"ivf_recall_x$factor":$ivfX%.3f}""")
+    }
+    // PQ search cost vs CORPUS size, the question the catalog rows can't
+    // ask (their query set grows with the corpus): a FIXED 25-query set
+    // from the base corpus searches the ×factor codes. ADC should scale
+    // with the code scan (n·m lookup adds); re-rank adds a
+    // shortlist-bounded equi join on top. Codebooks/codes are trained per
+    // dir inside the timed body — training is the already-probed q124
+    // shape, and the 25-query table build is corpus-independent.
+    if (only.forall(_.contains("q125_pq_adc_topk"))) {
+      def timePq(dir: String, rerank: Boolean): Double = timed {
+        val e = graft.sources.Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val qs = graft.sources.Tables(spark, baseDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+          .filter(col("vec_id") % 20 === 0)
+        val cbs = graft.ml.Pq.fit(e, m = 8, k = 16, iterations = 2)
+        val codes = graft.ml.Pq.encode(e, cbs, m = 8)
+        val res = if (rerank)
+          graft.ml.Pq.adcRerankTopK(qs, codes, cbs, e, m = 8, kc = 16, shortlist = 50, k = 10)
+        else graft.ml.Pq.adcTopK(qs, codes, cbs, m = 8, kc = 16, k = 10)
+        res.write.format("noop").mode("overwrite").save()
+      }
+      for (rerank <- Seq(false, true)) {
+        val tag = if (rerank) "q126_pq_rerank_opscaled" else "q125_pq_adc_opscaled"
+        timePq(baseDir, rerank) // warm-up
+        val base = math.min(timePq(baseDir, rerank), timePq(baseDir, rerank))
+        val big = math.min(timePq(outDir, rerank), timePq(outDir, rerank))
+        println(f"""{"query":"$tag","base_sec":$base%.2f,"x${factor}_sec":$big%.2f,"ratio":${big / base}%.1f}""")
+      }
     }
     println(rows.map { case (n, b, _, r, vg) =>
       f"$n=$r%.1fx" + vg.map(v => f"/vg=${v / b}%.1fx").getOrElse("")

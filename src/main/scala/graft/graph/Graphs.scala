@@ -492,4 +492,41 @@ object Graphs {
     und.unpersist(blocking = false)
     out
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed over the
+    * undirected graph, bounded at `maxHops` — the reachability/lineage
+    * primitive (contamination spread, citation radius, seed-set expansion).
+    *
+    * Layered frontier relaxation: round r expands ONLY the hop-(r−1) layer
+    * (a vertex's min distance is settled the round it is first reached, so
+    * earlier layers never re-expand), then folds the frontier into the
+    * distance table with a grouped min. Per round: one equi-shuffle join
+    * frontier⋈adjacency + one v-keyed grouped min — no pair terms, no
+    * windows; checkpoints every 4 rounds keep the loop plan flat (the
+    * PageRank discipline). Integer hops only, so the grouped min is
+    * order-independent and the result replays exactly in a recursive-CTE
+    * oracle capped at the same horizon. Vertices unreached within
+    * `maxHops` are absent from the output — the cap is the CALLER's
+    * semantic horizon, not a convergence guess. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops maxHops must be >= 0, got $maxHops")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    var dist = seeds.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("hop"))
+      .localCheckpoint(eager = true)
+    for (r <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === (r - 1).toLong)
+        .select(col("v").as("a"))
+        .join(adj, "a")
+        .select(col("b").as("v"), lit(r.toLong).as("hop"))
+      dist = dist.union(frontier).groupBy(col("v")).agg(min(col("hop")).as("hop"))
+      if (r % 4 == 0 || r == maxHops) dist = dist.localCheckpoint(eager = true)
+    }
+    dist.select(col("v"), col("hop").as("hops"))
+  }
 }

@@ -363,6 +363,59 @@ object Graph {
         JOIN marg mb ON mb.src = c.dst, tot
         WHERE round(ln(CAST(c.cnt AS DOUBLE) * CAST(tot.t AS DOUBLE) /
             (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 8) > 0"""),
+      bench = true),
+
+    // Multi-source BFS over the co-occurrence graph: min hop distance from
+    // the 3 lexicographically-lowest real terms + the root of an attached
+    // 8-vertex chain fixture, horizon 6 — the chain pins layered semantics
+    // (bffix7 lands at hop 6, bffix8 is beyond the horizon and absent;
+    // the cap is the caller's semantic horizon, not a convergence guess).
+    // Per round one frontier⋈adjacency equi join + a v-keyed grouped min;
+    // integer hops make the min order-independent, so the oracle replays
+    // it as a recursive CTE capped at the same horizon (hop-deduped walk
+    // states → MIN; q70's recursive-closure precedent).
+    QueryDef("q127_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val real = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+        val chain = (1 to 7).map(i => (s"bffix$i", s"bffix${i + 1}")).toDF("src", "dst")
+        val seeds = real.select(explode(array(col("src"), col("dst"))).as("v"))
+          .distinct().orderBy(col("v").asc).limit(3)
+          .union(Seq("bffix1").toDF("v"))
+        Graphs.bfsHops(real.union(chain), seeds, maxHops = 6)
+          .select(col("v").as("term"), col("hops"))
+      },
+      oracle = Some {
+        val chainVals = (1 to 7).map(i => s"('bffix$i', 'bffix${i + 1}')").mkString(", ")
+        s"""
+        WITH RECURSIVE ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        rc AS MATERIALIZED (SELECT src, dst FROM cooc WHERE cnt >= 20),
+        alle AS (
+          SELECT src, dst FROM rc
+          UNION ALL SELECT * FROM (VALUES $chainVals) fx(src, dst)),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM alle WHERE src <> dst),
+        adj AS MATERIALIZED (
+          SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        rverts AS (
+          SELECT DISTINCT v FROM (SELECT src AS v FROM rc UNION ALL SELECT dst FROM rc) u),
+        seeds AS (
+          SELECT v FROM (SELECT v FROM rverts ORDER BY v ASC LIMIT 3) low
+          UNION ALL SELECT 'bffix1'),
+        walk(v, hop) AS (
+          SELECT v, 0 FROM seeds
+          UNION
+          SELECT adj.b, walk.hop + 1 FROM walk JOIN adj ON adj.a = walk.v
+          WHERE walk.hop < 6)
+        SELECT v AS term, CAST(MIN(hop) AS BIGINT) AS hops FROM walk GROUP BY 1"""
+      },
       bench = true)
   )
 

@@ -222,4 +222,24 @@ class GraphsSpec extends SparkSpec {
     val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
     assert(byPair == Map((1L, 2L) -> 1L, (50L, 100L) -> 2L), got.mkString(","))
   }
+
+  test("bfsHops: layered distances, min over multiple seeds, horizon exclusion") {
+    // chain 1-2-3-4-5-6-7-8-9 plus a shortcut 1-5: seed {1} reaches 5 in
+    // one hop via the shortcut, so 6 settles at 2 not 5; vertex 9 sits 5
+    // hops out and a horizon of 4 must exclude it. A second seed {9}
+    // then pulls the tail distances down to min-over-seeds.
+    val edges = ((1L to 8L).map(i => (i, i + 1)) :+ (1L, 5L)).toDF("src", "dst")
+    val one = Graphs.bfsHops(edges, Seq(1L).toDF("v"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L,
+      6L -> 2L, 7L -> 3L, 8L -> 4L), s"one-seed: $one")
+    val two = Graphs.bfsHops(edges, Seq(1L, 9L).toDF("v"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(two(9L) == 0L && two(8L) == 1L && two(7L) == 2L && two(6L) == 2L,
+      s"two-seed: $two")
+    // maxHops = 0 is just the seed set
+    val zero = Graphs.bfsHops(edges, Seq(3L).toDF("v"), maxHops = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(zero == Map(3L -> 0L))
+  }
 }
