@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.SpaceSavingTopK
-import graft.operators.{Segment, TextPipeline, TextStats}
+import graft.operators.{CountMin, Segment, TextPipeline, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -553,6 +553,51 @@ object Text {
         SELECT t.lang, t.n_tok, COALESCE(hc.n_heavy, 0) AS n_heavy,
           TRUE AS sketch_covers_heavy, TRUE AS bounds_hold,
           top.top_term, top.top_cnt
-        FROM totals t LEFT JOIN hc USING (lang) JOIN top USING (lang)"""))
+        FROM totals t LEFT JOIN hc USING (lang) JOIN top USING (lang)""")),
+
+    // Count–Min sketch over corpus term counts (Cormode & Muthukrishnan
+    // 2005): a 4×256 counter matrix — KB-sized mergeable state from
+    // TB-sized input, the frequency-estimation sibling of q89's
+    // space-saving top-k. Unlike q59/q85 (engine-internal sketches,
+    // tolerance contracts) the hashes here are the portable h60, so the
+    // MATRIX AND EVERY ESTIMATE hash-match the oracle exactly; the CMS
+    // overestimate guarantee (est ≥ true, collisions only add) is thereby
+    // pinned per-row, not asserted as a boolean. Build: (j, cell)-keyed
+    // grouped sum, map-side combined — the exchange carries ≤ d·w partials
+    // per partition regardless of corpus. Estimates: the ≤1024-row sketch
+    // BROADCASTS against the probe set (here the exact top-20 terms).
+    QueryDef("q128_countmin",
+      (s, dir) => {
+        val counts = toks(s, dir).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val sketch = CountMin.build(
+          counts.select(col("term").as("key"), col("cnt")), depth = 4, width = 256)
+        val probes = counts.orderBy(col("cnt").desc, col("term").asc).limit(20)
+        CountMin.estimate(probes.select(col("term").as("key")), sketch,
+            depth = 4, width = 256)
+          .join(probes.select(col("term").as("key"), col("cnt")), "key")
+          .select(col("key").as("term"), col("cnt"), col("est"))
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        counts AS MATERIALIZED (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        js AS (SELECT unnest(range(0, 4)) AS j),
+        cells AS MATERIALIZED (
+          SELECT j,
+            CAST('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % 256 AS cell,
+            CAST(SUM(cnt) AS BIGINT) AS c
+          FROM counts CROSS JOIN js
+          GROUP BY 1, 2),
+        probes AS MATERIALIZED (
+          SELECT term, cnt FROM counts ORDER BY cnt DESC, term ASC LIMIT 20),
+        pj AS (
+          SELECT p.term, js.j,
+            CAST('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) || ':' || p.term), 1, 15) AS BIGINT) % 256 AS cell
+          FROM probes p CROSS JOIN js),
+        est AS (
+          SELECT pj.term, MIN(COALESCE(cl.c, 0)) AS est
+          FROM pj LEFT JOIN cells cl ON cl.j = pj.j AND cl.cell = pj.cell
+          GROUP BY 1)
+        SELECT p.term, p.cnt, e.est FROM probes p JOIN est e USING (term)"""),
+      bench = true)
   )
 }
