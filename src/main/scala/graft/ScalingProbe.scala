@@ -243,6 +243,10 @@ object ScalingProbe {
       // Count-Min: the tokenize scan + a vocab-keyed count + the d·w-cell
       // grouped sum — state is corpus-independent, the ratio is the scan
       "q128_countmin",
+      // portable HLL: hash scan + a ≤64-register grouped max per group —
+      // the same corpus-independent-state shape; the exact side is the
+      // honesty check (q89's stance)
+      "q129_hll_portable",
       // PQ training+encode: grouped Lloyd's is one n·d shuffle per round
       // regardless of subspace count — the ratio is the k-means scan
       // ratio. (q125/q126 are NOT probed in catalog form: their query set
@@ -269,7 +273,7 @@ object ScalingProbe {
       // embeddings-based rows ride the translated-copies replica above
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
-      "q123_pca_topk", "q127_bfs_hops", "q128_countmin")
+      "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

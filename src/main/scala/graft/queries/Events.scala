@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.Exprs._
-import graft.operators.{AsOf, RangeJoin, Sessions}
+import graft.operators.{AsOf, Hll, RangeJoin, Sessions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
@@ -252,6 +252,57 @@ object Events {
           abs(CAST(approx_count_distinct(user_id) AS DOUBLE) - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
             <= CAST(COUNT(DISTINCT user_id) AS DOUBLE) * 0.1 AS approx_within_10pct
         FROM events GROUP BY 1""")),
+
+    // Portable HyperLogLog (Flajolet et al. 2007), m=64 registers over the
+    // md5-derived h60 — the full-hash-match sibling of q59 (whose
+    // engine-internal sketch forces a tolerance contract; here the
+    // REGISTERS replay in the oracle and the estimate is pinned to 6 dp).
+    // Register update is a grouped integer MAX — order-independent,
+    // mergeable, ≤ m partials/partition map-side; the harmonic denominator
+    // is summed in EXACT INTEGER form (Σ 2^(55−M) < 2^61) so no
+    // float-accumulation order can flake the match. Only the final α·m²
+    // division and the small-range ln correction are floating point,
+    // replayed as single expressions.
+    QueryDef("q129_hll_portable",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val regs = Hll.registers(ev, Seq("event_type"), "user_id")
+        val est = Hll.estimate(regs, Seq("event_type"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("exact_users"), col("reg_sum"), col("hll_est"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT event_type,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+          FROM events),
+        rk AS (SELECT event_type, hh % 64 AS bucket, hh // 64 AS v FROM h),
+        regs AS MATERIALIZED (
+          SELECT event_type, bucket,
+            MAX(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS r
+          FROM rk GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+            CAST(SUM(CAST(power(2, 55 - r) AS BIGINT)) AS BIGINT) AS isum,
+            COUNT(*) AS np,
+            CAST(SUM(r) AS BIGINT) AS reg_sum
+          FROM regs GROUP BY 1),
+        est AS (
+          SELECT event_type, reg_sum,
+            (0.7213e0 / (1e0 + 1.079e0 / 64e0)) * 4096e0 /
+              (CAST(isum + (64 - np) * CAST(power(2, 55) AS BIGINT) AS DOUBLE)
+                / CAST(power(2, 55) AS DOUBLE)) AS raw,
+            64 - np AS zeros
+          FROM agg),
+        ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1)
+        SELECT e.event_type, x.exact_users, e.reg_sum,
+          round(CASE WHEN e.raw <= 160e0 AND e.zeros > 0
+            THEN 64e0 * ln(64e0 / CAST(e.zeros AS DOUBLE)) ELSE e.raw END, 6) AS hll_est
+        FROM est e JOIN ex x USING (event_type)"""),
+      bench = true),
 
     // Sketch quantiles with the q59 tolerance-contract pattern: Spark's
     // approx_percentile (GK sketch) is mergeable at any scale where the
