@@ -247,6 +247,12 @@ object ScalingProbe {
       // the same corpus-independent-state shape; the exact side is the
       // honesty check (q89's stance)
       "q129_hll_portable",
+      // JL projection: the n·d explode × broadcast signs collapses
+      // map-side to n·16 — linear by construction; the ratio is the scan.
+      // (q131 RRF is NOT probed in catalog form: both input rankings use
+      // the corpus-growing vec_id%20 query set — q37's unprobed-baseline
+      // reasoning; its per-query scale path is q125's opscaled probe.)
+      "q130_random_projection",
       // PQ training+encode: grouped Lloyd's is one n·d shuffle per round
       // regardless of subspace count — the ratio is the k-means scan
       // ratio. (q125/q126 are NOT probed in catalog form: their query set
@@ -273,7 +279,8 @@ object ScalingProbe {
       // embeddings-based rows ride the translated-copies replica above
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
-      "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable")
+      "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable",
+      "q130_random_projection")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

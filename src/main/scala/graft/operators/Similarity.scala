@@ -267,4 +267,34 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
   }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    * per-query rankings — each (q_id, n_id, rk) — into
+    * score = Σ_lists 1/(c + rk), then keep the top k per query. The hybrid
+    * retrieval combiner (dense + sparse, exact + ANN): rank-based, so
+    * incomparable scores (cosine vs L2 vs BM25) fuse without calibration.
+    *
+    * Per-list terms round to 12 dp and sum through the exact DECIMAL
+    * ladder, so fusion is list- and partition-order-independent (and
+    * replays in SQL verbatim); final top-k by the bounded-heap Aggregator
+    * — ≤ k·|queries| rows reach the last shuffle. Candidate volume is
+    * already bounded upstream: Σ list lengths per query. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val spark = rankings.head.sparkSession
+    import spark.implicits._
+    val scored = rankings.map(_.select(col("q_id"), col("n_id"),
+        round(lit(1.0d) / (lit(c.toDouble) + col("rk").cast(DoubleType)), 12).as("t")))
+      .reduce(_ unionByName _)
+    scored.groupBy(col("q_id"), col("n_id"))
+      .agg(round(dsum(col("t"), 12), 8).as("rrf"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
+      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("rrf"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
 }

@@ -838,6 +838,95 @@ object Curation {
         WHERE rk <= 10"""),
       bench = true),
 
+    // Reciprocal rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    // hybrid-retrieval combiner: fuse the EXACT cosine ranking (q37's
+    // contract, top-20) with the PQ-ADC ranking (q125's, top-20) into
+    // Σ 1/(60+rk), top-10 per query. Rank-based, so the incomparable
+    // scores (cosine vs quantized L2) fuse with no calibration. Per-list
+    // terms ride the DECIMAL ladder (list- and partition-order-
+    // independent); final top-k by the bounded heap. The oracle replays
+    // BOTH rankings (the annTopk sims shape + the PQ table joins) and the
+    // fusion arithmetic verbatim.
+    QueryDef("q131_rrf_hybrid",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cosR = Similarity.bruteTopKAgg(emb.filter(col("vec_id") % 20 === 0), emb, k = 20)
+          .select(col("q_id"), col("n_id"), col("rk"))
+        val cbs = graft.ml.Pq.fit(e, m = 4, k = 8, iterations = 2)
+        val codes = graft.ml.Pq.encode(e, cbs, m = 4)
+        val pqR = graft.ml.Pq.adcTopK(e.filter(col("vec_id") % 20 === 0), codes, cbs,
+            m = 4, kc = 8, k = 20)
+          .select(col("q_id"), col("n_id"), col("rk"))
+        Similarity.rrfFuse(Seq(cosR, pqR), k = 10)
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${pqCtes(4, 16, 8, 2)},
+        ${pqCodesCte(4)},
+        q AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+        ${pqDistCtes(4, 16, 2)},
+        pqr AS MATERIALIZED (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM dist) z
+          WHERE rk <= 20),
+        sims AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END, 6) AS sim
+          FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+        cosr AS MATERIALIZED (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+            FROM sims) z
+          WHERE rk <= 20),
+        fused AS (
+          SELECT q_id, n_id,
+            round(CAST(SUM(CAST(round(1e0 / (60e0 + CAST(rk AS DOUBLE)), 12) AS DECIMAL(30,12))) AS DOUBLE), 8) AS rrf
+          FROM (SELECT * FROM cosr UNION ALL SELECT * FROM pqr) u
+          GROUP BY 1, 2)
+        SELECT q_id, n_id, rrf, rk FROM (
+          SELECT q_id, n_id, rrf,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rk
+          FROM fused) z
+        WHERE rk <= 10"""),
+      bench = true),
+
+    // Johnson–Lindenstrauss random projection (Achlioptas 2003, ±1
+    // variant): 64-dim embeddings onto 16 derived directions — the
+    // dimensionality-reduction front end before clustering/ANN. The sign
+    // matrix is DERIVED from h60("rp:k:i") parity, never stored: any
+    // engine or shard regenerates it identically with no coordination,
+    // which is what makes this a full hash-match row. Projection sums ride
+    // the DECIMAL(30,12) ladder (order-independent); the n·d explode fans
+    // out ×16 against the broadcast 1024-row sign matrix but collapses
+    // map-side — the exchange carries n·16 rows, never n·d·16.
+    QueryDef("q130_random_projection",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        graft.ml.RandomProjection.project(e, kDim = 16, d = 64)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sgn AS MATERIALIZED (
+          SELECT k, i,
+            CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1e0 ELSE -1e0 END AS s
+          FROM (SELECT UNNEST(range(0, 16)) AS k) ks
+          CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) ii),
+        ex AS (SELECT vec_id, UNNEST(v) AS x, UNNEST(range(0, len(v))) AS i FROM e)
+        SELECT ex.vec_id, sgn.k,
+          round(CAST(SUM(CAST(ex.x * sgn.s AS DECIMAL(30,12))) AS DOUBLE) / sqrt(16e0), 8) AS p
+        FROM ex JOIN sgn USING (i)
+        GROUP BY 1, 2"""),
+      bench = true),
+
     // Exact-quota stratified sample: exactly min(|stratum|, 100) docs per
     // language, chosen by a deterministic portable hash rank (md5-48 of the
     // doc id — 48 bits so the key is exactly representable as the TopK

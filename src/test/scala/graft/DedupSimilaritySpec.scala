@@ -397,4 +397,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(all.keySet == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("rrfFuse: hand-computed fusion, agreement outranks single-list wins") {
+    // list A ranks (10, 11), list B ranks (11, 12): 11 appears in both at
+    // 1/62 + 1/61, beating 10's lone 1/61 and 12's lone 1/62
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "n_id", "rk")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "n_id", "rk")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 3)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def t(rk: Int) = BigDecimal(1.0 / (60.0 + rk))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s11 = (t(2) + t(1)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s10 = t(1).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s12 = t(2).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((11L, s11, 1L), (10L, s10, 2L), (12L, s12, 3L)), got.mkString(","))
+  }
 }
