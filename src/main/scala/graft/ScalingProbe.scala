@@ -253,6 +253,9 @@ object ScalingProbe {
       // the corpus-growing vec_id%20 query set — q37's unprobed-baseline
       // reasoning; its per-query scale path is q125's opscaled probe.)
       "q130_random_projection",
+      // stupid backoff: two Heaps-bounded model counts + three vocab-keyed
+      // scoring joins — the q90 char-LM cost shape at word granularity
+      "q132_stupid_backoff",
       // PQ training+encode: grouped Lloyd's is one n·d shuffle per round
       // regardless of subspace count — the ratio is the k-means scan
       // ratio. (q125/q126 are NOT probed in catalog form: their query set
@@ -280,7 +283,7 @@ object ScalingProbe {
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
       "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable",
-      "q130_random_projection")
+      "q130_random_projection", "q132_stupid_backoff")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

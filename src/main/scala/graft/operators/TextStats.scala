@@ -162,4 +162,67 @@ object TextStats {
         round(-col("s") / col("n_tri").cast(DoubleType), 8).as("avg_nll"),
         round(exp(-col("s") / col("n_tri").cast(DoubleType)), 6).as("ppl"))
   }
+
+  /** Word-bigram language-model scorer with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation"): the word-level
+    * sibling of [[charLmPerplexity]]'s char-trigram filter. The model
+    * trains on `train` and scores `docs` — a HOLDOUT split, because a
+    * model trained on the scored corpus has seen every bigram of every
+    * scored doc at least once (self-inclusion) and the backoff path would
+    * be structurally dead. Per token:
+    * S(w|w_prev) = c(w_prev,w)/c(w_prev) when the bigram was seen, else
+    * 0.4·S_uni(w), with S_uni(w) = c(w)/N for seen words and the OOV
+    * floor 0.4/N otherwise; a doc's quality signal is the mean log score.
+    * Stupid backoff is unnormalized BY DESIGN — no discounting state,
+    * every quantity a ratio of corpus counts, so the model and every
+    * score hash-match in the oracle.
+    *
+    * Shape: bigram pairs build ROW-LOCALLY (the token array zipped with
+    * its own shift — no positional self-join); the model is two
+    * vocab-keyed grouped counts (Heaps-bounded, far smaller than the
+    * corpus); scoring is three vocab-keyed joins + a 1-row total
+    * broadcast; per-doc means ride the DECIMAL ladder. */
+  def stupidBackoff(docs: DataFrame, train: DataFrame): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val tr = toks(train)
+    val uni = tr.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("n"))
+    val big = tr
+      .select(explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)").as("w1"),
+        expr("slice(tk, 2, size(tk) - 1)").as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val shifted = concat(array(lit(null).cast("string")),
+      expr("slice(tk, 1, size(tk) - 1)"))
+    val pairs = toks(docs)
+      .select(col("doc_id"),
+        explode(arrays_zip(col("tk").as("w"), shifted.as("wp"))).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"), col("p.wp").as("wprev"))
+    val d = DoubleType
+    val n = col("n").cast(d)
+    val logterm =
+      when(col("wprev").isNull && col("cu").isNotNull,
+        round(log(col("cu").cast(d) / n), 12))
+      .when(col("wprev").isNull,
+        round(log(lit(0.4d) / n), 12))
+      .when(col("cb").isNotNull,
+        round(log(col("cb").cast(d) / col("cuprev").cast(d)), 12))
+      .when(col("cu").isNotNull,
+        round(log(lit(0.4d) * col("cu").cast(d) / n), 12))
+      .otherwise(
+        round(log(lit(0.4d) * lit(0.4d) / n), 12))
+    pairs
+      .join(uni, Seq("w"), "left")
+      .join(uni.select(col("w").as("wprev"), col("cu").as("cuprev")), Seq("wprev"), "left")
+      .join(big.select(col("w1").as("wprev"), col("w2").as("w"), col("cb")),
+        Seq("wprev", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), logterm.as("lt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(dsum(col("lt"), 12) / count(lit(1)).cast(d), 6).as("avg_logp"))
+  }
 }

@@ -598,6 +598,68 @@ object Text {
           FROM pj LEFT JOIN cells cl ON cl.j = pj.j AND cl.cell = pj.cell
           GROUP BY 1)
         SELECT p.term, p.cnt, e.est FROM probes p JOIN est e USING (term)"""),
+      bench = true),
+
+    // Word-bigram stupid-backoff LM scoring (Brants et al. 2007) — the
+    // word-level sibling of q90's char-trigram filter, on a HOLDOUT split
+    // (train on even doc_ids, score the odd ones): a model trained on the
+    // scored corpus has seen every scored bigram at least once
+    // (self-inclusion), so only a holdout makes the backoff path live.
+    // Stupid backoff is unnormalized BY DESIGN (no discounting state):
+    // every quantity is a ratio of corpus counts — plus the explicit OOV
+    // floor 0.4/N — so the model and every per-doc score hash-match.
+    // Bigrams build ROW-LOCALLY (token array zipped with its own shift —
+    // no positional self-join); the model is two Heaps-bounded grouped
+    // counts; scoring is three vocab-keyed joins + a 1-row total
+    // broadcast; doc means ride the DECIMAL ladder.
+    QueryDef("q132_stupid_backoff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextStats.stupidBackoff(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sq AS (SELECT doc_id, tk FROM seq WHERE len(tk) > 0),
+        tr AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 0),
+        sc AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 1),
+        uni AS MATERIALIZED (
+          SELECT w, COUNT(*) AS cu
+          FROM (SELECT UNNEST(tk) AS w FROM tr) u GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        big AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS cb FROM (
+            SELECT tk[i] AS w1, tk[i + 1] AS w2
+            FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM tr) z) b
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_id, tk[i] AS w,
+            CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS wprev
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS i FROM sc) z),
+        terms AS (
+          SELECT p.doc_id,
+            CASE WHEN p.wprev IS NULL AND u.cu IS NOT NULL
+                THEN round(ln(CAST(u.cu AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+              WHEN p.wprev IS NULL
+                THEN round(ln(0.4e0 / CAST(t.n AS DOUBLE)), 12)
+              WHEN b.cb IS NOT NULL
+                THEN round(ln(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE)), 12)
+              WHEN u.cu IS NOT NULL
+                THEN round(ln(0.4e0 * CAST(u.cu AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+              ELSE round(ln(0.4e0 * 0.4e0 / CAST(t.n AS DOUBLE)), 12)
+            END AS lt
+          FROM pairs p
+          LEFT JOIN uni u ON u.w = p.w
+          LEFT JOIN uni up ON up.w = p.wprev
+          LEFT JOIN big b ON b.w1 = p.wprev AND b.w2 = p.w
+          CROSS JOIN tot t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          round(CAST(SUM(CAST(lt AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+        FROM terms GROUP BY 1"""),
       bench = true)
   )
 }

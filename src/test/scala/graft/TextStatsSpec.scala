@@ -80,4 +80,29 @@ class TextStatsSpec extends SparkSpec {
     // the filter signal: out-of-distribution text scores far above prose
     assert(out(3L)._3 > 2 * out(1L)._3 && out(3L)._3 > 2 * out(2L)._3)
   }
+
+  test("stupid backoff: every branch hand-computed on a holdout split") {
+    // train: "a b a", "a b c" → uni a:3 b:2 c:1, N=6;
+    // bigrams (a,b):2 (b,a):1 (b,c):1
+    val train = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b a"), // all seen: ln(3/6), ln(2/3), ln(1/2)
+      (11L, "c a"),   // unseen bigram (c,a), a seen: ln(1/6), ln(0.4*3/6)
+      (12L, "z b"),   // OOV start z: ln(0.4/6); (z,b) unseen, b seen: ln(0.4*2/6)
+      (13L, "b z")    // seen start: ln(2/6); (b,z) unseen, z OOV: ln(0.4*0.4/6)
+    ).toDF("doc_id", "text")
+    val got = TextStats.stupidBackoff(score, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def mean(terms: Seq[Double]) =
+      (terms.map(r12).sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((3L,
+      mean(Seq(math.log(3.0 / 6), math.log(2.0 / 3), math.log(1.0 / 2))))), s"${got(10L)}")
+    assert(got(11L) == ((2L,
+      mean(Seq(math.log(1.0 / 6), math.log(0.4 * 3.0 / 6))))), s"${got(11L)}")
+    assert(got(12L) == ((2L,
+      mean(Seq(math.log(0.4 / 6), math.log(0.4 * 2.0 / 6))))), s"${got(12L)}")
+    assert(got(13L) == ((2L,
+      mean(Seq(math.log(2.0 / 6), math.log(0.4 * 0.4 / 6))))), s"${got(13L)}")
+  }
 }
