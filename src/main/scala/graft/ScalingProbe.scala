@@ -256,6 +256,9 @@ object ScalingProbe {
       // stupid backoff: two Heaps-bounded model counts + three vocab-keyed
       // scoring joins — the q90 char-LM cost shape at word granularity
       "q132_stupid_backoff",
+      // z-order layout: per-row bit interleave + ONE cell-keyed aggregate
+      // — pure scan shape; the cell table is ≤ 2^12 rows
+      "q133_zorder_layout",
       // PQ training+encode: grouped Lloyd's is one n·d shuffle per round
       // regardless of subspace count — the ratio is the k-means scan
       // ratio. (q125/q126 are NOT probed in catalog form: their query set
@@ -283,7 +286,7 @@ object ScalingProbe {
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
       "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable",
-      "q130_random_projection", "q132_stupid_backoff")
+      "q130_random_projection", "q132_stupid_backoff", "q133_zorder_layout")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

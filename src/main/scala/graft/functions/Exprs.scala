@@ -82,4 +82,18 @@ object Exprs {
     * way to ship time buckets across engines (no tz/precision ambiguity). */
   def epochTrunc(unit: String, ts: Column): Column =
     unix_timestamp(date_trunc(unit, ts)).cast(LongType)
+
+  /** Morton/Z-order interleave of two `bits`-bit non-negative ints: bit k
+    * of x lands at position 2k, bit k of y at 2k+1. Sorting or bucketing
+    * by the z-key clusters rows that are close in BOTH dimensions — the
+    * data-layout technique (Delta/Iceberg OPTIMIZE ZORDER) that turns
+    * two-dimensional predicates into file skips at 100 TB. A z-prefix
+    * cell (zkey >> 2s) fixes the top bits of both coordinates, so every
+    * cell is an axis-aligned 2^s × 2^s tile — the quadtree bound the spec
+    * asserts. Pure integer bit terms summed — exact, portable. */
+  def zorder(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
 }

@@ -327,6 +327,48 @@ object Events {
           TRUE AS approx_within_5pct
         FROM events GROUP BY 1""")),
 
+    // Z-order layout clustering (the Delta/Iceberg OPTIMIZE ZORDER
+    // technique): interleave 10-bit (user, hour) buckets into a Morton
+    // key and aggregate per z-prefix cell (zkey >> 8). The quadtree
+    // property makes every cell an axis-aligned 16×16 tile — the per-cell
+    // min/max spans ARE the file-skipping statistics a 100 TB table gets
+    // from z-ordered files: a predicate on user AND time prunes to the
+    // cells whose rectangle intersects it, where a one-dimensional sort
+    // leaves the other dimension's span at full range (ExprsSpec measures
+    // the contrast on this table). Pure integer bit arithmetic — exact,
+    // portable, one grouped aggregate.
+    QueryDef("q133_zorder_layout",
+      (s, dir) => {
+        val secs = epochTrunc("hour", col("ts"))
+        // hour-truncated seconds are exact multiples of 3600, so the
+        // double division is exact and the cast is a floor
+        val hours = (secs / lit(3600)).cast(LongType)
+        val b = Tables(s, dir, "events").select(
+          pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(hours, lit(1024L)).as("y"))
+        b.select(col("x"), col("y"),
+            graft.functions.Exprs.zorder(col("x"), col("y"), 10).as("zkey"))
+          .groupBy(shiftright(col("zkey"), 8).as("cell"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("x")).as("u_min"), max(col("x")).as("u_max"),
+            min(col("y")).as("h_min"), max(col("y")).as("h_max"))
+      },
+      oracle = Some {
+        val zsql = (0 until 10)
+          .map(k => s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})")
+          .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT user_id % 1024 AS x,
+            (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) % 1024 AS y
+          FROM events),
+        z AS (SELECT x, y, ($zsql) AS zkey FROM b)
+        SELECT zkey >> 8 AS cell, CAST(COUNT(*) AS BIGINT) AS n_events,
+          MIN(x) AS u_min, MAX(x) AS u_max, MIN(y) AS h_min, MAX(y) AS h_max
+        FROM z GROUP BY 1"""
+      },
+      bench = true),
+
     // Range join via bin bucketing: every high-value event anchors a ±2 min
     // incident window; count the traffic inside each window. The naive
     // `e.ts BETWEEN a.t0 AND a.t1` join has no equi key (Catalyst plans a

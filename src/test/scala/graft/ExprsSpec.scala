@@ -48,4 +48,29 @@ class ExprsSpec extends SparkSpec {
     assert(sh(1L) == Seq("a b c", "b c d"))
     assert(sh(2L) == Seq.empty)
   }
+
+  test("zorder: hand-computed interleave and the quadtree tile bound") {
+    // x=3 (011), y=5 (101): bit0 x→1, bit0 y→2, bit1 x→4, bit2 y→32 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Exprs.zorder(col("x"), col("y"), 10).as("z"))
+      .collect().head.getLong(0)
+    assert(z == 39L, s"zorder(3,5) = $z")
+    // every z-prefix cell (zkey >> 8, 10-bit interleave) is a 16×16 tile
+    val grid = (for { x <- 0L until 1024L by 37; y <- 0L until 1024L by 41 }
+      yield (x, y)).toDF("x", "y")
+    val spans = grid
+      .select(col("x"), col("y"), Exprs.zorder(col("x"), col("y"), 10).as("z"))
+      .groupBy(shiftright(col("z"), 8).as("cell"))
+      .agg((max(col("x")) - min(col("x"))).as("xs"), (max(col("y")) - min(col("y"))).as("ys"))
+    assert(spans.filter(col("xs") >= 16 || col("ys") >= 16).count() == 0)
+    // the layout claim: under a ONE-dimensional (x-major) order, a page of
+    // 256 key-units spans ~256 in y while bounding x — the other
+    // dimension pays; z-cells of the SAME size bound BOTH at 15
+    val byX = grid.select(col("x"), col("y"),
+        (col("x") * 1024 + col("y")).as("k")) // x-major order ≈ sort by x
+      .groupBy(shiftright(col("k"), 8).as("page"))
+      .agg((max(col("y")) - min(col("y"))).as("yspan"))
+    val worstY = byX.agg(max(col("yspan"))).collect().head.getLong(0)
+    assert(worstY > 15 * 8, s"x-major pages should span far more of y than a z-tile, got $worstY")
+  }
 }

@@ -38,4 +38,30 @@ class StreamingCountMinSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(est == Map("alpha" -> 6L, "delta" -> 7L))
   }
+
+  test("streaming HLL registers equal the batch registers (grouped max state)") {
+    // same argument as Count-Min: Hll.registers is a grouped integer MAX
+    // with state bounded at m rows per group — it runs unchanged as a
+    // streaming aggregation, and max-of-maxes makes batch boundaries
+    // invisible
+    implicit val ctx = spark.sqlContext
+    val waves = Seq(
+      (1 to 400).map(i => ("g", s"k$i")),
+      (200 to 700).map(i => ("g", s"k$i")),
+      (650 to 900).map(i => ("g", s"k$i")))
+    val ms = MemoryStream[(String, String)]
+    val q = graft.operators.Hll.registers(ms.toDF().toDF("g", "key"), Seq("g"), "key")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream")
+      .start()
+    val got = try {
+      waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      spark.table("hll_stream")
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    } finally q.stop()
+    val want = graft.operators.Hll.registers(
+        waves.flatten.toDF("g", "key"), Seq("g"), "key")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
 }
