@@ -529,4 +529,59 @@ object Graphs {
     }
     dist.select(col("v"), col("hop").as("hops"))
   }
+
+  /** HITS (Kleinberg, "Authoritative Sources in a Hyperlinked Environment",
+    * JACM 1999) over an UNWEIGHTED directed graph, with L1 normalization —
+    * each round: a ← Aᵀh then renormalize to Σa = 1; h ← A·a then
+    * renormalize to Σh = 1. L1 instead of Kleinberg's L2 because the
+    * rankings are identical (normalization only rescales the iterate) and
+    * an exact cross-engine ladder needs sums, not square roots.
+    *
+    * Determinism is the PageRank contract: with Σh = 1 every raw authority
+    * mass is ≤ 1, so each term floor(h·1e18 + 0.5) is an exact long, the
+    * longs sum exactly, and the normalizer re-enters through a second
+    * scaled-long pass at 1e12 before the 12-dp re-sync — bit-identical
+    * across engines and partition orders, so the oracle unrolls round by
+    * round. Per round: two equi-shuffle join+sum passes over the
+    * checkpointed edge table + two 1-row total cross-joins (the plan-side
+    * dangling-mass pattern — no per-round driver action).
+    *
+    * Output: (v, auth, hub) over all vertices, 12-dp; vertices with no
+    * in-edges score auth = 0, no out-edges hub = 0. */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(eager = true)
+    val n = verts.count()
+    var hub = verts.withColumn("hub", round(lit(1.0d / n), 12))
+    var auth = verts.withColumn("auth", lit(0.0d))
+    def renorm(raw: DataFrame, cName: String): DataFrame = {
+      // raw is (v, raw) with every value in [0, 1]; total via the exact
+      // 1e12 ladder as a 1-ROW frame (values are 12-dp so floor(·1e12+0.5)
+      // is exact), then the 12-dp re-sync both engines share
+      val tot = raw.agg((sum(floor(col("raw") * lit(1.0e12d) + lit(0.5d)).cast(LongType))
+        .cast(DoubleType) / lit(1.0e12d)).as("tot"))
+      val scored = raw.crossJoin(tot)
+        .select(col("v"), round(col("raw") / col("tot"), 12).as(cName))
+      verts.join(scored, Seq("v"), "left")
+        .select(col("v"), coalesce(col(cName), lit(0.0d)).as(cName))
+    }
+    for (i <- 1 to iterations) {
+      // a_raw(v) = Σ_{u→v} h(u): exact scaled-long sum; Σh = 1 bounds every
+      // partial below 1e18 so the long accumulator cannot overflow
+      val aRaw = e.join(hub, e("src") === hub("v"))
+        .groupBy(e("dst").as("v"))
+        .agg(round(sum(floor(col("hub") * lit(1.0e18d) + lit(0.5d)).cast(LongType))
+          .cast(DoubleType) / lit(1.0e18d), 12).as("raw"))
+      auth = renorm(aRaw, "auth").localCheckpoint(eager = true)
+      val hRaw = e.join(auth, e("dst") === auth("v"))
+        .groupBy(e("src").as("v"))
+        .agg(round(sum(floor(col("auth") * lit(1.0e18d) + lit(0.5d)).cast(LongType))
+          .cast(DoubleType) / lit(1.0e18d), 12).as("raw"))
+      hub = renorm(hRaw, "hub").localCheckpoint(eager = true)
+    }
+    auth.join(hub, "v")
+  }
 }

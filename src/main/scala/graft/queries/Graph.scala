@@ -416,8 +416,87 @@ object Graph {
           WHERE walk.hop < 6)
         SELECT v AS term, CAST(MIN(hop) AS BIGINT) AS hops FROM walk GROUP BY 1"""
       },
+      bench = true),
+
+    // HITS hubs/authorities (Kleinberg 1999) over the word-ADJACENCY
+    // digraph — bigram (prev → next) edges, the asymmetric sibling of the
+    // symmetric co-occurrence network every other graph row uses: a term's
+    // hub score asks "does it precede important words", its authority
+    // "does it follow important ones". A bipartite fixture (2 pure hubs →
+    // 3 pure authorities, disjoint from the corpus vocabulary) exercises
+    // the zero paths: no in-edges → auth 0, no out-edges → hub 0. L1
+    // normalization + the scaled-long ladder make all 4 rounds replayable
+    // as chained CTEs (see Graphs.hits).
+    QueryDef("q134_hits",
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables(s, dir, "documents")
+          .select(graft.functions.Exprs.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 1)
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS src, tk[i] AS dst))")).as("e"))
+          .select(col("e.src"), col("e.dst"))
+        val fixture = Seq(
+          ("hhfix1", "hafix1"), ("hhfix1", "hafix2"), ("hhfix1", "hafix3"),
+          ("hhfix2", "hafix1"), ("hhfix2", "hafix2")).toDF("src", "dst")
+        Graphs.hits(big.union(fixture), iterations = 4)
+          .select(col("v").as("term"),
+            round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
+      },
+      oracle = Some(hitsSql(4)),
       bench = true)
   )
+
+  /** Unrolled HITS oracle ([[Graphs.hits]], 4 rounds): per round,
+    * ar/hr sum the opposite score over in-/out-edges through the exact
+    * 1e18 scaled-long accumulator (Σ = 1 after L1 normalization bounds
+    * every term below overflow), then a/h renormalize via a second exact
+    * pass at 1e12 (scores are 12-dp) and left-join onto ALL vertices so
+    * edge-less sides score literal 0. MATERIALIZED per round — each frame
+    * is read twice (normalizer subquery + join), the q81 lesson. */
+  private def hitsSql(iters: Int): String = {
+    val fixtureVals = Seq(
+      ("hhfix1", "hafix1"), ("hhfix1", "hafix2"), ("hhfix1", "hafix3"),
+      ("hhfix2", "hafix1"), ("hhfix2", "hafix2"))
+      .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        SELECT e.dst AS v,
+          round(CAST(SUM(CAST(floor(h.hub*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18, 12) AS raw
+        FROM edges e JOIN h${i - 1} h ON e.src = h.v GROUP BY 1),
+      a$i AS MATERIALIZED (
+        SELECT vt.v, COALESCE(round(r.raw /
+            (SELECT CAST(SUM(CAST(floor(raw*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 FROM ar$i),
+          12), CAST(0.0 AS DOUBLE)) AS auth
+        FROM verts vt LEFT JOIN ar$i r ON vt.v = r.v),
+      hr$i AS MATERIALIZED (
+        SELECT e.src AS v,
+          round(CAST(SUM(CAST(floor(a.auth*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18, 12) AS raw
+        FROM edges e JOIN a$i a ON e.dst = a.v GROUP BY 1),
+      h$i AS MATERIALIZED (
+        SELECT vt.v, COALESCE(round(r.raw /
+            (SELECT CAST(SUM(CAST(floor(raw*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 FROM hr$i),
+          12), CAST(0.0 AS DOUBLE)) AS hub
+        FROM verts vt LEFT JOIN hr$i r ON vt.v = r.v)"""
+    }.mkString(",\n      ")
+    s"""
+        WITH seq AS (
+          SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT tk[i] AS src, tk[i + 1] AS dst
+          FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM seq WHERE len(tk) > 1) z),
+        alle AS (
+          SELECT src, dst FROM bg
+          UNION ALL SELECT * FROM (VALUES $fixtureVals) fx(src, dst)),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM alle WHERE src <> dst),
+        verts AS MATERIALIZED (
+          SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+        h0 AS (SELECT v, round(CAST(1.0 AS DOUBLE)/(SELECT COUNT(*) FROM verts), 12) AS hub FROM verts),
+        $rounds
+        SELECT a.v AS term, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+        FROM a$iters a JOIN h$iters h ON a.v = h.v"""
+  }
 
   /** Unrolled general-graph PageRank oracle ([[Graphs.pageRankGeneral]]):
     * per round, d{i-1} sums dangling mass as exact 1e-12 micro-units (ranks

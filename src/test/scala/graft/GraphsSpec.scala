@@ -242,4 +242,40 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(zero == Map(3L -> 0L))
   }
+
+  test("hits: bipartite hubs/authorities, L1 sums, zero sides") {
+    // 2 hubs → 3 authorities; a1 is cited by both hubs, a2/a3 by one each.
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"))
+      .toDF("src", "dst")
+    val got = Graphs.hits(edges, iterations = 4)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // pure hubs never receive authority; pure authorities never hub
+    assert(got("h1")._1 == 0.0 && got("h2")._1 == 0.0)
+    assert(got("a1")._2 == 0.0 && got("a2")._2 == 0.0 && got("a3")._2 == 0.0)
+    // L1 normalization: each score family sums to 1 (12-dp tolerance)
+    val aSum = got.values.map(_._1).sum
+    val hSum = got.values.map(_._2).sum
+    assert(math.abs(aSum - 1.0) < 1e-9, s"auth sum $aSum")
+    assert(math.abs(hSum - 1.0) < 1e-9, s"hub sum $hSum")
+    // a1 has two citing hubs, a2/a3 one each → strictly more authority;
+    // symmetric structure makes a2 and a3 (and h1, h2) tie exactly
+    assert(got("a1")._1 > got("a2")._1)
+    assert(got("a2")._1 == got("a3")._1)
+    assert(got("h1")._2 == got("h2")._2)
+    // fixpoint here: a1 = 1/2, a2 = a3 = 1/4 (both hubs cite a1 equally)
+    assert(math.abs(got("a1")._1 - 0.5) < 1e-9, got("a1").toString)
+    assert(math.abs(got("a2")._1 - 0.25) < 1e-9)
+  }
+
+  test("hits: asymmetric chain separates hub from authority rankings") {
+    // digraph: x→y, y→z, x→z — y is both a hub (cites z) and an
+    // authority (cited by x); z is the dominant authority, x the hub
+    val edges = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    val got = Graphs.hits(edges, iterations = 4)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("z")._1 > got("y")._1 && got("y")._1 > got("x")._1, got.toString)
+    assert(got("x")._2 > got("y")._2 && got("y")._2 > got("z")._2, got.toString)
+  }
 }
