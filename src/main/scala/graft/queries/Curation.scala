@@ -2141,8 +2141,78 @@ object Curation {
           round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hit_frac,
           (round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) >= 0.5) AS flagged
         FROM trh GROUP BY doc_id"""),
-      bench = true) // zero-shuffle probe side in the headline run
+      bench = true), // zero-shuffle probe side in the headline run
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): every doc scored
+    // by how target-like (here: lang = 'en') its hashed unigram+bigram
+    // distribution is — log w = Σ_b n_b·(ln p_tgt(b) − ln p_raw(b)) over
+    // B = 1024 md5 buckets with add-one smoothing. Both models are B-row
+    // frames (corpus-size-independent → broadcast); features build
+    // row-locally; the weight agg rides the DECIMAL ladder. The oracle
+    // replays the full chain: hashing, both models, λ, the per-doc fold.
+    QueryDef("q135_dsir_weights",
+      (s, dir) => graft.operators.Dsir.importanceWeights(
+        docs(s, dir), col("lang") === "en", buckets = 1024),
+      oracle = Some(s"""
+        WITH $dsirCtes
+        SELECT doc_id, n_feats, logw FROM w"""),
+      bench = true),
+
+    // The resampling half: Gumbel-top-k over the q135 weights — sampling
+    // without replacement proportional to w(doc), the paper's selection
+    // step — with the noise drawn from the deterministic md5 coin ladder
+    // (q122's shape, Gumbel-transformed) and the k survivors pulled
+    // through the bounded-heap TopK aggregate (shuffle volume k, never
+    // corpus-sized; no Window).
+    QueryDef("q136_dsir_resample",
+      (s, dir) => graft.operators.Dsir.resampleTopK(
+        docs(s, dir), col("lang") === "en", k = 100, buckets = 1024),
+      oracle = Some(s"""
+        WITH $dsirCtes,
+        keyed AS (
+          SELECT doc_id,
+            round(logw + round(-ln(-ln(
+              (CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                + 1.0) / 281474976710656.0)), 10), 8) AS dsir_key
+          FROM w)
+        SELECT doc_id, round(dsir_key, 8) AS dsir_key FROM keyed
+        QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id ASC) <= 100"""),
+      bench = true)
   )
+
+  /** Shared DSIR oracle chain (q135/q136): mirrors [[graft.operators.Dsir]]
+    * — row-local hashed unigram+bigram features (empty-token docs dropped,
+    * the operator's filter), both add-one bucket models, the 10-dp λ
+    * re-sync, and the exact DECIMAL per-doc fold. MATERIALIZED where a
+    * frame is read twice (the q81 lesson). */
+  private def dsirCtes: String = """seq AS (
+      SELECT doc_id, lang,
+        list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+      FROM documents),
+    fr AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+        UNNEST(list_concat(
+          list_transform(tk, w -> 'u:' || w),
+          list_transform(generate_series(1, len(tk) - 1), i -> 'b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+      FROM seq WHERE len(tk) > 0),
+    fh AS MATERIALIZED (
+      SELECT doc_id, is_t,
+        CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 1024 AS b
+      FROM fr),
+    raw AS MATERIALIZED (SELECT b, COUNT(*) AS cr FROM fh GROUP BY 1),
+    tc AS (SELECT b, COUNT(*) AS ct FROM fh WHERE is_t GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+                   (SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS nt),
+    lam AS MATERIALIZED (
+      SELECT r.b,
+        round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 1024 AS DOUBLE)), 10) -
+          round(ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tot.nr + 1024 AS DOUBLE)), 10) AS lam
+      FROM raw r LEFT JOIN tc t ON r.b = t.b CROSS JOIN tot),
+    db AS (SELECT doc_id, b, COUNT(*) AS nb FROM fh GROUP BY 1, 2),
+    w AS MATERIALIZED (
+      SELECT d.doc_id, CAST(SUM(d.nb) AS BIGINT) AS n_feats,
+        round(CAST(SUM(CAST(round(CAST(d.nb AS DOUBLE) * l.lam, 10) AS DECIMAL(30,10))) AS DOUBLE), 8) AS logw
+      FROM db d JOIN lam l ON d.b = l.b GROUP BY 1)"""
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one
     * (pair-count, argmax, merge-apply) CTE triple per round. MATERIALIZED
