@@ -539,6 +539,72 @@ object Events {
             > 4 * (CAST(m.n AS DECIMAL(38,0)) * CAST(m.s2 AS DECIMAL(38,0))
                    - CAST(m.s1 AS DECIMAL(38,0)) * CAST(m.s1 AS DECIMAL(38,0))) AS is_anomaly
         FROM hourly h CROSS JOIN m"""),
+      bench = true),
+
+    // KMV theta-sketch set operations (Beyer et al. SIGMOD'07; the
+    // DataSketches theta framework): distinct (user, day) cardinalities of
+    // the click and purchase audiences, their union, and their overlap —
+    // estimated from k = 256 minimum md5 hash values per set, never the
+    // full distinct sets. Sub-k sets fall back to the standard exact mode.
+    // Everything downstream of the distinct is k-bounded: the k-min
+    // samples ride the bounded heap, membership flags return via one
+    // broadcast join of 256 rows. Exact counts ship alongside as the
+    // tolerance evidence (they ARE the q59-style contract columns); the
+    // oracle replays the sketch itself, hash for hash.
+    QueryDef("q137_kmv_setops",
+      (s, dir) => {
+        val it = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).cast(LongType).as("day"))
+          .distinct()
+        val items = it.groupBy(
+          conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"),
+            lit(":"), col("day").cast("string"))), 1, 12), 16, 10).cast(LongType).as("h"))
+          .agg(bool_or(col("event_type") === "click").as("ina"),
+            bool_or(col("event_type") === "purchase").as("inb"))
+        graft.operators.Kmv.setOps(items, k = 256)
+      },
+      oracle = Some("""
+        WITH it AS (
+          SELECT DISTINCT event_type, user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        hh AS MATERIALIZED (
+          SELECT CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)), 1, 12) AS BIGINT) AS h,
+            bool_or(event_type = 'click') AS ina,
+            bool_or(event_type = 'purchase') AS inb
+          FROM it GROUP BY 1),
+        ex AS (
+          SELECT CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+            CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+            CAST(COUNT(*) AS BIGINT) AS exact_union,
+            CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+          FROM hh),
+        ka AS (SELECT MAX(h) AS kth_a FROM (SELECT h FROM hh WHERE ina ORDER BY h ASC LIMIT 256)),
+        kb AS (SELECT MAX(h) AS kth_b FROM (SELECT h FROM hh WHERE inb ORDER BY h ASC LIMIT 256)),
+        kus AS MATERIALIZED (SELECT h FROM hh ORDER BY h ASC LIMIT 256),
+        ku AS (SELECT MAX(h) AS kth_u FROM kus),
+        ci AS (
+          SELECT CAST(SUM(CASE WHEN hh.ina AND hh.inb THEN 1 ELSE 0 END) AS BIGINT) AS c_inter
+          FROM hh JOIN kus ON hh.h = kus.h),
+        sel AS (
+          SELECT ex.*,
+            CASE WHEN ex.exact_a < 256 THEN CAST(ex.exact_a AS DOUBLE)
+              ELSE round(CAST(255 AS DOUBLE) /
+                ((CAST(ka.kth_a AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE)), 4) END AS est_a,
+            CASE WHEN ex.exact_b < 256 THEN CAST(ex.exact_b AS DOUBLE)
+              ELSE round(CAST(255 AS DOUBLE) /
+                ((CAST(kb.kth_b AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE)), 4) END AS est_b,
+            CASE WHEN ex.exact_union < 256 THEN CAST(ex.exact_union AS DOUBLE)
+              ELSE round(CAST(255 AS DOUBLE) /
+                ((CAST(ku.kth_u AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE)), 4) END AS est_union,
+            ci.c_inter
+          FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku CROSS JOIN ci)
+        SELECT exact_a, exact_b, exact_union, exact_inter, est_a, est_b, est_union,
+          CASE WHEN exact_union < 256 THEN CAST(exact_inter AS DOUBLE)
+            ELSE round(CAST(c_inter AS DOUBLE) / CAST(256 AS DOUBLE) * est_union, 4) END AS est_inter
+        FROM sel"""),
       bench = true)
   )
 }
