@@ -444,8 +444,74 @@ object Graph {
             round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
       },
       oracle = Some(hitsSql(4)),
+      bench = true),
+
+    // TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+    // Order into Text", EMNLP 2004): PageRank over the ±3-token sliding-
+    // window co-occurrence graph, top 20 terms. Unlike q58's positional
+    // self-join, the window pairs build ROW-LOCALLY — each token array
+    // expands its own (i, i+j≤3) pairs in one projection, so the corpus-
+    // sized stage is scan-shaped and only the (src,dst) count shuffles
+    // (Heaps-bounded). Symmetrized edges keep the graph inside
+    // Graphs.pageRank's broadcast-rank contract; same scaled-long ladder,
+    // so all 10 rounds unroll in the oracle.
+    QueryDef("q138_textrank",
+      (s, dir) => {
+        val pairs = Tables(s, dir, "documents")
+          .select(graft.functions.Exprs.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 1)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(tk) - 1), i ->
+                 transform(sequence(1, least(3, size(tk) - i)), j ->
+                   named_struct('src', tk[i - 1], 'dst', tk[i - 1 + j]))))""")).as("e"))
+          .select(col("e.src"), col("e.dst"))
+          .filter(col("src") =!= col("dst"))
+        val und = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        Graphs.pageRank(Graphs.normalizeEdges(und), iterations = 10)
+          .select(col("v").as("term"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("term").asc)
+          .limit(20)
+      },
+      oracle = Some(textrankSql(10, 0.85)),
       bench = true)
   )
+
+  /** Unrolled TextRank oracle: the q58-window graph built row-locally
+    * (lateral series over each token list), symmetrized and out-normalized,
+    * then [[pageRankSql]]'s exact scaled-long round template verbatim. */
+  private def textrankSql(iters: Int, d: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT e.dst AS v,
+          round((SELECT CAST(1.0-$d AS DOUBLE)/n FROM nv) +
+            $d*(CAST(SUM(CAST(floor(r.rank*e.w*1e18 + 0.5) AS BIGINT)) AS DOUBLE)/1e18), 12) AS rank
+        FROM edges e JOIN r${i - 1} r ON e.src = r.v GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""
+    WITH seq AS (
+      SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+      FROM documents),
+    pr AS (
+      SELECT g.tk[g.i] AS src, g.tk[g.i + u.j] AS dst
+      FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM seq WHERE len(tk) > 1) g,
+           UNNEST(generate_series(1, least(3, len(g.tk) - g.i))) AS u(j)
+      WHERE g.tk[g.i] <> g.tk[g.i + u.j]),
+    cooc AS (
+      SELECT src, dst, COUNT(*) AS cnt
+      FROM (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr) b
+      GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+      SELECT src, dst,
+        CAST(cnt AS DOUBLE)/CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS w
+      FROM cooc),
+    verts AS (SELECT DISTINCT src AS v FROM cooc),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nv) AS rank FROM verts),
+    $rounds,
+    result AS (SELECT v AS term, round(rank, 6) AS rank FROM r$iters)
+    SELECT term, rank FROM result ORDER BY rank DESC, term ASC LIMIT 20"""
+  }
 
   /** Unrolled HITS oracle ([[Graphs.hits]], 4 rounds): per round,
     * ar/hr sum the opposite score over in-/out-edges through the exact
