@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.Exprs._
 import graft.operators.{AsOf, Hll, RangeJoin, Sessions}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
 
@@ -605,6 +606,63 @@ object Events {
           CASE WHEN exact_union < 256 THEN CAST(exact_inter AS DOUBLE)
             ELSE round(CAST(c_inter AS DOUBLE) / CAST(256 AS DOUBLE) * est_union, 4) END AS est_inter
         FROM sel"""),
+      bench = true),
+
+    // Slowly-changing-dimension (type 2) build by interval compression —
+    // the gaps-and-islands pattern every warehouse pipeline runs: each
+    // user's dominant daily event_type (ties to the alphabetically first),
+    // with consecutive identical statuses collapsed into
+    // [valid_from, valid_to] validity ranges via the lag-flag + running-sum
+    // island id. Both windows partition BY USER (calendar-bounded rows per
+    // partition — never a global window); every output column is integer
+    // or string, so the row set hash-matches with no float ladder at all.
+    QueryDef("q139_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).cast(LongType).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("day"))
+              .orderBy(col("cnt").desc, col("event_type").asc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("event_type").as("status"))
+        daily
+          .withColumn("chg",
+            when(lag(col("status"), 1).over(w).isNull ||
+              lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"), col("status"))
+          .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
+            count(lit(1)).as("n_days"))
+          .select(col("user_id"), col("status"), col("valid_from"),
+            col("valid_to"), col("n_days"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT user_id, day, event_type AS status FROM (
+            SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+              event_type, COUNT(*) AS cnt,
+              row_number() OVER (PARTITION BY user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                                 ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+            FROM events GROUP BY 1, 2, 3) z
+          WHERE rn = 1),
+        flagged AS (
+          SELECT user_id, day, status,
+            CASE WHEN lag(status) OVER (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+              THEN 1 ELSE 0 END AS chg
+          FROM daily),
+        islands AS (
+          SELECT user_id, day, status,
+            SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged)
+        SELECT user_id, status, MIN(day) AS valid_from, MAX(day) AS valid_to,
+          COUNT(*) AS n_days
+        FROM islands GROUP BY user_id, island, status"""),
       bench = true)
   )
 }
