@@ -266,7 +266,27 @@ object ScalingProbe {
       // quadratic by construction, the same reason q37 brute is the
       // unprobed baseline. The per-query search cost is probed below with
       // a FIXED query set.)
-      "q124_pq_codes")
+      "q124_pq_codes",
+      // round-8 additions. HITS: two equi-shuffle join+sum passes per
+      // round over the DISTINCT bigram digraph — id-shift leaves the graph
+      // constant (pre-distinct volume grows), vocabgrow gives 10 disjoint
+      // replicas at the same iteration count
+      "q134_hits",
+      // DSIR: feature explode scan + two B-row model counts + a broadcast
+      // scoring join — B is corpus-independent, so the ratio is the scan;
+      // the resample adds only the bounded heap on top
+      "q135_dsir_weights", "q136_dsir_resample",
+      // KMV set ops: one distinct + one grouped-flag pass; everything
+      // downstream is k-bounded (the heap + a 256-row broadcast) —
+      // id-shift leaves distinct (user,day) constant (event_id shifts
+      // only), the time-shift replica grows it ×factor
+      "q137_kmv_setops",
+      // TextRank: row-local window pairs (scan) + the Heaps-bounded edge
+      // count + 10 broadcast-rank rounds on the cached edge table
+      "q138_textrank",
+      // SCD2 intervals: one (user,day,type) count + two user-partitioned
+      // windows — rows per window partition are calendar-bounded
+      "q139_scd2_intervals")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -286,7 +306,10 @@ object ScalingProbe {
       "q110_kmeans_clusters", "q111_sample_quota", "q116_pca_component",
       "q117_pca_scores", "q120_bpe_roundtrip", "q122_weighted_sample",
       "q123_pca_topk", "q127_bfs_hops", "q128_countmin", "q129_hll_portable",
-      "q130_random_projection", "q132_stupid_backoff", "q133_zorder_layout")
+      "q130_random_projection", "q132_stupid_backoff", "q133_zorder_layout",
+      // round-8 continuations: all six new rows are two-regime
+      "q134_hits", "q135_dsir_weights", "q136_dsir_resample",
+      "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -24,6 +24,27 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Kmv {
 
+  /** The k smallest hashes of a DISTINCT-hash frame (column `h`) via the
+    * bounded heap (score = −h: the heap keeps the k largest scores; 48-bit
+    * longs are exact as doubles). This IS the KMV sketch — a mergeable
+    * min-sample, so the same aggregation runs unchanged as a streaming
+    * complete-mode query (a micro-batch boundary is a merge boundary for
+    * re-minning; StreamingKmvSpec pins batch ≡ stream). Callers must
+    * dedupe h first — the sketch is a synopsis of a SET. */
+  def kminSample(set: DataFrame, k: Int): DataFrame = {
+    val spark = set.sparkSession
+    import spark.implicits._
+    set
+      .select(col("h"), negate(col("h").cast(DoubleType)).as("s"))
+      .as[(Long, Double)]
+      .groupByKey(_ => 0)
+      .mapValues(r => graft.ml.TopK.Scored(r._1, r._2))
+      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("h"))
+  }
+
   /** Input: one row per DISTINCT hash h (48-bit, from the md5 ladder) with
     * membership flags (h, ina, inb). Output: ONE row —
     * exact_{a,b,union,inter} (BIGINT) and est_{a,b,union,inter} (4-dp),
@@ -39,20 +60,9 @@ object Kmv {
       sum(when(col("inb"), 1L).otherwise(0L)).as("exact_b"),
       count(lit(1)).as("exact_union"),
       sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("exact_inter"))
-    // k smallest hashes of a set via the bounded heap (score = −h: the
-    // heap keeps the k LARGEST scores); 48-bit longs are exact as doubles
-    def kmin(set: DataFrame): DataFrame = set
-      .select(col("h"), negate(col("h").cast(DoubleType)).as("s"))
-      .as[(Long, Double)]
-      .groupByKey(_ => 0)
-      .mapValues(r => graft.ml.TopK.Scored(r._1, r._2))
-      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(explode(col("top")).as("s"))
-      .select(col("s.id").as("h"))
-    val kthA = kmin(hh.filter(col("ina"))).agg(max(col("h")).as("kth_a"))
-    val kthB = kmin(hh.filter(col("inb"))).agg(max(col("h")).as("kth_b"))
-    val ku = kmin(hh) // the union's k-min sample, ≤ k rows
+    val kthA = kminSample(hh.filter(col("ina")), k).agg(max(col("h")).as("kth_a"))
+    val kthB = kminSample(hh.filter(col("inb")), k).agg(max(col("h")).as("kth_b"))
+    val ku = kminSample(hh, k) // the union's k-min sample, ≤ k rows
     val kthU = ku.agg(max(col("h")).as("kth_u"))
     // membership of the union sample in A∩B: broadcast the k rows
     val c = hh.join(broadcast(ku), "h")
