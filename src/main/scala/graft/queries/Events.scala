@@ -663,6 +663,86 @@ object Events {
         SELECT user_id, status, MIN(day) AS valid_from, MAX(day) AS valid_to,
           COUNT(*) AS n_days
         FROM islands GROUP BY user_id, island, status"""),
+      bench = true),
+
+    // Finite-window EWMA smoothing of the hourly event-rate series — the
+    // anomaly-baseline/trend primitive (Holt 1957's level term; the
+    // truncated form Σ_{j<24} w_j·x_{t-j} / Σw_j with w_j = α(1−α)^j,
+    // α = 0.3). The 24 weights are PLAN-TIME constants generated once in
+    // Scala and embedded as literals in BOTH engines, so there is no pow()
+    // in either plan to diverge; products ride the 10-dp DECIMAL fold.
+    // Shape: the q56 dense grid (zeros filled) × a 24-row broadcast offset
+    // table → one (type, hour)-keyed join + grouped sum — no window
+    // function, partition-friendly at any series count; only complete
+    // windows emit (h ≥ lo + 23h).
+    QueryDef("q140_ewma",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val e = Tables(s, dir, "events")
+        val counts = e.groupBy(col("event_type"), epochTrunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val span = e.agg(min(epochTrunc("hour", col("ts"))).as("lo"),
+          max(epochTrunc("hour", col("ts"))).as("hi"))
+        val dense = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+          .join(counts, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val w = ewmaWeights.zipWithIndex
+          .map { case (wj, j) => (j.toLong, wj) }.toDF("j", "w")
+        dense.select(col("event_type"), col("h"))
+          .crossJoin(broadcast(w))
+          .select(col("event_type"), col("h"),
+            (col("h") - col("j") * lit(3600L)).as("hj"), col("w"))
+          .join(dense.select(col("event_type"), col("h").as("hj"), col("cnt")),
+            Seq("event_type", "hj"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(round(dsum(round(col("w") * col("cnt").cast(DoubleType), 10), 10) /
+            lit(ewmaNorm), 6).as("ewma"))
+          .crossJoin(broadcast(span))
+          .filter(col("h") >= col("lo") + lit(23L * 3600L))
+          .select(col("event_type"), col("h"), col("ewma"))
+      },
+      oracle = Some {
+        val wVals = ewmaWeights.zipWithIndex
+          .map { case (wj, j) => s"($j, CAST($wj AS DOUBLE))" }.mkString(", ")
+        s"""
+        WITH c AS (
+          SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+                 CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+          FROM events),
+        dense AS MATERIALIZED (
+          SELECT t.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT UNNEST(generate_series((SELECT lo FROM span), (SELECT hi FROM span), 3600)) AS h) g
+          LEFT JOIN c ON c.event_type = t.event_type AND c.h = g.h),
+        w(j, wv) AS (SELECT * FROM (VALUES $wVals) t(j, wv))
+        SELECT a.event_type, a.h,
+          round(CAST(SUM(CAST(round(w.wv * CAST(d.cnt AS DOUBLE), 10) AS DECIMAL(30,10))) AS DOUBLE)
+            / CAST($ewmaNorm AS DOUBLE), 6) AS ewma
+        FROM dense a
+        JOIN w ON TRUE
+        JOIN dense d ON d.event_type = a.event_type AND d.h = a.h - w.j * 3600
+        WHERE a.h >= (SELECT lo FROM span) + ${23L * 3600L}
+        GROUP BY 1, 2"""
+      },
       bench = true)
   )
+
+  /** q140's 24 truncated-EWMA weights α(1−α)^j, α = 0.3, 12-dp — computed
+    * ONCE here and embedded as literals in both the Spark plan and the
+    * DuckDB oracle, so no transcendental runs in either engine. */
+  private lazy val ewmaWeights: Seq[Double] = (0 until 24).map { j =>
+    BigDecimal(0.3 * math.pow(0.7, j))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Σ of the rounded weights, the shared normalizer literal. */
+  private lazy val ewmaNorm: Double =
+    BigDecimal(ewmaWeights.map(BigDecimal(_)).sum.toDouble)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -660,6 +660,123 @@ object Text {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           round(CAST(SUM(CAST(lt AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
         FROM terms GROUP BY 1"""),
+      bench = true),
+
+    // Unigram-LM subword tokenizer (Kudo, ACL 2018 — the SentencePiece
+    // algorithm's E/M core) trained by hard EM over the corpus word table:
+    // the trained model row — every seed substring piece with its final
+    // Viterbi usage count and add-one log-probability. The ENTIRE train —
+    // substring seeding, two E-step Viterbi DPs (12 positions each, ties
+    // to the longest last piece), two M-steps, the backpointer walks — is
+    // a static word-keyed plan with zero driver actions, and the oracle
+    // unrolls every one of its ~150 stages as chained CTEs.
+    QueryDef("q141_unigram_train",
+      (s, dir) => graft.operators.UnigramLm.train(
+        Tables(s, dir, "documents"), maxWordLen = 12, maxPieceLen = 4, rounds = 2),
+      oracle = Some(unigramSql(rounds = 2,
+        fin = "SELECT piece, c, logp FROM m2")),
+      bench = true),
+
+    // The segmentation surface: every distinct corpus word Viterbi-split
+    // under the trained model, with the q120-stance roundtrip gate (a
+    // tokenizer that cannot reassemble its input corrupts the corpus).
+    QueryDef("q142_unigram_encode",
+      (s, dir) => graft.operators.UnigramLm.segment(
+        Tables(s, dir, "documents"), maxWordLen = 12, maxPieceLen = 4, rounds = 2),
+      oracle = Some(unigramSql(rounds = 3,
+        fin = """
+        SELECT g.word, w.cnt, g.n_pieces, g.seg,
+          (replace(g.seg, ' ', '') = g.word) AS ok
+        FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+                string_agg(piece, ' ' ORDER BY p ASC) AS seg
+              FROM seg3 GROUP BY 1) g
+        JOIN words w USING (word)""",
+        lastRoundSegOnly = true)),
       bench = true)
   )
+
+  /** Unrolled unigram-LM oracle ([[graft.operators.UnigramLm]]): words →
+    * substring seed → m0, then per EM round r: the piece-scored transition
+    * table pl_r, a 12-position Viterbi DP (b/sc chains, ties score DESC
+    * then piece-length DESC), the backpointer walk (em/wk chains), the
+    * usage counts c_r, and the add-one model m_r. `lastRoundSegOnly` runs
+    * the final round's E-step WITHOUT an M-step — the q142 encode pass
+    * under the trained model. MATERIALIZED throughout: every DP stage is
+    * read by two successors (the q81 lesson). */
+  private def unigramSql(rounds: Int, fin: String,
+                         lastRoundSegOnly: Boolean = false,
+                         maxWordLen: Int = 12, maxPieceLen: Int = 4): String = {
+    val P = maxWordLen
+    def viterbiCtes(r: Int, model: String): String = {
+      val dp = (1 to P).map { i =>
+        s"""b${r}_$i AS MATERIALIZED (
+          SELECT word, score, j FROM (
+            SELECT p.word, round(s.score + p.logp, 10) AS score, p.j,
+              row_number() OVER (PARTITION BY p.word
+                ORDER BY round(s.score + p.logp, 10) DESC, p.j DESC) AS rn
+            FROM pl$r p JOIN sc${r}_${i - 1} s ON s.word = p.word AND s.i = p.i - p.j
+            WHERE p.i = $i) z WHERE rn = 1),
+        sc${r}_$i AS MATERIALIZED (
+          SELECT * FROM sc${r}_${i - 1}
+          UNION ALL SELECT word, $i AS i, score FROM b${r}_$i)"""
+      }.mkString(",\n        ")
+      val bps = (1 to P).map(i => s"SELECT word, $i AS i, j AS bp FROM b${r}_$i")
+        .mkString(" UNION ALL ")
+      val walk = (1 to P).map { t =>
+        s"""em${r}_$t AS MATERIALIZED (
+          SELECT c.word, c.p - b.bp + 1 AS p,
+            substr(c.word, c.p - b.bp + 1, b.bp) AS piece, c.p - b.bp AS np
+          FROM wk${r}_${t - 1} c JOIN bp$r b ON b.word = c.word AND b.i = c.p
+          WHERE c.p > 0),
+        wk${r}_$t AS (SELECT word, np AS p FROM em${r}_$t)"""
+      }.mkString(",\n        ")
+      val segs = (1 to P).map(t => s"SELECT word, p, piece FROM em${r}_$t")
+        .mkString(" UNION ALL ")
+      s"""pl$r AS MATERIALIZED (
+        SELECT s.word, s.i, s.j, m.logp FROM subs s JOIN $model m USING (piece)),
+        sc${r}_0 AS (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score FROM words),
+        $dp,
+        bp$r AS MATERIALIZED ($bps),
+        wk${r}_0 AS (SELECT word, length(word) AS p FROM words),
+        $walk,
+        seg$r AS MATERIALIZED ($segs)"""
+    }
+    def modelCte(r: Int): String =
+      s"""c$r AS (
+        SELECT s.piece, CAST(SUM(w.cnt) AS BIGINT) AS c
+        FROM seg$r s JOIN words w USING (word) GROUP BY 1),
+        m$r AS MATERIALIZED (
+        SELECT sp.piece, COALESCE(k.c, 0) AS c,
+          round(ln(CAST(COALESCE(k.c, 0) + 1 AS DOUBLE) /
+            CAST((SELECT SUM(c) FROM c$r) + (SELECT COUNT(*) FROM sp) AS DOUBLE)), 10) AS logp
+        FROM sp LEFT JOIN c$r k USING (piece))"""
+    val roundCtes = (1 to rounds).map { r =>
+      val vit = viterbiCtes(r, s"m${r - 1}")
+      if (r == rounds && lastRoundSegOnly) vit else s"$vit,\n        ${modelCte(r)}"
+    }.mkString(",\n        ")
+    s"""
+        WITH $toksCte,
+        words AS MATERIALIZED (
+          SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+          WHERE length(term) BETWEEN 1 AND $P GROUP BY 1),
+        gi AS (SELECT UNNEST(generate_series(1, $P)) AS i),
+        gj AS (SELECT UNNEST(generate_series(1, $maxPieceLen)) AS j),
+        subs AS MATERIALIZED (
+          SELECT w.word, gi.i, gj.j, substr(w.word, gi.i - gj.j + 1, gj.j) AS piece
+          FROM words w CROSS JOIN gi CROSS JOIN gj
+          WHERE gi.i <= length(w.word) AND gj.j <= gi.i),
+        c0x AS (
+          SELECT s.piece, CAST(SUM(w.cnt) AS BIGINT) AS c
+          FROM subs s JOIN words w USING (word) GROUP BY 1),
+        spc AS MATERIALIZED (
+          SELECT piece, c FROM c0x WHERE c >= 2 OR length(piece) = 1),
+        sp AS (SELECT piece FROM spc),
+        m0 AS MATERIALIZED (
+          SELECT piece, c,
+            round(ln(CAST(c + 1 AS DOUBLE) /
+              CAST((SELECT SUM(c) FROM spc) + (SELECT COUNT(*) FROM spc) AS DOUBLE)), 10) AS logp
+          FROM spc),
+        $roundCtes
+        $fin"""
+  }
 }
