@@ -286,7 +286,14 @@ object ScalingProbe {
       "q138_textrank",
       // SCD2 intervals: one (user,day,type) count + two user-partitioned
       // windows — rows per window partition are calendar-bounded
-      "q139_scd2_intervals")
+      "q139_scd2_intervals",
+      // EWMA: the q56 dense grid × a 24-row broadcast offset table — one
+      // (type, hour)-keyed join + grouped DECIMAL fold, no window
+      "q140_ewma",
+      // unigram LM: the corpus is touched once (word counts); everything
+      // after is Heaps-bounded word-keyed work with the DP row-local —
+      // id-shift leaves the word table CONSTANT, vocabgrow ×10s it
+      "q141_unigram_train", "q142_unigram_encode")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -309,7 +316,8 @@ object ScalingProbe {
       "q130_random_projection", "q132_stupid_backoff", "q133_zorder_layout",
       // round-8 continuations: all six new rows are two-regime
       "q134_hits", "q135_dsir_weights", "q136_dsir_resample",
-      "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals")
+      "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals",
+      "q140_ewma", "q141_unigram_train", "q142_unigram_encode")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -730,6 +730,66 @@ object Events {
         WHERE a.h >= (SELECT lo FROM span) + ${23L * 3600L}
         GROUP BY 1, 2"""
       },
+      bench = true),
+
+    // Market-basket association rules (Agrawal & Srikant's A-Priori setting,
+    // VLDB 1994) over (user, day) baskets of event types: every ordered
+    // pair (a → b) co-occurring in ≥ minSupport baskets, with support,
+    // confidence = supp(ab)/supp(a) and lift = supp(ab)·n/(supp(a)·supp(b)).
+    // Baskets are tiny (≤ |event_type| items), so pairs generate ROW-LOCALLY
+    // from each basket's sorted distinct item array — no self-join of an
+    // item table; the wide stages are one basket distinct + one pair count.
+    // All three measures are integer ratios — single-division determinism.
+    QueryDef("q143_basket_rules",
+      (s, dir) => {
+        val baskets = Tables(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).cast(LongType).as("day"),
+            col("event_type"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(array_sort(collect_set(col("event_type"))).as("items"))
+        val n = baskets.agg(count(lit(1)).as("n"))
+        val singles = baskets
+          .select(explode(col("items")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("supp1"))
+        val pairs = baskets
+          .select(explode(expr(
+            """flatten(transform(items, a ->
+                 filter(transform(items, b -> named_struct('a', a, 'b', b)),
+                        x -> x.a <> x.b)))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 20L)
+        pairs
+          .join(broadcast(singles.select(col("item").as("a"), col("supp1").as("supp_a"))), "a")
+          .join(broadcast(singles.select(col("item").as("b"), col("supp1").as("supp_b"))), "b")
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("supp_ab"), col("supp_a"), col("supp_b"),
+            round(col("supp_ab").cast(DoubleType) / col("supp_a").cast(DoubleType), 8)
+              .as("confidence"),
+            round((col("supp_ab") * col("n")).cast(DoubleType) /
+              (col("supp_a") * col("supp_b")).cast(DoubleType), 8).as("lift"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+            list_sort(list_distinct(list(event_type))) AS items
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT COUNT(*) AS n FROM b),
+        s1 AS (SELECT item, COUNT(*) AS supp1 FROM
+                 (SELECT UNNEST(items) AS item FROM b) u GROUP BY 1),
+        pr AS (
+          SELECT p.a, p.b, COUNT(*) AS supp_ab FROM (
+            SELECT UNNEST(flatten(list_transform(items, a ->
+              list_filter(list_transform(items, bb -> {'a': a, 'b': bb}),
+                          x -> x.a <> x.b)))) AS p
+            FROM b) z
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        SELECT pr.a, pr.b, pr.supp_ab, sa.supp1 AS supp_a, sb.supp1 AS supp_b,
+          round(CAST(pr.supp_ab AS DOUBLE) / CAST(sa.supp1 AS DOUBLE), 8) AS confidence,
+          round(CAST(pr.supp_ab * (SELECT n FROM n) AS DOUBLE) /
+            CAST(sa.supp1 * sb.supp1 AS DOUBLE), 8) AS lift
+        FROM pr JOIN s1 sa ON pr.a = sa.item JOIN s1 sb ON pr.b = sb.item"""),
       bench = true)
   )
 
