@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Unigram-language-model subword tokenizer (Kudo, "Subword Regularization",
-  * ACL 2018 — the SentencePiece unigram algorithm's E/M core), trained by
-  * HARD EM: the E-step Viterbi-segments every distinct word under the
-  * current piece log-probabilities, the M-step re-estimates piece
-  * probabilities from the segmentation counts with add-one smoothing over
-  * the FIXED substring seed vocabulary. Two declared simplifications vs
-  * Kudo §3.2, both documented here as the operator's contract: hard
-  * (Viterbi) counts instead of forward–backward expected counts, and a
-  * fixed seed vocabulary instead of the likelihood-loss pruning schedule —
-  * the BPE family (q79–q84) covers the learned-merge tokenizer; this
-  * operator covers the probabilistic-segmentation family.
+  * ACL 2018 — the SentencePiece unigram algorithm's E/M core), in BOTH
+  * E-step flavors: [[train]] runs hard EM (Viterbi argmax counts) and
+  * [[trainEm]] the full soft EM (forward–backward lattice posteriors —
+  * Kudo §3.2's actual E-step). The M-step re-estimates piece
+  * probabilities from the (hard or expected) counts with add-one smoothing
+  * over the frequency-pruned substring seed vocabulary. The one remaining
+  * simplification vs Kudo, documented as the operator's contract: the
+  * vocabulary is fixed after seeding (no likelihood-loss pruning
+  * schedule) — the BPE family (q79–q84) covers the learned-merge
+  * tokenizer; this operator covers the probabilistic-segmentation family.
   *
   * Spark-first shape — NO driver action anywhere (not even a count):
   *   - the corpus is touched ONCE (word counts — Heaps-bounded);
@@ -139,6 +139,105 @@ object UnigramLm {
     base.crossJoin(tot)
       .select(col("piece"), col("c"),
         round(log((col("c") + lit(1L)).cast(DoubleType) /
+          (col("n") + col("v")).cast(DoubleType)), 10).as("logp"))
+      .localCheckpoint(eager = true)
+  }
+
+  /** Forward–backward EXPECTED piece counts of every word under `model` —
+    * the true E-step of Kudo §3.2 (soft EM), where [[viterbi]] is the hard
+    * approximation: γ(piece at [i−j+1, i]) = exp(α[i−j] + logp + β[i] −
+    * α[len]), the lattice posterior. Also row-local: two `aggregate` HOFs
+    * build the α and β tables, a third emits every candidate's posterior.
+    *
+    * Deterministic log-sum-exp ladder: each α/β entry is
+    * round(m + ln(Σ round(exp(x−m), 15)), 10) with m the (order-free) max
+    * and the Σ an EXACT DECIMAL(20,15) fold — no float-sum order exists,
+    * so both engines replay entry for entry; the posterior exponent
+    * re-rounds at 10 dp before exp, the γ after. Output: (word, piece, g). */
+  private def expected(words: DataFrame, subs: DataFrame, model: DataFrame): DataFrame = {
+    val cands = subs.join(model.select(col("piece"), col("logp")), "piece")
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("i"), col("j"), col("logp"))).as("cs"))
+    // α[i] stored at a[i-1]; the i−j = 0 term contributes alpha 0
+    val fw = cands.select(col("word"), col("cs"), expr(
+      """aggregate(sequence(1, length(word)), cast(array() as array<double>),
+           (acc, i) -> concat(acc, array(
+             aggregate(
+               transform(filter(cs, c -> c.i = i),
+                 c -> (CASE WHEN c.j = i THEN cast(0.0 as double)
+                       ELSE acc[i - c.j - 1] END) + c.logp),
+               named_struct('m', cast(-1e18 as double), 's', cast(0 as decimal(20,15)), 'xs', cast(array() as array<double>)),
+               (st, x) -> named_struct('m', greatest(st.m, x), 's', st.s, 'xs', concat(st.xs, array(x))),
+               st -> round(st.m + ln(cast(
+                 aggregate(st.xs, cast(0 as decimal(20,15)),
+                   (a, x) -> cast(a + cast(round(exp(x - st.m), 15) as decimal(20,15)) as decimal(20,15)))
+                 as double)), 10))))) """).as("al"))
+    // β[i] stored at b-index len−i−1 (built right to left); β[len] = 0
+    val bw = fw.select(col("word"), col("cs"), col("al"), expr(
+      """aggregate(sequence(1, length(word)), cast(array() as array<double>),
+           (acc, t) -> concat(acc, array(
+             aggregate(
+               transform(filter(cs, c -> c.i - c.j = length(word) - t),
+                 c -> c.logp + (CASE WHEN c.i = length(word) THEN cast(0.0 as double)
+                                ELSE acc[length(word) - c.i - 1] END)),
+               named_struct('m', cast(-1e18 as double), 's', cast(0 as decimal(20,15)), 'xs', cast(array() as array<double>)),
+               (st, x) -> named_struct('m', greatest(st.m, x), 's', st.s, 'xs', concat(st.xs, array(x))),
+               st -> round(st.m + ln(cast(
+                 aggregate(st.xs, cast(0 as decimal(20,15)),
+                   (a, x) -> cast(a + cast(round(exp(x - st.m), 15) as decimal(20,15)) as decimal(20,15)))
+                 as double)), 10))))) """).as("be"))
+    bw.select(col("word"), explode(expr(
+      """transform(cs, c -> named_struct(
+           'piece', substring(word, c.i - c.j + 1, c.j),
+           'g', round(exp(round(
+             (CASE WHEN c.j = c.i THEN cast(0.0 as double) ELSE al[c.i - c.j - 1] END)
+             + c.logp
+             + (CASE WHEN c.i = length(word) THEN cast(0.0 as double)
+                ELSE be[length(word) - c.i - 1] END)
+             - al[length(word) - 1], 10)), 10)))""")).as("e"))
+      .select(col("word"), col("e.piece").as("piece"), col("e.g").as("g"))
+  }
+
+  /** Soft-EM training (the full forward–backward E-step): like [[train]]
+    * but with fractional expected counts — c is a DOUBLE (8-dp), the
+    * add-one M-step otherwise identical. The hard/soft pair mirrors
+    * Kudo's own presentation (Viterbi decode, EM training). */
+  def trainEm(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
+              rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
+    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val c0 = subs.join(words, "word").groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("c"))
+    val seedPieces = c0
+      .filter(col("c") >= lit(minSeedCount) || length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint(eager = true)
+    var model = withLogp(seedPieces, c0)
+    for (_ <- 1 to rounds) {
+      val post = expected(words, subs, model)
+      // round the EXACT decimal sum before any double cast — rounding the
+      // cast double instead loses the half-up midpoint to double error
+      // (one 8-dp cell flipped between engines in the first cut)
+      val cr = post.join(words, "word").groupBy(col("piece"))
+        .agg(round(sum(round(col("cnt").cast(DoubleType) * col("g"), 10)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 10))), 8)
+          .cast(DoubleType).as("c"))
+      model = withLogpSoft(seedPieces, cr)
+    }
+    model
+  }
+
+  /** [[withLogp]] for fractional counts: c DOUBLE, N an exact DECIMAL(30,8)
+    * fold of the 8-dp counts. */
+  private def withLogpSoft(seedPieces: DataFrame, counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = seedPieces.join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(0.0d)).as("c"))
+    val tot = base.agg(sum(col("c").cast(DecimalType(30, 8))).cast(DoubleType).as("n"),
+      count(lit(1)).as("v"))
+    base.crossJoin(tot)
+      .select(col("piece"), col("c"),
+        round(log((col("c") + lit(1.0d)) /
           (col("n") + col("v")).cast(DoubleType)), 10).as("logp"))
       .localCheckpoint(eager = true)
   }

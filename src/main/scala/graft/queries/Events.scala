@@ -790,6 +790,39 @@ object Events {
           round(CAST(pr.supp_ab * (SELECT n FROM n) AS DOUBLE) /
             CAST(sa.supp1 * sb.supp1 AS DOUBLE), 8) AS lift
         FROM pr JOIN s1 sa ON pr.a = sa.item JOIN s1 sb ON pr.b = sb.item"""),
+      bench = true),
+
+    // Incremental aggregate maintenance (the lambda-architecture / IVM
+    // contract): an hourly-stats STATE table built from history (< split)
+    // merged with a DELTA batch (≥ split) by re-aggregating partials —
+    // counts add, DECIMAL sums add, mins/maxes re-min/max. The oracle is
+    // the FULL recompute over all events: merge(partial(A), partial(B)) ≡
+    // aggregate(A ∪ B) is exactly the property that lets a 100 TB mart
+    // absorb a day's delta without rescanning history. Both inputs arrive
+    // pre-aggregated, so the merge shuffle carries hour-bucket partials,
+    // never raw events.
+    QueryDef("q144_incremental_agg",
+      (s, dir) => {
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(epochTrunc("hour", col("ts")).as("hour_epoch"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8))).as("sv"),
+            min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        val e = Tables(s, dir, "events")
+        val state = partial(e.filter(col("ts") < lit(splitDate).cast("timestamp")))
+        val delta = partial(e.filter(col("ts") >= lit(splitDate).cast("timestamp")))
+        state.union(delta)
+          .groupBy(col("hour_epoch"), col("event_type"))
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("sv")).cast(DoubleType).as("sum_value"),
+            min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"))
+      },
+      oracle = Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+          MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2"""),
       bench = true)
   )
 

@@ -677,6 +677,19 @@ object Text {
         fin = "SELECT piece, c, logp FROM m2")),
       bench = true),
 
+    // The SOFT-EM sibling of q141 — the true Kudo E-step: forward–backward
+    // lattice posteriors instead of Viterbi argmax counts, so c is the
+    // EXPECTED number of times each piece is used (fractional). Every α/β
+    // entry goes through the deterministic log-sum-exp ladder (order-free
+    // max + exact DECIMAL(20,15) fold of 15-dp exp terms + 10-dp re-sync),
+    // so even the transcendental chain replays CTE for CTE.
+    QueryDef("q145_unigram_em",
+      (s, dir) => graft.operators.UnigramLm.trainEm(
+        Tables(s, dir, "documents"), maxWordLen = 12, maxPieceLen = 4, rounds = 2),
+      oracle = Some(unigramSql(rounds = 2,
+        fin = "SELECT piece, c, logp FROM m2", soft = true)),
+      bench = true),
+
     // The segmentation surface: every distinct corpus word Viterbi-split
     // under the trained model, with the q120-stance roundtrip gate (a
     // tokenizer that cannot reassemble its input corrupts the corpus).
@@ -704,9 +717,64 @@ object Text {
     * under the trained model. MATERIALIZED throughout: every DP stage is
     * read by two successors (the q81 lesson). */
   private def unigramSql(rounds: Int, fin: String,
-                         lastRoundSegOnly: Boolean = false,
+                         lastRoundSegOnly: Boolean = false, soft: Boolean = false,
                          maxWordLen: Int = 12, maxPieceLen: Int = 4): String = {
     val P = maxWordLen
+    // soft-EM round: forward α chain, backward β chain (both through the
+    // deterministic log-sum-exp ladder), lattice posteriors, fractional
+    // expected counts, and the DOUBLE-count add-one model
+    def softRoundCtes(r: Int, model: String): String = {
+      val lse =
+        "SELECT word, round(mx + ln(CAST(SUM(CAST(round(exp(x - mx), 15) AS DECIMAL(20,15))) AS DOUBLE)), 10)"
+      val fw = (1 to P).map { i =>
+        s"""xa${r}_$i AS (
+          SELECT p.word, s.a + p.logp AS x
+          FROM pl$r p JOIN ac${r}_${i - 1} s ON s.word = p.word AND s.i = p.i - p.j
+          WHERE p.i = $i),
+        aa${r}_$i AS MATERIALIZED (
+          $lse AS a
+          FROM (SELECT word, x, MAX(x) OVER (PARTITION BY word) AS mx FROM xa${r}_$i) z
+          GROUP BY word, mx),
+        ac${r}_$i AS MATERIALIZED (
+          SELECT * FROM ac${r}_${i - 1} UNION ALL SELECT word, $i AS i, a FROM aa${r}_$i)"""
+      }.mkString(",\n        ")
+      val bw = (1 to P).map { t =>
+        s"""xb${r}_$t AS (
+          SELECT p.word, p.logp + s.b AS x
+          FROM pl$r p JOIN bc${r}_${t - 1} s ON s.word = p.word AND s.i = p.i
+          WHERE p.i - p.j = length(p.word) - $t),
+        bb${r}_$t AS MATERIALIZED (
+          $lse AS b
+          FROM (SELECT word, x, MAX(x) OVER (PARTITION BY word) AS mx FROM xb${r}_$t) z
+          GROUP BY word, mx),
+        bc${r}_$t AS MATERIALIZED (
+          SELECT * FROM bc${r}_${t - 1}
+          UNION ALL SELECT word, length(word) - $t AS i, b FROM bb${r}_$t)"""
+      }.mkString(",\n        ")
+      s"""pl$r AS MATERIALIZED (
+        SELECT s.word, s.i, s.j, m.logp FROM subs s JOIN $model m USING (piece)),
+        ac${r}_0 AS (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS a FROM words),
+        $fw,
+        bc${r}_0 AS (SELECT word, length(word) AS i, CAST(0.0 AS DOUBLE) AS b FROM words),
+        $bw,
+        post$r AS MATERIALIZED (
+          SELECT p.word, substr(p.word, p.i - p.j + 1, p.j) AS piece,
+            round(exp(round(sa.a + p.logp + sb.b - sn.a, 10)), 10) AS g
+          FROM pl$r p
+          JOIN ac${r}_$P sa ON sa.word = p.word AND sa.i = p.i - p.j
+          JOIN bc${r}_$P sb ON sb.word = p.word AND sb.i = p.i
+          JOIN ac${r}_$P sn ON sn.word = p.word AND sn.i = length(p.word)),
+        c$r AS (
+          SELECT s.piece,
+            CAST(round(SUM(CAST(round(CAST(w.cnt AS DOUBLE) * s.g, 10) AS DECIMAL(30,10))), 8) AS DOUBLE) AS c
+          FROM post$r s JOIN words w USING (word) GROUP BY 1),
+        m$r AS MATERIALIZED (
+          SELECT sp.piece, COALESCE(k.c, CAST(0.0 AS DOUBLE)) AS c,
+            round(ln((COALESCE(k.c, CAST(0.0 AS DOUBLE)) + CAST(1 AS DOUBLE)) /
+              ((SELECT CAST(SUM(CAST(c AS DECIMAL(30,8))) AS DOUBLE) FROM c$r)
+               + (SELECT COUNT(*) FROM sp))), 10) AS logp
+          FROM sp LEFT JOIN c$r k USING (piece))"""
+    }
     def viterbiCtes(r: Int, model: String): String = {
       val dp = (1 to P).map { i =>
         s"""b${r}_$i AS MATERIALIZED (
@@ -751,8 +819,11 @@ object Text {
             CAST((SELECT SUM(c) FROM c$r) + (SELECT COUNT(*) FROM sp) AS DOUBLE)), 10) AS logp
         FROM sp LEFT JOIN c$r k USING (piece))"""
     val roundCtes = (1 to rounds).map { r =>
-      val vit = viterbiCtes(r, s"m${r - 1}")
-      if (r == rounds && lastRoundSegOnly) vit else s"$vit,\n        ${modelCte(r)}"
+      if (soft) softRoundCtes(r, s"m${r - 1}")
+      else {
+        val vit = viterbiCtes(r, s"m${r - 1}")
+        if (r == rounds && lastRoundSegOnly) vit else s"$vit,\n        ${modelCte(r)}"
+      }
     }.mkString(",\n        ")
     s"""
         WITH $toksCte,

@@ -51,6 +51,26 @@ class UnigramLmSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("soft-EM expected counts: fractional mass, position coverage, ordering") {
+    val hard = UnigramLm.train(corpus, rounds = 2)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val soft = UnigramLm.trainEm(corpus, rounds = 2)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(soft.keySet == hard.keySet)
+    // total mass: Σ_pieces c·len(piece) = Σ_words cnt·len(word) — every
+    // character position carries total posterior 1 (forward–backward
+    // normalization), in both flavors up to the 8-dp ladder
+    val totalChars = Seq("ab" -> 8, "c" -> 2, "d" -> 2, "abc" -> 1, "abd" -> 1)
+      .map { case (w, n) => w.length * n }.sum.toDouble
+    def mass(m: Map[String, Double]) = m.map { case (p, c) => c * p.length }.sum
+    assert(math.abs(mass(soft) - totalChars) < 1e-5, s"soft mass ${mass(soft)} vs $totalChars")
+    assert(math.abs(mass(hard.map { case (k, v) => k -> v.toDouble }) - totalChars) < 1e-9)
+    // the dominant piece keeps nearly all its hard mass, but soft EM
+    // spreads strictly positive mass onto the char-split alternatives
+    assert(soft("ab") > 9.0 && soft("ab") < 10.0, soft("ab").toString)
+    assert(soft("a") > 0.0 && soft("b") > 0.0)
+  }
+
   test("words beyond maxWordLen are dropped; degenerate configs refused") {
     val seg = UnigramLm.segment(
       Seq((1L, "short verylongword12x ok")).toDF("doc_id", "text"),
