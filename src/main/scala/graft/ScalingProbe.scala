@@ -293,7 +293,16 @@ object ScalingProbe {
       // unigram LM: the corpus is touched once (word counts); everything
       // after is Heaps-bounded word-keyed work with the DP row-local —
       // id-shift leaves the word table CONSTANT, vocabgrow ×10s it
-      "q141_unigram_train", "q142_unigram_encode")
+      "q141_unigram_train", "q142_unigram_encode",
+      // basket rules: row-local pair explode from tiny baskets + one pair
+      // count; lift arithmetic on broadcast singles
+      "q143_basket_rules",
+      // IVM merge: two partial aggregations + one partial-keyed merge —
+      // the shuffle carries hour-bucket partials, never raw events
+      "q144_incremental_agg",
+      // soft-EM unigram: the q141 shape with forward-backward HOFs in
+      // place of the Viterbi — still one corpus scan + word-keyed frames
+      "q145_unigram_em")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -317,7 +326,8 @@ object ScalingProbe {
       // round-8 continuations: all six new rows are two-regime
       "q134_hits", "q135_dsir_weights", "q136_dsir_resample",
       "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals",
-      "q140_ewma", "q141_unigram_train", "q142_unigram_encode")
+      "q140_ewma", "q141_unigram_train", "q142_unigram_encode",
+      "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
