@@ -652,7 +652,8 @@ object Events {
           WHERE rn = 1),
         flagged AS (
           SELECT user_id, day, status,
-            CASE WHEN lag(status) OVER (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+            CASE WHEN lag(status) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                   OR lag(status) OVER (PARTITION BY user_id ORDER BY day) <> status
               THEN 1 ELSE 0 END AS chg
           FROM daily),
         islands AS (

@@ -263,6 +263,72 @@ object Ml {
         SELECT COUNT(*) AS n,
           CAST(SUM(CASE WHEN p.pred = t.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
           CAST(SUM(CASE WHEN p.pred = t.lang THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS accuracy
-        FROM nb_pred p JOIN truth t ON p.doc_id = t.doc_id"""))
+        FROM nb_pred p JOIN truth t ON p.doc_id = t.doc_id""")),
+
+    // Nearest-centroid (Rocchio) classification — the third classifier
+    // family beside kNN (q27–q29) and NB (q30/q31), and the cheapest at
+    // scale: training is ONE grouped exact-decimal mean (12-dp, the PCA
+    // mu ladder) and inference one |labels|-row BROADCAST against the test
+    // scan — no n×n similarity join anywhere. Squared-L2 argmin through
+    // the shared sequential-fold dot product, ties to the smaller label.
+    // Same vec_id % 10 split as the kNN family.
+    QueryDef("q146_centroid_classify",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast(LongType).as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val train = e.filter(col("vec_id") % 10 =!= 0)
+        val test = e.filter(col("vec_id") % 10 === 0)
+        val cents = train
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("label").as("clabel"), col("pos"))
+          .agg(round(sum(round(col("x"), 12).cast(DecimalType(30, 12))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 12).as("c"))
+          .groupBy(col("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+        import graft.functions.Exprs.dot
+        val scored = test.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            round(dot(col("v"), col("v")) - lit(2.0d) * dot(col("v"), col("cv")) +
+              dot(col("cv"), col("cv")), 8).as("d2"))
+        scored
+          .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("clabel").asc)))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+            round(sum(when(col("clabel") === col("label"), 1L).otherwise(0L))
+              .cast(DoubleType) / count(lit(1)).cast(DoubleType), 8).as("acc"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        te AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        mu AS MATERIALIZED (
+          SELECT label AS clabel, pos,
+            round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 12) AS c
+          FROM (SELECT label, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos FROM tr) u
+          GROUP BY 1, 2),
+        ca AS MATERIALIZED (SELECT clabel, list(c ORDER BY pos) AS cv FROM mu GROUP BY 1),
+        sc AS (
+          SELECT t.vec_id, t.label, c.clabel,
+            round(list_dot_product(t.v, t.v) - CAST(2 AS DOUBLE) * list_dot_product(t.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 8) AS d2
+          FROM te t CROSS JOIN ca c),
+        pred AS (
+          SELECT vec_id, label, clabel FROM sc
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) = 1)
+        SELECT label, COUNT(*) AS n_test,
+          CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          round(CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 8) AS acc
+        FROM pred GROUP BY 1"""),
+      bench = true)
   )
 }
