@@ -302,7 +302,11 @@ object ScalingProbe {
       "q144_incremental_agg",
       // soft-EM unigram: the q141 shape with forward-backward HOFs in
       // place of the Viterbi — still one corpus scan + word-keyed frames
-      "q145_unigram_em")
+      "q145_unigram_em",
+      // nearest-centroid: one grouped mean + a |labels|-row broadcast over
+      // the test scan — id-shift deepens labels at constant |labels|,
+      // translate moves clusters at constant population
+      "q146_centroid_classify")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -327,7 +331,8 @@ object ScalingProbe {
       "q134_hits", "q135_dsir_weights", "q136_dsir_resample",
       "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals",
       "q140_ewma", "q141_unigram_train", "q142_unigram_encode",
-      "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em")
+      "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em",
+      "q146_centroid_classify")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

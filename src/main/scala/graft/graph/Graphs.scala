@@ -530,6 +530,45 @@ object Graphs {
     dist.select(col("v"), col("hop").as("hops"))
   }
 
+  /** Bounded-hop single-source (multi-seed) shortest paths over a weighted
+    * undirected graph — Bellman–Ford by synchronous rounds: round r relaxes
+    * every edge from the current distance table and folds with a grouped
+    * MIN, so after `maxHops` rounds dist(v) is the cheapest path using at
+    * most that many edges (the caller's declared horizon, same stance as
+    * [[bfsHops]]). INTEGER costs only: the grouped min is order-independent
+    * and the oracle unrolls round by round with no float ladder. Per round
+    * one dist⋈adjacency equi join + one v-keyed grouped min — the
+    * [[bfsHops]] cost shape with a cost column. Unreached vertices are
+    * absent. Output: (v, cost, hops) with hops the edge count of the
+    * cheapest path (cost ties broken by fewer hops — folded through the
+    * same min by packing cost·K + hops, K > maxHops, unpacked on output). */
+  def shortestPathsBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"shortestPathsBounded maxHops must be >= 0, got $maxHops")
+    // pack (cost, hops) into one long so a single MIN folds the pair with
+    // lexicographic (cost, hops) order; K bounds the hops field
+    val K = 1024L
+    require(maxHops < K, s"maxHops must be < $K")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"),
+        col("cost").cast(org.apache.spark.sql.types.LongType).as("cost"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("cost")).as("cost"))
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b"), col("cost")))
+      .localCheckpoint(eager = true)
+    var dist = seeds.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("pk"))
+      .localCheckpoint(eager = true)
+    for (r <- 1 to maxHops) {
+      val relaxed = dist.select(col("v").as("a"), col("pk"))
+        .join(adj, "a")
+        .select(col("b").as("v"),
+          expr(s"((pk div $K) + cost) * $K + (pk % $K + 1)").as("pk"))
+      dist = dist.union(relaxed).groupBy(col("v")).agg(min(col("pk")).as("pk"))
+      if (r % 4 == 0 || r == maxHops) dist = dist.localCheckpoint(eager = true)
+    }
+    dist.select(col("v"), expr(s"pk div $K").as("cost"), (col("pk") % K).as("hops"))
+  }
+
   /** HITS (Kleinberg, "Authoritative Sources in a Hyperlinked Environment",
     * JACM 1999) over an UNWEIGHTED directed graph, with L1 normalization —
     * each round: a ← Aᵀh then renormalize to Σa = 1; h ← A·a then

@@ -474,8 +474,81 @@ object Graph {
           .limit(20)
       },
       oracle = Some(textrankSql(10, 0.85)),
+      bench = true),
+
+    // Bounded-hop weighted shortest paths (Bellman–Ford by synchronous
+    // grouped-min rounds) over the thresholded co-occurrence network with
+    // an integer "rarity" cost (1e6 div cnt + 1 — cheap edges are frequent
+    // pairs). A weighted fixture exercises what BFS hops cannot: a 3-hop
+    // cost-3 path beating a 1-hop cost-10 edge, and a cost tie settled by
+    // fewer hops (the packed (cost, hops) lexicographic min). Integer
+    // arithmetic end to end; the oracle unrolls all 6 relaxation rounds.
+    QueryDef("q147_shortest_paths",
+      (s, dir) => {
+        import s.implicits._
+        val real = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20)
+          .select(col("src"), col("dst"), (expr("1000000 div cnt") + lit(1L)).as("cost"))
+        val fixture = Seq(
+          ("spfix_s", "spfix_x", 10L), ("spfix_s", "spfix_y", 1L),
+          ("spfix_y", "spfix_z", 1L), ("spfix_z", "spfix_x", 1L),
+          ("spfix_s", "spfix_t", 2L), ("spfix_y", "spfix_t", 1L))
+          .toDF("src", "dst", "cost")
+        val seeds = real.select(explode(array(col("src"), col("dst"))).as("v"))
+          .distinct().orderBy(col("v").asc).limit(3)
+          .union(Seq("spfix_s").toDF("v"))
+        Graphs.shortestPathsBounded(real.union(fixture), seeds, maxHops = 6)
+          .select(col("v").as("term"), col("cost"), col("hops"))
+      },
+      oracle = Some(shortestPathsSql(6)),
       bench = true)
   )
+
+  /** Unrolled bounded Bellman–Ford oracle ([[Graphs.shortestPathsBounded]]):
+    * per round, relax every edge from the full distance table and fold
+    * with a grouped MIN over the packed cost·1024+hops key — all-integer,
+    * so the min is order-independent and each round replays exactly. */
+  private def shortestPathsSql(maxHops: Int): String = {
+    val fixtureVals = Seq(
+      ("spfix_s", "spfix_x", 10L), ("spfix_s", "spfix_y", 1L),
+      ("spfix_y", "spfix_z", 1L), ("spfix_z", "spfix_x", 1L),
+      ("spfix_s", "spfix_t", 2L), ("spfix_y", "spfix_t", 1L))
+      .map { case (a, b, c) => s"('$a', '$b', $c)" }.mkString(", ")
+    val rounds = (1 to maxHops).map { r =>
+      s"""d$r AS MATERIALIZED (
+        SELECT v, MIN(pk) AS pk FROM (
+          SELECT v, pk FROM d${r - 1}
+          UNION ALL
+          SELECT adj.b AS v, ((d.pk // 1024) + adj.cost) * 1024 + (d.pk % 1024 + 1) AS pk
+          FROM d${r - 1} d JOIN adj ON adj.a = d.v) u
+        GROUP BY v)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        rc AS MATERIALIZED (
+          SELECT src, dst, (1000000 // cnt) + 1 AS cost FROM cooc WHERE cnt >= 20),
+        alle AS (
+          SELECT src, dst, cost FROM rc
+          UNION ALL SELECT * FROM (VALUES $fixtureVals) fx(src, dst, cost)),
+        und AS (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b, MIN(cost) AS cost
+          FROM alle WHERE src <> dst GROUP BY 1, 2),
+        adj AS MATERIALIZED (
+          SELECT a, b, cost FROM und UNION ALL SELECT b AS a, a AS b, cost FROM und),
+        rverts AS (
+          SELECT DISTINCT v FROM (SELECT src AS v FROM rc UNION ALL SELECT dst FROM rc) u),
+        seeds AS (
+          SELECT v FROM (SELECT v FROM rverts ORDER BY v ASC LIMIT 3) low
+          UNION ALL SELECT 'spfix_s'),
+        d0 AS (SELECT DISTINCT v, CAST(0 AS BIGINT) AS pk FROM seeds),
+        $rounds
+        SELECT v AS term, pk // 1024 AS cost, pk % 1024 AS hops FROM d$maxHops"""
+  }
 
   /** Unrolled TextRank oracle: the q58-window graph built row-locally
     * (lateral series over each token list), symmetrized and out-normalized,

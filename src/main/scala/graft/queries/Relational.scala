@@ -324,6 +324,57 @@ object Relational {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1"""),
+      bench = true),
+
+    // Snapshot diff — the period-over-period table-delta classifier every
+    // warehouse regression/audit pipeline runs: per-customer order
+    // aggregates for 1995 vs 1996, full-outer-joined on the key and each
+    // row classified added / removed / changed (unchanged rows drop).
+    // Both sides arrive PRE-AGGREGATED, so the outer join carries
+    // customer-level partials, never raw orders (the q144 IVM shape,
+    // diff-flavored); totals ride the exact DECIMAL ladder so 'changed'
+    // can compare doubles safely.
+    QueryDef("q148_snapshot_diff",
+      (s, dir) => {
+        def snap(year: Int) = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        val a = snap(1995).select(col("o_custkey"), col("n").as("old_n"), col("total").as("old_total"))
+        val b = snap(1996).select(col("o_custkey"), col("n").as("new_n"), col("total").as("new_total"))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            when(col("old_n").isNull, lit("added"))
+              .when(col("new_n").isNull, lit("removed"))
+              .when(col("old_n") =!= col("new_n") || col("old_total") =!= col("new_total"),
+                lit("changed"))
+              .otherwise(lit("unchanged")).as("change"),
+            col("old_n"), col("new_n"), col("old_total"), col("new_total"))
+          .filter(col("change") =!= "unchanged")
+      },
+      oracle = Some("""
+        WITH sa AS (
+          SELECT o_custkey, COUNT(*) AS old_n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS old_total
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        sb AS (
+          SELECT o_custkey, COUNT(*) AS new_n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS new_total
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1),
+        d AS (
+          SELECT COALESCE(sa.o_custkey, sb.o_custkey) AS o_custkey,
+            CASE WHEN sa.old_n IS NULL THEN 'added'
+                 WHEN sb.new_n IS NULL THEN 'removed'
+                 WHEN sa.old_n <> sb.new_n OR sa.old_total <> sb.new_total THEN 'changed'
+                 ELSE 'unchanged' END AS change,
+            sa.old_n, sb.new_n, sa.old_total, sb.new_total
+          FROM sa FULL OUTER JOIN sb ON sa.o_custkey = sb.o_custkey)
+        SELECT * FROM d WHERE change <> 'unchanged'"""),
       bench = true)
   )
 }

@@ -243,6 +243,25 @@ class GraphsSpec extends SparkSpec {
     assert(zero == Map(3L -> 0L))
   }
 
+  test("shortestPathsBounded: cheap long path beats expensive edge, ties to fewer hops") {
+    // s→x direct costs 10; s→y→z→x costs 3 over 3 hops. s→t direct cost 2
+    // ties s→y→t (1+1) — fewer hops must win. Horizon 2 can only see the
+    // 2-hop prefix of the cheap path.
+    val edges = Seq(
+      ("s", "x", 10L), ("s", "y", 1L), ("y", "z", 1L), ("z", "x", 1L),
+      ("s", "t", 2L), ("y", "t", 1L)).toDF("src", "dst", "cost")
+    val got = Graphs.shortestPathsBounded(edges, Seq("s").toDF("v"), maxHops = 6)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("x") == (3L, 3L), got.toString)
+    assert(got("t") == (2L, 1L), got.toString)
+    assert(got("y") == (1L, 1L) && got("z") == (2L, 2L) && got("s") == (0L, 0L))
+    val short = Graphs.shortestPathsBounded(edges, Seq("s").toDF("v"), maxHops = 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // one hop: x still reachable only via the cost-10 edge
+    assert(short("x") == (10L, 1L), short.toString)
+    assert(!short.contains("z"))
+  }
+
   test("hits: bipartite hubs/authorities, L1 sums, zero sides") {
     // 2 hubs → 3 authorities; a1 is cited by both hubs, a2/a3 by one each.
     val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"))
