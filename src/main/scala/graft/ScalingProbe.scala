@@ -306,7 +306,13 @@ object ScalingProbe {
       // nearest-centroid: one grouped mean + a |labels|-row broadcast over
       // the test scan — id-shift deepens labels at constant |labels|,
       // translate moves clusters at constant population
-      "q146_centroid_classify")
+      "q146_centroid_classify",
+      // Bellman-Ford: per round one dist⋈adjacency join + a grouped
+      // integer MIN — the bfsHops shape with a cost column
+      "q147_shortest_paths",
+      // snapshot diff: two partial aggregations + one customer-keyed
+      // full outer join of the partials
+      "q148_snapshot_diff")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -332,7 +338,7 @@ object ScalingProbe {
       "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals",
       "q140_ewma", "q141_unigram_train", "q142_unigram_encode",
       "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em",
-      "q146_centroid_classify")
+      "q146_centroid_classify", "q147_shortest_paths")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
