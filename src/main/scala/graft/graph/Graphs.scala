@@ -530,6 +530,48 @@ object Graphs {
     dist.select(col("v"), col("hop").as("hops"))
   }
 
+  /** Newman modularity Q of a vertex partition over the SIMPLE undirected
+    * graph (Newman & Girvan, "Finding and evaluating community structure
+    * in networks", PRE 2004): Q = Σ_c [e_c/m − (d_c/2m)²] with e_c the
+    * intra-community edge count, d_c the community degree sum, m the edge
+    * count — the quality metric that closes the loop on Label Propagation
+    * (a partition without a score is not an evaluation).
+    *
+    * All-integer until ONE division: Q = Σ_c (4·m·e_c − d_c²) / (4m²),
+    * accumulated in exact DECIMAL(38,0) (the q113 moment ladder), so the
+    * 8-dp result is bit-portable. Shape: one distinct + two label joins +
+    * three grouped counts — every stage key-partitioned, the final frame
+    * 1-row. Output: (m_edges, n_communities, modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(eager = true)
+    val la = labels.select(col("v").as("a"), col("label").as("la"))
+    val lb = labels.select(col("v").as("b"), col("label").as("lb"))
+    val intra = und.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val dcs = deg.join(labels, "v").groupBy(col("label")).agg(sum(col("deg")).as("dcs"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val terms = dcs.join(intra, Seq("label"), "left")
+      .select(col("label"), coalesce(col("ec"), lit(0L)).as("ec"), col("dcs"))
+      .crossJoin(m)
+      .select((lit(4L).cast(dec) * col("m").cast(dec) * col("ec").cast(dec) -
+        col("dcs").cast(dec) * col("dcs").cast(dec)).as("num"))
+    val ncomm = dcs.agg(count(lit(1)).as("n_communities"))
+    terms.agg(sum(col("num")).as("num"))
+      .crossJoin(m).crossJoin(ncomm)
+      .select(col("m").as("m_edges"), col("n_communities"),
+        round(col("num").cast(DoubleType) /
+          (lit(4L).cast(dec) * col("m").cast(dec) * col("m").cast(dec)).cast(DoubleType),
+          8).as("modularity"))
+  }
+
   /** Bounded-hop single-source (multi-seed) shortest paths over a weighted
     * undirected graph — Bellman–Ford by synchronous rounds: round r relaxes
     * every edge from the current distance table and folds with a grouped

@@ -501,6 +501,46 @@ object Graph {
           .select(col("v").as("term"), col("cost"), col("hops"))
       },
       oracle = Some(shortestPathsSql(6)),
+      bench = true),
+
+    // Newman modularity of the q26 LPA partition over the same simple
+    // co-occurrence graph — the metric row that makes community detection
+    // an EVALUATED result (a dense corpus graph collapsing to few
+    // communities scores near 0, exactly what Q is supposed to report;
+    // GraphsSpec carries the structural two-cluster validation). Integer
+    // arithmetic through DECIMAL(38,0) until one final division.
+    QueryDef("q149_modularity",
+      (s, dir) => {
+        val cooc = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+        Graphs.modularity(cooc.select(col("src"), col("dst")),
+          Graphs.labelPropagation(cooc, iterations = 5))
+      },
+      oracle = Some(lpaSql(5) + """,
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM cooc WHERE src <> dst),
+        lab AS MATERIALIZED (SELECT term AS v, label FROM result),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        intra AS (
+          SELECT la.label, COUNT(*) AS ec
+          FROM und JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b
+          WHERE la.label = lb.label GROUP BY 1),
+        deg AS (
+          SELECT v, COUNT(*) AS deg
+          FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
+        dcs AS MATERIALIZED (
+          SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS dcs
+          FROM deg d JOIN lab l ON l.v = d.v GROUP BY 1),
+        terms AS (
+          SELECT CAST(4 AS DECIMAL(38,0)) * (SELECT m FROM mm) * COALESCE(i.ec, 0)
+               - CAST(d.dcs AS DECIMAL(38,0)) * CAST(d.dcs AS DECIMAL(38,0)) AS num
+          FROM dcs d LEFT JOIN intra i ON d.label = i.label)
+        SELECT (SELECT m FROM mm) AS m_edges,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dcs) AS n_communities,
+          round(CAST(SUM(num) AS DOUBLE) /
+            CAST(CAST(4 AS DECIMAL(38,0)) * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE),
+            8) AS modularity
+        FROM terms"""),
       bench = true)
   )
 

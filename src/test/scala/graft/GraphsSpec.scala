@@ -262,6 +262,29 @@ class GraphsSpec extends SparkSpec {
     assert(!short.contains("z"))
   }
 
+  test("modularity: two clear clusters score high, one-community scores zero") {
+    // two triangles joined by one bridge edge — the textbook 2-community graph
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")).toDF("src", "dst")
+    val goodLabels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("v", "label")
+    val good = Graphs.modularity(edges, goodLabels).collect().head
+    assert(good.getAs[Long]("m_edges") == 7L)
+    assert(good.getAs[Long]("n_communities") == 2L)
+    // Q = Σ(4·7·e_c − d_c²)/(4·49): e=3 each, d = 7 both → (84−49)·2/196 = 0.35714286
+    assert(good.getAs[Double]("modularity") == 0.35714286, good.toString)
+    // everything in one community: Q = (4m·m − (2m)²)/(4m²) = 0 exactly
+    val one = Graphs.modularity(edges,
+      edges.select(explode(array($"src", $"dst")).as("v")).distinct()
+        .select($"v", lit("X").as("label"))).collect().head
+    assert(one.getAs[Double]("modularity") == 0.0, one.toString)
+    // a bad partition (cut through the triangles) scores below the good one
+    val badLabels = Seq("a1" -> "A", "b1" -> "A", "a2" -> "B", "b2" -> "B",
+      "a3" -> "B", "b3" -> "B").toDF("v", "label")
+    val bad = Graphs.modularity(edges, badLabels).collect().head
+    assert(bad.getAs[Double]("modularity") < good.getAs[Double]("modularity"))
+  }
+
   test("hits: bipartite hubs/authorities, L1 sums, zero sides") {
     // 2 hubs → 3 authorities; a1 is cited by both hubs, a2/a3 by one each.
     val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"))
