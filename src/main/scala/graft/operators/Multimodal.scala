@@ -415,7 +415,9 @@ object Multimodal {
     * 13-bin |amplitude| histogram], amplitudes normalized to [0,1] over all
     * interleaved samples. Chunks are word-aligned per RIFF; anything not
     * 16-bit integer PCM returns None and falls back. */
-  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** WAV (RIFF/PCM16) header parse shared by the time-domain features and
+    * the spectral path: (channels, rate, data offset, sample count). */
+  private[graft] def wavPcm(content: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
       ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
@@ -440,7 +442,14 @@ object Multimodal {
       pos += 8 + len.toInt + (len.toInt & 1) // word alignment
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
-    val n = dataLen / 2
+    Some((channels, rate, dataOff, dataLen / 2))
+  }
+
+  private[graft] def decodeWav(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val (channels, rate, dataOff, n) = wavPcm(content) match {
+      case Some(t) => t
+      case None => return None
+    }
     val feats = new Array[Float](16)
     var sumSq = 0.0; var sumAbs = 0.0; var zc = 0; var prevSign = 0
     var i = 0
@@ -501,6 +510,121 @@ object Multimodal {
         (r.media_id, f, r.content.slice(off, math.min(off + stride, r.content.length)))
       }
     }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (the textbook
+    * bit-reversal + butterfly form; Cooley & Tukey, Math. Comp. 1965).
+    * `re`/`im` length must be a power of two. JDK-only — the audio
+    * spectral path needs no native DSP library. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT length must be a power of 2, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Frequency-domain WAV features over the first power-of-2 window
+    * (≤ 4096 samples, channel-0, Hann-windowed): peak frequency, spectral
+    * centroid, 85% rolloff, and bandwidth (centroid-weighted stddev) in
+    * Hz — the audio-quality/content signals (tone vs noise vs speech-ish)
+    * a 100 TB audio curation pass bins on. Per-record row-local work on
+    * a ≤ 4096-point FFT; non-WAV or too-short payloads are dropped (None),
+    * the decode posture. */
+  private[graft] def wavSpectral(content: Array[Byte]): Option[(Int, Int, Double, Double, Double, Double)] = {
+    val (channels, rate, dataOff, nTotal) = wavPcm(content) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val frames = nTotal / channels
+    if (frames < 64) return None
+    var n = 64
+    while (n * 2 <= math.min(frames, 4096)) n *= 2
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val o = dataOff + 2 * i * channels // channel 0 of frame i
+      val s = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort.toInt / 32768.0
+      // Hann window kills the rectangular window's spectral leakage
+      val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1)))
+      re(i) = s * w
+      i += 1
+    }
+    fft(re, im)
+    val half = n / 2
+    val mag = new Array[Double](half)
+    var total = 0.0
+    var peakK = 0
+    var k = 0
+    while (k < half) {
+      mag(k) = math.sqrt(re(k) * re(k) + im(k) * im(k))
+      total += mag(k)
+      if (mag(k) > mag(peakK)) peakK = k
+      k += 1
+    }
+    if (total <= 0.0) return None
+    val hzPerBin = rate.toDouble / n
+    var cSum = 0.0
+    k = 0
+    while (k < half) { cSum += k * mag(k); k += 1 }
+    val centroidBin = cSum / total
+    var vSum = 0.0
+    k = 0
+    while (k < half) { vSum += (k - centroidBin) * (k - centroidBin) * mag(k); k += 1 }
+    val bandwidthBin = math.sqrt(vSum / total)
+    // 85% rolloff: smallest bin whose cumulative magnitude reaches 85%
+    var acc = 0.0; var roll = half - 1; var found = false
+    k = 0
+    while (k < half && !found) {
+      acc += mag(k)
+      if (acc >= 0.85 * total) { roll = k; found = true }
+      k += 1
+    }
+    Some((rate, n, peakK * hzPerBin, centroidBin * hzPerBin,
+      roll * hzPerBin, bandwidthBin * hzPerBin))
+  }
+
+  /** Batch spectral extraction: (media_id, rate, n_fft, peak_hz,
+    * centroid_hz, rolloff_hz, bandwidth_hz); non-audio records drop. */
+  def audioSpectral(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      wavSpectral(r.content).map { case (rate, n, peak, cent, roll, bw) =>
+        (r.media_id, rate, n, peak, cent, roll, bw)
+      }
+    }.toDF("media_id", "rate", "n_fft", "peak_hz", "centroid_hz", "rolloff_hz", "bandwidth_hz")
   }
 
   /** Raster dispatch for the library-free image formats: (w, h, rgb accessor)

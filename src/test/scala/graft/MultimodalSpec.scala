@@ -261,6 +261,61 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.features.length == 16)
   }
 
+  /** Mono 16-bit PCM WAV from a sample generator. */
+  private def wav(rate: Int, n: Int)(sample: Int => Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    for (i <- 0 until n)
+      bb.putShort(math.max(-32768, math.min(32767, math.round(sample(i) * 32767).toInt)).toShort)
+    bb.array()
+  }
+
+  test("FFT spectral features find the tone: a 440 Hz sine peaks at 440 Hz") {
+    val rate = 8000
+    val tone = wav(rate, 4096)(i => 0.8 * math.sin(2.0 * math.Pi * 440.0 * i / rate))
+    val noiseless = Multimodal.audioSpectral(
+      Seq(MediaRecord(30L, "audio", tone, Map.empty[String, String])).toDS())
+      .as[(Long, Int, Int, Double, Double, Double, Double)].collect().head
+    val (_, r, nFft, peak, centroid, rolloff, bandwidth) = noiseless
+    assert(r == rate && nFft == 4096)
+    val binHz = rate.toDouble / nFft // ~1.95 Hz
+    assert(math.abs(peak - 440.0) <= binHz, s"peak $peak")
+    // the Hann-windowed tone concentrates its mass at the peak: centroid
+    // lands within a few bins, bandwidth stays narrow, rolloff at the tone
+    assert(math.abs(centroid - 440.0) < 25.0, s"centroid $centroid")
+    assert(math.abs(rolloff - 440.0) <= 2 * binHz, s"rolloff $rolloff")
+    assert(bandwidth < 100.0, s"bandwidth $bandwidth")
+    // a higher tone moves every spectral statistic up
+    val high = wav(rate, 4096)(i => 0.8 * math.sin(2.0 * math.Pi * 2000.0 * i / rate))
+    val h = Multimodal.audioSpectral(
+      Seq(MediaRecord(31L, "audio", high, Map.empty[String, String])).toDS())
+      .as[(Long, Int, Int, Double, Double, Double, Double)].collect().head
+    assert(math.abs(h._4 - 2000.0) <= binHz && h._5 > centroid)
+    // non-WAV payloads drop instead of failing the scan
+    assert(Multimodal.audioSpectral(
+      Seq(MediaRecord(32L, "audio", Array[Byte](1, 2, 3), Map.empty[String, String])).toDS())
+      .count() == 0L)
+  }
+
+  test("fft agrees with the DFT definition on a small vector") {
+    val re = Array(1.0, 2.0, 3.0, 4.0, 0.0, -1.0, -2.0, 1.5)
+    val im = Array.fill(8)(0.0)
+    val (r2, i2) = (re.clone(), im.clone())
+    Multimodal.fft(r2, i2)
+    for (k <- 0 until 8) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until 8) {
+        val ang = -2.0 * math.Pi * k * t / 8
+        dr += re(t) * math.cos(ang); di += re(t) * math.sin(ang)
+      }
+      assert(math.abs(r2(k) - dr) < 1e-9 && math.abs(i2(k) - di) < 1e-9,
+        s"bin $k: (${r2(k)}, ${i2(k)}) vs ($dr, $di)")
+    }
+  }
+
   test("frame sampling is a 1-row → N-rows generator over the payload") {
     val frames = Multimodal.sampleFrames(records, stride = 2)
       .as[(Long, Int, Array[Byte])].collect()
