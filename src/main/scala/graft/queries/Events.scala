@@ -824,6 +824,113 @@ object Events {
           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
           MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    // Per-type linear trend of the hourly event-rate series: closed-form
+    // least squares over (hour index, count) — slope and intercept from
+    // the FIVE integer sufficient statistics (n, Σx, Σy, Σxy, Σx²), so
+    // the whole regression is two exact integer aggregates and two final
+    // divisions (DECIMAL(38,0) numerators, the q113 moment ladder). The
+    // trend-detection primitive a metrics mart runs per series; one
+    // type-keyed shuffle, map-side combined.
+    QueryDef("q150_trend_slopes",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = Tables(s, dir, "events")
+        val lo = e.agg(min(epochTrunc("hour", col("ts"))).as("lo"))
+        val hourly = e.groupBy(col("event_type"), epochTrunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("y"))
+          .crossJoin(broadcast(lo))
+          .select(col("event_type"), ((col("h") - col("lo")) / lit(3600L)).cast(LongType).as("x"),
+            col("y"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            round((col("n").cast(dec) * col("sxy").cast(dec) -
+              col("sx").cast(dec) * col("sy").cast(dec)).cast(DoubleType) /
+              (col("n").cast(dec) * col("sxx").cast(dec) -
+                col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType), 8).as("slope"),
+            round((col("sy").cast(dec) * col("sxx").cast(dec) -
+              col("sx").cast(dec) * col("sxy").cast(dec)).cast(DoubleType) /
+              (col("n").cast(dec) * col("sxx").cast(dec) -
+                col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType), 8).as("intercept"))
+      },
+      oracle = Some("""
+        WITH lo AS (SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo FROM events),
+        hourly AS (
+          SELECT event_type,
+            (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - (SELECT lo FROM lo)) // 3600 AS x,
+            COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+            CAST(SUM(x*x) AS BIGINT) AS sxx
+          FROM hourly GROUP BY 1)
+        SELECT event_type, n,
+          round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) /
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 8) AS slope,
+          round(CAST(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE) /
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 8) AS intercept
+        FROM st"""),
+      bench = true),
+
+    // Two-cohort conversion chi-square (the 2×2 contingency A/B primitive,
+    // Pearson 1900): did odd-user_id users purchase at a different rate
+    // than even ones? Conversion = a purchase above 180 (the whale
+    // threshold keeps all four contingency cells populated — plain
+    // "any purchase" saturates at this corpus's event density).
+    // χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — a
+    // single rational expression over FOUR integer cells, computed in
+    // DECIMAL(38,0) with one final division, plus the fixed-threshold
+    // decision at 3.841 (α = 0.05, df = 1). One grouped pass over users.
+    QueryDef("q151_chi_square",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val users = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > lit(180.0d), 1L)
+            .otherwise(0L)).as("converted"))
+          .select((col("user_id") % 2 === 1).as("cohort_a"), col("converted"))
+        val cells = users.agg(
+          sum(when(col("cohort_a") && col("converted") === 1L, 1L).otherwise(0L)).as("a"),
+          sum(when(col("cohort_a") && col("converted") === 0L, 1L).otherwise(0L)).as("b"),
+          sum(when(!col("cohort_a") && col("converted") === 1L, 1L).otherwise(0L)).as("c"),
+          sum(when(!col("cohort_a") && col("converted") === 0L, 1L).otherwise(0L)).as("d"))
+        cells.select(col("a"), col("b"), col("c"), col("d"),
+          round(((col("a") + col("b") + col("c") + col("d")).cast(dec) *
+            (col("a").cast(dec) * col("d").cast(dec) - col("b").cast(dec) * col("c").cast(dec)) *
+            (col("a").cast(dec) * col("d").cast(dec) - col("b").cast(dec) * col("c").cast(dec)))
+            .cast(DoubleType) /
+            ((col("a") + col("b")).cast(dec) * (col("c") + col("d")).cast(dec) *
+              (col("a") + col("c")).cast(dec) * (col("b") + col("d")).cast(dec)).cast(DoubleType),
+            8).as("chi2"))
+          .withColumn("significant_05", col("chi2") > lit(3.841d))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id % 2 = 1 AS cohort_a,
+            MAX(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id),
+        cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN cohort_a AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN cohort_a AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN NOT cohort_a AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN NOT cohort_a AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM u)
+        SELECT a, b, c, d,
+          round(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) *
+              (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+              (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE) /
+            CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DOUBLE), 8) AS chi2,
+          round(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) *
+              (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+              (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE) /
+            CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DOUBLE), 8)
+            > 3.841 AS significant_05
+        FROM cells"""),
       bench = true)
   )
 
