@@ -312,7 +312,12 @@ object ScalingProbe {
       "q147_shortest_paths",
       // snapshot diff: two partial aggregations + one customer-keyed
       // full outer join of the partials
-      "q148_snapshot_diff")
+      "q148_snapshot_diff",
+      // modularity: one distinct + two label joins + three grouped counts
+      "q149_modularity",
+      // trend slopes / chi-square: one (or two) grouped integer-sufficient-
+      // statistic passes — pure scan shapes
+      "q150_trend_slopes", "q151_chi_square")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -338,7 +343,8 @@ object ScalingProbe {
       "q137_kmv_setops", "q138_textrank", "q139_scd2_intervals",
       "q140_ewma", "q141_unigram_train", "q142_unigram_encode",
       "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em",
-      "q146_centroid_classify", "q147_shortest_paths")
+      "q146_centroid_classify", "q147_shortest_paths", "q149_modularity",
+      "q150_trend_slopes", "q151_chi_square")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
