@@ -2143,6 +2143,31 @@ object Curation {
         FROM trh GROUP BY doc_id"""),
       bench = true), // zero-shuffle probe side in the headline run
 
+    // Set-similarity join by PREFIX FILTERING (ICDE'06 / PPJoin) — the
+    // third lossless blocking scheme beside q33's df-capped inverted index
+    // and q34's banding. The ORACLE generates candidates the exhaustive
+    // way (every shared-shingle pair, no prefix anywhere), so a green row
+    // PROVES the prefix+length pruning drops no qualifying pair — the
+    // q35/q55 proven-lossless pattern. Rare-first ordering pushes
+    // boilerplate shingles out of prefixes, which is why this operator
+    // needs no density cap where q33 does.
+    QueryDef("q152_prefix_jaccard",
+      (s, dir) => Dedup.prefixJaccardPairs(docs(s, dir), n = 3, threshold = 0.3),
+      oracle = Some(s"""$shCte,
+        csizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.block = b.block AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+          CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN csizes sa ON sa.doc_id = doc_a
+        JOIN csizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3"""),
+      bench = true),
+
     // DSIR importance weights (Xie et al., NeurIPS 2023): every doc scored
     // by how target-like (here: lang = 'en') its hashed unigram+bigram
     // distribution is — log w = Σ_b n_b·(ln p_tgt(b) − ln p_raw(b)) over

@@ -109,4 +109,50 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"), phys.take(2000))
     assert(!phys.contains("Window"), phys.take(2000))
   }
+
+  test("q135/q136 DSIR scoring joins the broadcast bucket models, no Window") {
+    // the λ model is B = 1024 rows by construction: a sort-merge regression
+    // would shuffle the corpus-sized feature frame on the bucket key; the
+    // resample must stay the bounded heap, never a global-order rank
+    for (q <- Seq("q135_dsir_weights", "q136_dsir_resample")) {
+      val phys = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }
+      assert(phys.contains("BroadcastHashJoin"), s"$q\n" + phys.take(2000))
+      assert(!phys.contains("Window"), s"$q\n" + phys.take(2000))
+    }
+  }
+
+  test("q146 centroid classifier broadcasts the label centroids") {
+    // |labels| rows against the test scan: a shuffle join would exchange
+    // every test vector for an 8-row dimension table
+    val phys = Caching.scoped {
+      SparkEntry.queries("q146_centroid_classify")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastExchange"),
+      phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+  }
+
+  test("q140 EWMA joins the broadcast weight table and has no Window") {
+    // the 24-row offset/weight table must broadcast; the whole point of the
+    // join formulation is NO window function over the series
+    val phys = Caching.scoped {
+      SparkEntry.queries("q140_ewma")(spark, dir).queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"),
+      phys.take(2000))
+    assert(!phys.contains("Window"), phys.take(2000))
+  }
+
+  test("q143 basket rules: row-local pairs, broadcast singles, no self-join of items") {
+    val phys = Caching.scoped {
+      SparkEntry.queries("q143_basket_rules")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+    assert(!phys.contains("SortMergeJoin"), phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+  }
 }

@@ -143,6 +143,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(both == Set((1L, 2L)))
   }
 
+
+  test("prefix filtering is lossless vs the exhaustive jaccard join") {
+    // a corpus with near-dups, an unrelated doc, and a pair whose ONLY
+    // shared shingles are corpus-common (rare-first prefixes prune their
+    // candidate) — the pruned pair is exactly one the threshold rejects
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (3L, "en", "the quick brown fox jumps over the lazy cat today"),
+      (4L, "en", "completely different content with no overlap at all whatsoever"),
+      (5L, "en", "the quick brown mouse sat under a red tree quietly"),
+      (6L, "en", "the quick brown stone lay beside a blue river calmly")
+    ).toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.2, 0.4, 0.6)) {
+      val exhaustive = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = t)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val prefixed = Dedup.prefixJaccardPairs(corpus, n = 3, threshold = t)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(prefixed == exhaustive, s"t=$t: $prefixed vs $exhaustive")
+    }
+  }
+
+  test("degenerate prefix threshold refused") {
+    intercept[IllegalArgumentException](
+      Dedup.prefixJaccardPairs(docs, threshold = 0.0))
+  }
+
   test("minhash portable mode finds the same pairs with md5-60 hashes") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, portable = true)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
