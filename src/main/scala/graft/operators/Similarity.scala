@@ -297,4 +297,56 @@ object Similarity {
       .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("rrf"),
         (col("i") + 1).cast(LongType).as("rk"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, "The use
+    * of MMR, diversity-based reranking...", SIGIR 1998): from each query's
+    * top-`n` candidate shortlist, greedily select `k` results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the diversity pass a retrieval
+    * stack runs AFTER ANN (q37/q62/q125 produce the shortlist; this
+    * operator trades pure relevance for coverage). Round 1 falls out of
+    * the same formula with an empty S (max-sim coalesces to 0), so every
+    * round is one shortlist⋈selected LEFT join + a grouped max + a
+    * per-query argmax — ALL frames are (|queries|·n)-bounded, never
+    * corpus-sized: the corpus appears only through the shortlist.
+    *
+    * Determinism: the shared 6-dp cosine ladder for both rel and
+    * pairwise sim; score = round(λ·rel − (1−λ)·maxsim, 8); ties to the
+    * smaller n_id. The oracle unrolls all k greedy rounds.
+    * Output: (q_id, n_id, mmr_rank 1..k, mmr_score). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    val vecs = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").cast("array<double>").as("v"))
+    var remaining = bruteTopKAgg(queries, corpus, n)
+      .select(col("q_id"), col("n_id"), col("sim").as("rel"))
+      .join(vecs, "n_id")
+      .localCheckpoint(eager = true)
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val withSim =
+        if (selected == null)
+          remaining.select(col("q_id"), col("n_id"), col("rel"), lit(0.0d).as("ms"))
+        else remaining
+          .join(selected.select(col("q_id"), col("v").as("sv")), Seq("q_id"), "left")
+          .select(col("q_id"), col("n_id"), col("rel"),
+            round(cosine(col("v"), col("sv")), 6).as("cs"))
+          .groupBy(col("q_id"), col("n_id"), col("rel"))
+          .agg(coalesce(max(col("cs")), lit(0.0d)).as("ms"))
+      val pick = withSim
+        .select(col("q_id"), col("n_id"), col("rel"),
+          round(lit(lambda) * col("rel") - lit(1.0d - lambda) * col("ms"), 8).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(r.toLong).as("mmr_rank"), col("score").as("mmr_score"))
+        .join(vecs, "n_id")
+        .localCheckpoint(eager = true)
+      selected = if (selected == null) pick else selected.union(pick).localCheckpoint(eager = true)
+      remaining = remaining.join(pick.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti").localCheckpoint(eager = true)
+    }
+    selected.select(col("q_id"), col("n_id"), col("mmr_rank"), col("mmr_score"))
+  }
 }

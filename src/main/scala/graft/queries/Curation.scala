@@ -2143,6 +2143,23 @@ object Curation {
         FROM trh GROUP BY doc_id"""),
       bench = true), // zero-shuffle probe side in the headline run
 
+    // MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998): each
+    // query's brute top-20 shortlist greedily re-ranked to 8 results by
+    // λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7) — the post-ANN pass
+    // that trades pure relevance for coverage. Every frame after the
+    // shortlist is (|queries|·20)-bounded; the oracle unrolls all 8
+    // greedy rounds with the shared 6-dp cosine ladder. The complement
+    // (1−λ) is DERIVED identically in both engines (1.0 − 0.7 in IEEE
+    // doubles — embedding a rounded 0.3 literal would hash-mismatch).
+    QueryDef("q153_mmr_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        graft.operators.Similarity.mmrRerank(
+          e.filter(col("vec_id") % 100 === 0), e, n = 20, k = 8, lambda = 0.7)
+      },
+      oracle = Some(mmrSql(n = 20, k = 8, lambda = "0.7")),
+      bench = true),
+
     // Set-similarity join by PREFIX FILTERING (ICDE'06 / PPJoin) — the
     // third lossless blocking scheme beside q33's df-capped inverted index
     // and q34's banding. The ORACLE generates candidates the exhaustive
@@ -2204,6 +2221,61 @@ object Curation {
         QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id ASC) <= 100"""),
       bench = true)
   )
+
+  /** Unrolled MMR oracle ([[graft.operators.Similarity.mmrRerank]]): the
+    * q37 brute-shortlist CTE (with candidate vectors), then k greedy
+    * rounds — per round a LEFT join against the selected set (empty at
+    * round 1 → max-sim coalesces to 0), the grouped max through the 6-dp
+    * cosine ladder, and the per-query (score DESC, n_id ASC) argmax. */
+  private def mmrSql(n: Int, k: Int, lambda: String): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oneMinus = s"(CAST(1 AS DOUBLE) - $lam)"
+    def cos(a: String, b: String) =
+      s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           THEN 0.0
+           ELSE list_dot_product($a, $b) /
+                (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)"""
+    val rounds = (1 to k).map { r =>
+      s"""ms$r AS (
+        SELECT c.q_id, c.n_id, c.rel,
+          COALESCE(MAX(${cos("c.v", "s.v")}), CAST(0.0 AS DOUBLE)) AS ms
+        FROM rem${r - 1} c LEFT JOIN sel${r - 1} s ON s.q_id = c.q_id
+        GROUP BY 1, 2, 3),
+      pk$r AS MATERIALIZED (
+        SELECT q_id, n_id, CAST($r AS BIGINT) AS mmr_rank,
+          round($lam * rel - $oneMinus * ms, 8) AS mmr_score
+        FROM ms$r
+        QUALIFY row_number() OVER (PARTITION BY q_id
+          ORDER BY round($lam * rel - $oneMinus * ms, 8) DESC, n_id ASC) = 1),
+      sel$r AS MATERIALIZED (
+        SELECT s.q_id, s.n_id, s.mmr_rank, s.mmr_score, s.v FROM sel${r - 1} s
+        UNION ALL
+        SELECT p.q_id, p.n_id, p.mmr_rank, p.mmr_score, e.e AS v
+        FROM pk$r p JOIN emb e ON e.vec_id = p.n_id),
+      rem$r AS MATERIALIZED (
+        SELECT r.q_id, r.n_id, r.rel, r.v
+        FROM rem${r - 1} r LEFT JOIN pk$r p ON p.q_id = r.q_id AND p.n_id = r.n_id
+        WHERE p.n_id IS NULL)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT * FROM emb WHERE vec_id % 100 = 0),
+      sims AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cos("q.e", "c.e")} AS sim
+        FROM q CROSS JOIN emb c WHERE q.vec_id <> c.vec_id),
+      cand AS MATERIALIZED (
+        SELECT s.q_id, s.n_id, s.sim AS rel, c.e AS v FROM (
+          SELECT q_id, n_id, sim,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+          FROM sims) s
+        JOIN emb c ON c.vec_id = s.n_id
+        WHERE s.rk <= $n),
+      rem0 AS (SELECT q_id, n_id, rel, v FROM cand),
+      sel0 AS (SELECT q_id, n_id, CAST(0 AS BIGINT) AS mmr_rank,
+                 CAST(0.0 AS DOUBLE) AS mmr_score, v FROM cand WHERE FALSE),
+      $rounds
+      SELECT q_id, n_id, mmr_rank, mmr_score FROM sel$k"""
+  }
 
   /** Shared DSIR oracle chain (q135/q136): mirrors [[graft.operators.Dsir]]
     * — row-local hashed unigram+bigram features (empty-token docs dropped,
