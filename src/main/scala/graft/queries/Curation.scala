@@ -1305,6 +1305,55 @@ object Curation {
         FROM feat, waf"""),
       bench = true),
 
+    // Calibration (reliability) bins of the q97 logistic filter — the
+    // evaluation a probability-emitting quality gate needs before its
+    // scores can be thresholded or mixed: per fixed-width score bin
+    // (floor(score·200), clamp 199 — 0.005-wide, fine enough to resolve
+    // this filter's tight score band; no global sort), the count, the mean
+    // predicted probability (exact DECIMAL over the 10-dp scores), and
+    // the ACTUAL positive rate (integer ratio). Deciles where mean_pred
+    // tracks actual_rate are where the filter's probabilities mean what
+    // they claim. One grouped pass downstream of the trained scorer.
+    QueryDef("q155_lr_calibration",
+      (s, dir) => {
+        val feats = lrFeatures(s, dir)
+        val w = graft.ml.Logistic.train(feats, lr = 1.0, iterations = 8)
+        graft.ml.Logistic.score(feats, w)
+          .join(feats.select(col("id"), col("y")), "id")
+          .select(least(floor(col("score") * lit(200.0d)).cast(org.apache.spark.sql.types.LongType),
+            lit(199L)).as("bin"), col("score"), col("y"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 10))), 8)
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_pred"),
+            sum(col("y").cast(org.apache.spark.sql.types.LongType)).as("n_pos"))
+          .select(col("bin"), col("n"),
+            round(col("sum_pred") / col("n").cast(org.apache.spark.sql.types.DoubleType), 8)
+              .as("mean_pred"),
+            round(col("n_pos").cast(org.apache.spark.sql.types.DoubleType) /
+              col("n").cast(org.apache.spark.sql.types.DoubleType), 8).as("actual_rate"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        ${lrCtes(4, "1.0", 8)},
+        waf AS (SELECT list(w ORDER BY pos) AS wv FROM w8),
+        scored AS (
+          SELECT f.id, round(1.0/(1.0 + exp(-round(list_dot_product(f.x, wv), 12))), 10) AS score,
+            f.y
+          FROM feat f, waf),
+        binned AS (
+          SELECT least(CAST(floor(score * CAST(200 AS DOUBLE)) AS BIGINT), 199) AS bin, score, y
+          FROM scored),
+        agg AS (
+          SELECT bin, COUNT(*) AS n,
+            CAST(round(SUM(CAST(score AS DECIMAL(30,10))), 8) AS DOUBLE) AS sum_pred,
+            CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+          FROM binned GROUP BY 1)
+        SELECT bin, n, round(sum_pred / CAST(n AS DOUBLE), 8) AS mean_pred,
+          round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 8) AS actual_rate
+        FROM agg"""),
+      bench = true),
+
     // Duplicate CLUSTERS from near-dup PAIRS: connected components (min-label
     // propagation, graft.graph.Graphs.connectedComponents) over the q33
     // capped-Jaccard pair graph; every doc gets the min doc_id of its

@@ -931,6 +931,66 @@ object Events {
             CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DOUBLE), 8)
             > 3.841 AS significant_05
         FROM cells"""),
+      bench = true),
+
+    // Population Stability Index (the standard model/data drift monitor;
+    // the discrete KL-symmetrization credit-scoring literature popularized):
+    // PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over 20 fixed-width value buckets,
+    // early window (< split) vs late window (≥ split). Fixed-width buckets
+    // — floor(value/10), clamped to [0, 19] — so NO global sort/quantile
+    // pass exists; add-one smoothing keeps empty buckets finite. Ratios of
+    // integers → 10-dp-rounded ln terms → exact DECIMAL fold: bit-portable.
+    QueryDef("q154_psi_drift",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("ts"), least(floor(col("value") / lit(10.0d)).cast(LongType), lit(19L))
+            .as("b"))
+        val early = e.filter(col("ts") < lit(splitDate).cast("timestamp"))
+          .groupBy(col("b")).agg(count(lit(1)).as("ce"))
+        val late = e.filter(col("ts") >= lit(splitDate).cast("timestamp"))
+          .groupBy(col("b")).agg(count(lit(1)).as("cl"))
+        val grid = s.range(0, 20).select(col("id").as("b"))
+        val cells = grid
+          .join(early, Seq("b"), "left").join(late, Seq("b"), "left")
+          .select(col("b"), coalesce(col("ce"), lit(0L)).as("ce"),
+            coalesce(col("cl"), lit(0L)).as("cl"))
+        val tot = cells.agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
+        val terms = cells.crossJoin(broadcast(tot))
+          .select(col("b"), col("ce"), col("cl"),
+            // p, q with add-one over the 20-bucket grid; the PSI term
+            // re-syncs at 10 dp before the exact fold
+            round((((col("ce") + 1).cast(DoubleType) / (col("ne") + 20).cast(DoubleType)) -
+              ((col("cl") + 1).cast(DoubleType) / (col("nl") + 20).cast(DoubleType))) *
+              round(log(((col("ce") + 1).cast(DoubleType) / (col("ne") + 20).cast(DoubleType)) /
+                ((col("cl") + 1).cast(DoubleType) / (col("nl") + 20).cast(DoubleType))), 10),
+              10).as("term"))
+        terms.agg(count(lit(1)).as("n_buckets"),
+          // round the EXACT decimal sum before the double cast (q145 lesson)
+          round(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(30, 10))), 8)
+            .cast(DoubleType).as("psi"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT ts, least(CAST(floor(value / CAST(10 AS DOUBLE)) AS BIGINT), 19) AS b
+          FROM events),
+        early AS (SELECT b, COUNT(*) AS ce FROM e WHERE ts < TIMESTAMP '$splitDate' GROUP BY 1),
+        late AS (SELECT b, COUNT(*) AS cl FROM e WHERE ts >= TIMESTAMP '$splitDate' GROUP BY 1),
+        grid AS (SELECT UNNEST(generate_series(0, 19)) AS b),
+        cells AS (
+          SELECT g.b, COALESCE(early.ce, 0) AS ce, COALESCE(late.cl, 0) AS cl
+          FROM grid g LEFT JOIN early ON early.b = g.b LEFT JOIN late ON late.b = g.b),
+        tot AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(cl) AS BIGINT) AS nl FROM cells),
+        terms AS (
+          SELECT round(
+            ((CAST(ce + 1 AS DOUBLE) / CAST(ne + 20 AS DOUBLE)) -
+             (CAST(cl + 1 AS DOUBLE) / CAST(nl + 20 AS DOUBLE))) *
+            round(ln((CAST(ce + 1 AS DOUBLE) / CAST(ne + 20 AS DOUBLE)) /
+                     (CAST(cl + 1 AS DOUBLE) / CAST(nl + 20 AS DOUBLE))), 10),
+            10) AS term
+          FROM cells CROSS JOIN tot)
+        SELECT COUNT(*) AS n_buckets,
+          CAST(round(SUM(CAST(term AS DECIMAL(30,10))), 8) AS DOUBLE) AS psi
+        FROM terms"""),
       bench = true)
   )
 
