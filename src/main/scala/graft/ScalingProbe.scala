@@ -322,7 +322,11 @@ object ScalingProbe {
       // copies of every doc make the OUTPUT pair set itself quadratic
       // (the q33/q36 contract); vocabgrow is the regime the prefix
       // bound actually addresses (disjoint vocab, linear)
-      "q152_prefix_jaccard")
+      "q152_prefix_jaccard",
+      // MMR: everything after the bounded-heap shortlist is (|q|·20)-bounded
+      "q153_mmr_rerank",
+      // PSI / calibration: fixed-grid grouped passes — pure scan shapes
+      "q154_psi_drift", "q155_lr_calibration")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -349,7 +353,8 @@ object ScalingProbe {
       "q140_ewma", "q141_unigram_train", "q142_unigram_encode",
       "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em",
       "q146_centroid_classify", "q147_shortest_paths", "q149_modularity",
-      "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard")
+      "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard",
+      "q154_psi_drift", "q155_lr_calibration")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
