@@ -232,6 +232,66 @@ object Graph {
         FROM deg LEFT JOIN pv ON deg.v = pv.v"""),
       bench = true),
 
+    // Local clustering coefficient — q104's triangle counts normalized to
+    // the classic cohesion ratio c_v = 2·t_v / (d_v·(d_v−1)) (Watts &
+    // Strogatz, Nature 1998): how close each term's neighborhood is to a
+    // clique. Integer counts → one ratio → 8 dp; degree-0/1 vertices
+    // score literal 0. Adds one degree count + a vertex-keyed join on top
+    // of the already-benched wedge machinery.
+    QueryDef("q156_clustering_coeff",
+      (s, dir) => {
+        val cooc = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .select(col("src"), col("dst"))
+        val und = cooc
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        deg.join(Graphs.triangleCounts(cooc), "v")
+          .select(col("v").as("term"), col("deg"), col("triangles"),
+            when(col("deg") < 2, lit(0.0d))
+              .otherwise(round((lit(2L) * col("triangles"))
+                  .cast(org.apache.spark.sql.types.DoubleType) /
+                (col("deg") * (col("deg") - lit(1L)))
+                  .cast(org.apache.spark.sql.types.DoubleType), 8))
+              .as("clustering"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT DISTINCT a.term AS src, b.term AS dst
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM cooc),
+        deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) ends GROUP BY 1),
+        ori AS (
+          SELECT
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN db.deg ELSE da.deg END AS dw
+          FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+        wed AS (
+          SELECT e1.u AS t1, e1.w AS t2, e2.w AS t3
+          FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND
+            (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+        tri AS (
+          SELECT t1, t2, t3 FROM wed JOIN ori ON wed.t2 = ori.u AND wed.t3 = ori.w),
+        pv AS (SELECT v, COUNT(*) AS tri FROM (
+          SELECT t1 AS v FROM tri UNION ALL
+          SELECT t2 AS v FROM tri UNION ALL
+          SELECT t3 AS v FROM tri) corners GROUP BY 1)
+        SELECT deg.v AS term, CAST(deg.deg AS BIGINT) AS deg,
+          CAST(COALESCE(pv.tri, 0) AS BIGINT) AS triangles,
+          CASE WHEN deg.deg < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(2 * COALESCE(pv.tri, 0) AS DOUBLE) /
+                       CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 8) END AS clustering
+        FROM deg LEFT JOIN pv ON deg.v = pv.v"""),
+      bench = true),
+
     // k-core of the thresholded co-occurrence network (k = 2, cnt ≥ 20):
     // parallel peeling until fixpoint, O(peel-depth) equi-shuffle rounds.
     // The corpus graph is too dense to cascade (every term survives), so

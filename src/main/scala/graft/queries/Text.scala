@@ -662,6 +662,84 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    // keyword extraction from individual documents", 2010): candidate
+    // phrases are maximal stopword-free token runs (gaps-and-islands over
+    // token positions — per-DOC windows, bounded); each word scores
+    // deg/freq (deg = Σ phrase length over its occurrences — favoring
+    // words that live in long phrases), each phrase the sum of its word
+    // scores; top 15 phrases. Integer stats → one ratio per word → exact
+    // DECIMAL phrase fold, decimal-rounded before the double cast.
+    QueryDef("q157_rake_keyphrases",
+      (s, dir) => {
+        val stop = graft.operators.TextStats.stopwords
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(graft.functions.Exprs.tokens(col("text")))
+            .as(Seq("pos", "term")))
+          .select(col("doc_id"), col("pos"), col("term"),
+            col("term").isInCollection(stop).cast("long").as("is_stop"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grouped = base
+          .withColumn("grp", sum(col("is_stop")).over(w))
+          .filter(col("is_stop") === 0L)
+        val ph = grouped.groupBy(col("doc_id"), col("grp"))
+          .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")), " ").as("phrase"),
+            count(lit(1)).as("len"))
+        val wo = grouped.select(col("doc_id"), col("grp"), col("term"))
+          .join(ph, Seq("doc_id", "grp"))
+        val wscore = wo.groupBy(col("term"))
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+          .select(col("term"),
+            round(col("deg").cast(org.apache.spark.sql.types.DoubleType) /
+              col("freq").cast(org.apache.spark.sql.types.DoubleType), 8).as("ws"))
+        wo.join(wscore, "term")
+          .groupBy(col("doc_id"), col("grp"), col("phrase"))
+          .agg(round(sum(col("ws").cast(org.apache.spark.sql.types.DecimalType(30, 8))), 6)
+            .cast(org.apache.spark.sql.types.DoubleType).as("pscore"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occurrences"), max(col("pscore")).as("score"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(15)
+      },
+      oracle = Some {
+        val stopList = graft.operators.TextStats.stopwords.map(x => s"'$x'").mkString(", ")
+        s"""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS term,
+            CASE WHEN tk[i] IN ($stopList) THEN 1 ELSE 0 END AS is_stop
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS i FROM seq) g),
+        grouped AS (
+          SELECT doc_id, pos, term,
+            SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM base QUALIFY is_stop = 0),
+        ph AS MATERIALIZED (
+          SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos) AS phrase,
+            COUNT(*) AS len
+          FROM grouped GROUP BY 1, 2),
+        wo AS MATERIALIZED (
+          SELECT g.doc_id, g.grp, g.term, p.phrase, p.len
+          FROM grouped g JOIN ph p ON p.doc_id = g.doc_id AND p.grp = g.grp),
+        wscore AS (
+          SELECT term, round(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) AS ws
+          FROM wo GROUP BY 1),
+        pscores AS (
+          SELECT wo.doc_id, wo.grp, wo.phrase,
+            CAST(round(SUM(CAST(s.ws AS DECIMAL(30,8))), 6) AS DOUBLE) AS pscore
+          FROM wo JOIN wscore s ON s.term = wo.term
+          GROUP BY 1, 2, 3)
+        SELECT phrase, COUNT(*) AS n_occurrences, MAX(pscore) AS score
+        FROM pscores GROUP BY 1
+        ORDER BY score DESC, phrase ASC LIMIT 15"""
+      },
+      bench = true),
+
     // Unigram-LM subword tokenizer (Kudo, ACL 2018 — the SentencePiece
     // algorithm's E/M core) trained by hard EM over the corpus word table:
     // the trained model row — every seed substring piece with its final
