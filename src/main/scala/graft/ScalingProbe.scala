@@ -326,7 +326,10 @@ object ScalingProbe {
       // MMR: everything after the bounded-heap shortlist is (|q|·20)-bounded
       "q153_mmr_rerank",
       // PSI / calibration: fixed-grid grouped passes — pure scan shapes
-      "q154_psi_drift", "q155_lr_calibration")
+      "q154_psi_drift", "q155_lr_calibration",
+      // clustering coefficient: the q104 wedge machinery + a degree join;
+      // RAKE: per-doc bounded windows + two Heaps-bounded grouped passes
+      "q156_clustering_coeff", "q157_rake_keyphrases")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -354,7 +357,8 @@ object ScalingProbe {
       "q143_basket_rules", "q144_incremental_agg", "q145_unigram_em",
       "q146_centroid_classify", "q147_shortest_paths", "q149_modularity",
       "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard",
-      "q154_psi_drift", "q155_lr_calibration")
+      "q154_psi_drift", "q155_lr_calibration", "q156_clustering_coeff",
+      "q157_rake_keyphrases")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
