@@ -991,6 +991,48 @@ object Events {
         SELECT COUNT(*) AS n_buckets,
           CAST(round(SUM(CAST(term AS DECIMAL(30,10))), 8) AS DOUBLE) AS psi
         FROM terms"""),
+      bench = true),
+
+    // Inter-arrival burstiness per user: the coefficient of variation of
+    // event gaps (CV = 1 for Poisson arrivals, > 1 bursty, < 1 regular —
+    // Goh & Barabási's burstiness setting). Gaps come from a per-USER
+    // ordered lag (calendar-bounded partitions); the CV computes from the
+    // three INTEGER moments (n, Σg, Σg²) in DECIMAL(38,0) — population
+    // variance n·Σg² − (Σg)² — with one sqrt+division at the end, so the
+    // stat is bit-portable. Users with < 2 gaps or all-zero gaps drop.
+    QueryDef("q158_burstiness",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        val gaps = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), epochTrunc("second", col("ts")).as("sec"))
+          .withColumn("g", col("sec") - lag(col("sec"), 1).over(w))
+          .filter(col("g").isNotNull)
+        gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+            sum(col("g") * col("g")).as("sgg"))
+          .filter(col("n") >= 2 && col("sg") > 0)
+          .select(col("user_id"), col("n"),
+            round(sqrt((col("n").cast(dec) * col("sgg").cast(dec) -
+              col("sg").cast(dec) * col("sg").cast(dec)).cast(DoubleType)) /
+              col("sg").cast(DoubleType), 8).as("cv"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+              lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS gap
+          FROM events),
+        m AS (
+          SELECT user_id, COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS sg,
+            CAST(SUM(gap*gap) AS BIGINT) AS sgg
+          FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, n,
+          round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sgg
+            - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) / CAST(sg AS DOUBLE), 8) AS cv
+        FROM m WHERE n >= 2 AND sg > 0"""),
       bench = true)
   )
 

@@ -662,6 +662,63 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // Zipf's-law fit of the term-frequency distribution: ln f regressed on
+    // ln rank (the log-log slope a natural corpus sits near −1; synthetic
+    // or templated corpora deviate — a corpus-forensics signal). The
+    // frequency rank is TWO-PHASE like the A4 vocab build: per-frequency
+    // windows + a distinct-frequency offset frame, so no vocabulary-sized
+    // single partition exists; the regression is the q150 closed form over
+    // 10-dp ln points with exact DECIMAL sufficient statistics.
+    QueryDef("q159_zipf_fit",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+        val tf = toks(s, dir).groupBy(col("term")).agg(count(lit(1)).as("f"))
+        val rn = tf.withColumn("rn", row_number().over(
+          Window.partitionBy(col("f")).orderBy(col("term"))).cast(LongType))
+        val offs = tf.groupBy(col("f")).agg(count(lit(1)).as("c"))
+          .withColumn("off",
+            (sum(col("c")).over(Window.orderBy(col("f").desc)) - col("c")).cast(LongType))
+          .select(col("f"), col("off"))
+        val pts = rn.join(broadcast(offs), "f")
+          .select(round(log((col("off") + col("rn")).cast(DoubleType)), 10).as("x"),
+            round(log(col("f").cast(DoubleType)), 10).as("y"))
+        val st = pts.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(30, 10))).cast(DoubleType).as("sx"),
+          sum(col("y").cast(DecimalType(30, 10))).cast(DoubleType).as("sy"),
+          sum(round(col("x") * col("y"), 10).cast(DecimalType(30, 10))).cast(DoubleType).as("sxy"),
+          sum(round(col("x") * col("x"), 10).cast(DecimalType(30, 10))).cast(DoubleType).as("sxx"))
+        st.select(col("n"),
+          round((col("n").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast(DoubleType) * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n").cast(DoubleType) * col("sxx") - col("sx") * col("sx")), 6).as("intercept"))
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        tf AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY 1),
+        rn AS (SELECT term, f,
+          CAST(row_number() OVER (PARTITION BY f ORDER BY term) AS BIGINT) AS rn FROM tf),
+        offs AS (SELECT f, CAST(SUM(c) OVER (ORDER BY f DESC) - c AS BIGINT) AS off
+                 FROM (SELECT f, COUNT(*) AS c FROM tf GROUP BY 1) z),
+        pts AS (
+          SELECT round(ln(CAST(o.off + r.rn AS DOUBLE)), 10) AS x,
+            round(ln(CAST(r.f AS DOUBLE)), 10) AS y
+          FROM rn r JOIN offs o ON r.f = o.f),
+        st AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(round(x*y, 10) AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(round(x*x, 10) AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+          FROM pts)
+        SELECT n,
+          round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+          round((sy * sxx - sx * sxy) /
+                (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS intercept
+        FROM st"""),
+      bench = true),
+
     // RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley, "Automatic
     // keyword extraction from individual documents", 2010): candidate
     // phrases are maximal stopword-free token runs (gaps-and-islands over
