@@ -329,7 +329,10 @@ object ScalingProbe {
       "q154_psi_drift", "q155_lr_calibration",
       // clustering coefficient: the q104 wedge machinery + a degree join;
       // RAKE: per-doc bounded windows + two Heaps-bounded grouped passes
-      "q156_clustering_coeff", "q157_rake_keyphrases")
+      "q156_clustering_coeff", "q157_rake_keyphrases",
+      // burstiness: per-user windows + integer moments; zipf: Heaps-bounded
+      // frequency table + the two-phase rank + a 1-row regression
+      "q158_burstiness", "q159_zipf_fit")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -358,7 +361,7 @@ object ScalingProbe {
       "q146_centroid_classify", "q147_shortest_paths", "q149_modularity",
       "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard",
       "q154_psi_drift", "q155_lr_calibration", "q156_clustering_coeff",
-      "q157_rake_keyphrases")
+      "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
