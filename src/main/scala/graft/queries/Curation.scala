@@ -1305,6 +1305,54 @@ object Curation {
         FROM feat, waf"""),
       bench = true),
 
+    // Language-ID confusion matrix — the evaluation row the q39 detector
+    // was missing (a classifier without its confusion surface is not an
+    // evaluated classifier; the NB family has q65, kNN has q29 — this
+    // closes the lang-ID family the same way): predicted × actual counts
+    // plus per-cell rate within the actual class. One join + one grouped
+    // count; all integers until one ratio.
+    QueryDef("q160_langid_confusion",
+      (s, dir) => {
+        val pred = graft.operators.TextStats.languageId(docs(s, dir))
+          .select(col("doc_id"), col("pred_lang"))
+        val truth = docs(s, dir).select(col("doc_id"), col("lang"))
+        val cells = pred.join(truth, "doc_id")
+          .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        val rowTot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+        cells.join(rowTot, "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast(org.apache.spark.sql.types.DoubleType) /
+              col("n_actual").cast(org.apache.spark.sql.types.DoubleType), 8).as("rate"))
+      },
+      oracle = Some {
+        val scoreCols = TextStats.langMarkers.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"CAST(SUM(CASE WHEN term IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+        }.mkString(",\n          ")
+        val bestExpr = TextStats.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val predExpr = TextStats.langMarkers.map { case (l, _) =>
+          s"WHEN s_$l = best AND best > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""
+        WITH ${Text.toksCte},
+        scored AS (
+          SELECT doc_id,
+          $scoreCols
+          FROM toks GROUP BY 1),
+        pred AS (
+          SELECT doc_id, $predExpr AS pred_lang
+          FROM (SELECT *, $bestExpr AS best FROM scored) b),
+        cells AS (
+          SELECT d.lang, p.pred_lang, COUNT(*) AS n
+          FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+          GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1)
+        SELECT c.lang, c.pred_lang, c.n,
+          round(CAST(c.n AS DOUBLE) / CAST(rt.n_actual AS DOUBLE), 8) AS rate
+        FROM cells c JOIN rt ON rt.lang = c.lang"""
+      },
+      bench = true),
+
     // Calibration (reliability) bins of the q97 logistic filter — the
     // evaluation a probability-emitting quality gate needs before its
     // scores can be thresholded or mixed: per fixed-width score bin

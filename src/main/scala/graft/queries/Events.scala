@@ -1033,6 +1033,47 @@ object Events {
           round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sgg
             - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) / CAST(sg AS DOUBLE), 8) AS cv
         FROM m WHERE n >= 2 AND sg > 0"""),
+      bench = true),
+
+    // Hourly Shannon entropy of the event-type mix — the diversity-drift
+    // monitor (an hour whose traffic collapses to one type is an incident
+    // signature even at normal volume, which plain counts like q12 cannot
+    // see). H = −Σ p·ln p over the hour's type distribution: integer
+    // ratios → 10-dp ln → 10-dp products → exact DECIMAL fold, rounded as
+    // decimal before the double cast. Two hour-keyed grouped passes.
+    QueryDef("q161_type_entropy",
+      (s, dir) => {
+        val byType = Tables(s, dir, "events")
+          .groupBy(epochTrunc("hour", col("ts")).as("hour_epoch"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val byHour = byType.groupBy(col("hour_epoch"))
+          .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+        byType.join(byHour, "hour_epoch")
+          .select(col("hour_epoch"), col("n_events"), col("n_types"),
+            round((col("c").cast(DoubleType) / col("n_events").cast(DoubleType)) *
+              round(log(col("c").cast(DoubleType) / col("n_events").cast(DoubleType)), 10),
+              10).as("term"))
+          .groupBy(col("hour_epoch"))
+          .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"),
+            (-round(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(30, 10))), 8)
+              .cast(DoubleType)).as("entropy"))
+      },
+      oracle = Some("""
+        WITH bt AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+            event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        bh AS (
+          SELECT hour_epoch, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types
+          FROM bt GROUP BY 1),
+        terms AS (
+          SELECT bt.hour_epoch, bh.n_events, bh.n_types,
+            round((CAST(bt.c AS DOUBLE) / CAST(bh.n_events AS DOUBLE)) *
+              round(ln(CAST(bt.c AS DOUBLE) / CAST(bh.n_events AS DOUBLE)), 10), 10) AS term
+          FROM bt JOIN bh ON bh.hour_epoch = bt.hour_epoch)
+        SELECT hour_epoch, MAX(n_events) AS n_events, MAX(n_types) AS n_types,
+          -CAST(round(SUM(CAST(term AS DECIMAL(30,10))), 8) AS DOUBLE) AS entropy
+        FROM terms GROUP BY 1"""),
       bench = true)
   )
 
