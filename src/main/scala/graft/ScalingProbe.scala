@@ -332,7 +332,9 @@ object ScalingProbe {
       "q156_clustering_coeff", "q157_rake_keyphrases",
       // burstiness: per-user windows + integer moments; zipf: Heaps-bounded
       // frequency table + the two-phase rank + a 1-row regression
-      "q158_burstiness", "q159_zipf_fit")
+      "q158_burstiness", "q159_zipf_fit",
+      // confusion matrix / entropy: one or two grouped passes — scan shapes
+      "q160_langid_confusion", "q161_type_entropy")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -361,7 +363,8 @@ object ScalingProbe {
       "q146_centroid_classify", "q147_shortest_paths", "q149_modularity",
       "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard",
       "q154_psi_drift", "q155_lr_calibration", "q156_clustering_coeff",
-      "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit")
+      "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit",
+      "q160_langid_confusion", "q161_type_entropy")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
