@@ -242,6 +242,17 @@ object UnigramLm {
       .localCheckpoint(eager = true)
   }
 
+  /** The raw per-word Viterbi pieces under the trained model:
+    * (word, p, piece) with p the 1-based start position — the id-encoding
+    * surface [[segment]] aggregates into readable segmentations. */
+  def encodePieces(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
+                   rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
+    val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
+    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val model = train(docs, maxWordLen, maxPieceLen, rounds, minSeedCount)
+    viterbi(words, subs, model)
+  }
+
   /** Viterbi segmentation of every distinct corpus word under the trained
     * model: (word, cnt, n_pieces, seg, ok) with seg the space-joined pieces
     * in reading order and ok the lossless-reassembly gate (the q120
@@ -250,9 +261,7 @@ object UnigramLm {
   def segment(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
               rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
-    val model = train(docs, maxWordLen, maxPieceLen, rounds, minSeedCount)
-    viterbi(words, subs, model)
+    encodePieces(docs, maxWordLen, maxPieceLen, rounds, minSeedCount)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_pieces"),
         array_join(transform(array_sort(collect_list(struct(col("p"), col("piece")))),

@@ -662,6 +662,50 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // Unigram-LM token-ID encoding of whole documents — the q84 parity row
+    // for the probabilistic tokenizer family: every document rendered as
+    // its comma-joined piece-id sequence under the trained unigram model,
+    // with ids from the A4 two-phase vocabulary rank over the USED pieces.
+    // Reading order is (token position, piece start): fully join-based —
+    // unlike q84's bounded driver-side merge map, nothing is collected.
+    QueryDef("q162_unigram_ids",
+      (s, dir) => {
+        val docsDf = Tables(s, dir, "documents")
+        val pieces = graft.operators.UnigramLm.encodePieces(docsDf,
+          maxWordLen = 12, maxPieceLen = 4, rounds = 2)
+        val ids = TextPipeline.vocab(pieces.select(col("piece").as("term")))
+        val pos = docsDf
+          .select(col("doc_id"),
+            posexplode(graft.functions.Exprs.tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(length(col("word")).between(1, 12))
+        pos.join(pieces, "word")
+          .join(ids.select(col("term").as("piece"), col("idx")), "piece")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pieces"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("p"), col("idx")))),
+              x => x.getField("idx").cast("string")), ",").as("token_ids"))
+      },
+      oracle = Some(unigramSql(rounds = 3, lastRoundSegOnly = true, fin = """,
+        vsp AS (SELECT DISTINCT piece FROM seg3),
+        vid AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS idx FROM vsp),
+        sq2 AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        posn AS (
+          SELECT doc_id, i AS pos, tk[i] AS word
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS i FROM sq2) z
+          WHERE length(tk[i]) BETWEEN 1 AND 12),
+        enc AS (
+          SELECT pn.doc_id, pn.pos, sg.p AS sp, v.idx
+          FROM posn pn JOIN seg3 sg ON sg.word = pn.word
+          JOIN vid v ON v.piece = sg.piece)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+          string_agg(CAST(idx AS VARCHAR), ',' ORDER BY pos, sp, idx) AS token_ids
+        FROM enc GROUP BY 1""")),
+      bench = true),
+
     // Zipf's-law fit of the term-frequency distribution: ln f regressed on
     // ln rank (the log-log slope a natural corpus sits near −1; synthetic
     // or templated corpora deviate — a corpus-forensics signal). The
