@@ -146,6 +146,18 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("Window"), phys.take(2000))
   }
 
+  test("q152 prefix join stays an equi join: no cartesian, no Window") {
+    // the prefix filter's whole value: candidates come from a shingle
+    // EQUI join over prefix occurrences — a cartesian or rank regression
+    // would reintroduce the all-pairs shape the prefixes exist to avoid
+    val phys = Caching.scoped {
+      SparkEntry.queries("q152_prefix_jaccard")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    assert(!phys.contains("Window"), phys.take(2000))
+  }
+
   test("q143 basket rules: row-local pairs, broadcast singles, no self-join of items") {
     val phys = Caching.scoped {
       SparkEntry.queries("q143_basket_rules")(spark, dir)
