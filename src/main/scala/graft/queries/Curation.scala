@@ -2240,6 +2240,61 @@ object Curation {
         FROM trh GROUP BY doc_id"""),
       bench = true), // zero-shuffle probe side in the headline run
 
+    // Per-source data card — the corpus-audit summary a curation run
+    // publishes next to its output (counts, token volume, exact-dup rate,
+    // language share): one tokenize scan feeding per-doc stats, the q32
+    // content hash marking GLOBAL duplicates (a doc duplicated across
+    // sources counts against every source holding a copy), then one
+    // source-keyed rollup. All integer ratios; tokens and hash share one
+    // projection (the HOF-CSE contract).
+    QueryDef("q163_data_card",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val perDoc = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"),
+            Exprs.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            md5(array_join(col("tk"), " ")).as("h"))
+        val dupHashes = perDoc.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("h"))
+        perDoc
+          .join(dupHashes.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+            round(col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+              .as("dup_rate"),
+            round(col("n_en").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+              .as("en_share"),
+            round(col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+              .as("mean_tokens"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        tc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        norm AS (
+          SELECT d.doc_id, d.source, d.lang, COALESCE(tc.n, 0) AS n_tokens,
+            md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+          FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id),
+        duph AS (SELECT h FROM norm GROUP BY h HAVING COUNT(*) > 1),
+        agg AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          FROM norm LEFT JOIN duph ON duph.h = norm.h
+          GROUP BY 1)
+        SELECT source, n_docs, n_tokens, n_dup_docs,
+          round(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+          round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS en_share,
+          round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
+        FROM agg"""),
+      bench = true),
+
     // MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998): each
     // query's brute top-20 shortlist greedily re-ranked to 8 results by
     // λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7) — the post-ANN pass
