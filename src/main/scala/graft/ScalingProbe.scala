@@ -337,7 +337,10 @@ object ScalingProbe {
       "q160_langid_confusion", "q161_type_entropy",
       // unigram ids: the q141 chain + one posexplode scan + two
       // piece-keyed joins — tracks its tokenizer parent
-      "q162_unigram_ids")
+      "q162_unigram_ids",
+      // data card: one tokenize scan + a content-hash census + a
+      // source-keyed rollup — scan-shaped
+      "q163_data_card")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -367,7 +370,8 @@ object ScalingProbe {
       "q150_trend_slopes", "q151_chi_square", "q152_prefix_jaccard",
       "q154_psi_drift", "q155_lr_calibration", "q156_clustering_coeff",
       "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit",
-      "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids")
+      "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids",
+      "q163_data_card")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
