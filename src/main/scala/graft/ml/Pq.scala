@@ -175,4 +175,80 @@ object Pq {
       .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
         (col("i") + 1).cast(LongType).as("rk"))
   }
+
+  /** IVF-PQ (Jégou, Douze & Schmid, "Product quantization for nearest
+    * neighbor search", TPAMI 2011, §V — the IVFADC system): a coarse
+    * k-means quantizer partitions the corpus into cells, PQ codebooks
+    * train on the RESIDUALS v − centroid(cell), and a query probes only
+    * its `nprobe` nearest cells with the ADC lookup-table distance over
+    * each probed cell's residual query. This is the composition that makes
+    * PQ billion-scale: [[adcTopK]] scans every code; here the codes join
+    * arrives BY CELL (an equi join on the probe list), so the scanned
+    * fraction is ~nprobe/kCoarse of the index, and the index itself is the
+    * 64×-compressed 4-byte codes.
+    *
+    * Every stage rides an existing audited ladder: the coarse quantizer is
+    * [[KMeans.fit]] (lowest-id seeds, exact DECIMAL means), the codebooks
+    * [[fit]] on residual slices, distances the [[adcTopK]] fold; ranks tie
+    * on n_id through the bounded heap. Each vector lives in exactly one
+    * cell, so probe lists never duplicate a candidate. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, kCoarse: Int, coarseIter: Int,
+                m: Int, kc: Int, pqIter: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCoarse, s"need 1 <= nprobe <= kCoarse, got $nprobe/$kCoarse")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col("vec_id"), col("vec"))
+    val coarse = KMeans.fit(e, kCoarse, coarseIter).localCheckpoint(eager = true)
+    // residual corpus: one cell per vector, r = v − centroid(cell)
+    val res = KMeans.assign(e, coarse)
+      .join(broadcast(coarse), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("vec"))
+      .localCheckpoint(eager = true)
+    val codebooks = fit(res.select(col("vec_id"), col("vec")), m, kc, pqIter)
+    val codes = encode(res.select(col("vec_id"), col("vec")), codebooks, m)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .localCheckpoint(eager = true)
+    // probe list: each query's nprobe nearest coarse cells + residual query
+    val qd2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("centroid_id").asc)
+    val qr = queries.select(col("vec_id").as("q_id"), col("vec"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", qd2)
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("centroid_id").as("cell"),
+        zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("rv"))
+    // per-(query, cell) ADC lookup tables over the residual query's slices
+    val sd2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val dtab = qr
+      .select(col("q_id"), col("cell"), col("rv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("q_id"), col("cell"), col("sub_id"),
+        expr(s"slice(rv, sub_id * (size(rv) DIV $m) + 1, size(rv) DIV $m)").as("sv"))
+      .join(broadcast(codebooks), "sub_id")
+      .select(col("q_id"), col("cell"), col("sub_id"), col("centroid_id"), sd2.as("d2"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        (col("sub_id").cast(LongType) * kc + col("centroid_id")).cast("int").as("key"),
+        col("d2").as("value"))))).as("dt"))
+    val dist = (0 until m).map { s =>
+      element_at(col("dt"), (lit(s.toLong * kc) + element_at(col("codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
+    // the IVF win: codes meet probe lists by CELL — an equi join, never a
+    // full-index scan; ~nprobe/kCoarse of the codes are touched per query
+    codes.join(dtab, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), round(dist, 6).as("d2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, -r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
 }

@@ -2240,6 +2240,25 @@ object Curation {
         FROM trh GROUP BY doc_id"""),
       bench = true), // zero-shuffle probe side in the headline run
 
+    // IVF-PQ — the billion-scale ANN composition (Jégou et al. TPAMI'11
+    // §V, the IVFADC system; the FAISS default architecture): coarse
+    // k-means cells + PQ codebooks on the RESIDUALS + nprobe-cell ADC
+    // probing, so a query touches ~nprobe/kCoarse of a 64×-compressed
+    // index. Every stage is an already-green ladder (q110's k-means,
+    // q124's per-subspace fits, q125's ADC fold) — this row proves the
+    // COMPOSITION replays exactly, coarse assignment through probe list
+    // through residual lookup tables.
+    QueryDef("q164_ivfpq_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        graft.ml.Pq.ivfPqTopK(e.filter(col("vec_id") % 100 === 0), e,
+          kCoarse = 8, coarseIter = 2, m = 4, kc = 8, pqIter = 2, nprobe = 2, k = 10)
+      },
+      oracle = Some(ivfpqSql(kCoarse = 8, cIter = 2, m = 4, sub = 16, kc = 8,
+        pIter = 2, nprobe = 2, k = 10)),
+      bench = true),
+
     // Per-source data card — the corpus-audit summary a curation run
     // publishes next to its output (counts, token volume, exact-dup rate,
     // language share): one tokenize scan feeding per-doc stats, the q32
@@ -2373,6 +2392,71 @@ object Curation {
         QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id ASC) <= 100"""),
       bench = true)
   )
+
+  /** Unrolled IVF-PQ oracle ([[graft.ml.Pq.ivfPqTopK]]): the coarse
+    * kmeansCtes unroll (prefix g), residual vectors, per-subspace
+    * kmeansCtes unrolls on the residual slices (prefix r$s), the encoded
+    * (cell, codes) table, the query probe list (nprobe nearest cells),
+    * per-(query, cell) residual LUTs, and the by-CELL ADC distance join —
+    * every stage an already-proven ladder, composed. */
+  private def ivfpqSql(kCoarse: Int, cIter: Int, m: Int, sub: Int, kc: Int,
+                       pIter: Int, nprobe: Int, k: Int): String = {
+    val pqUnrolls = (0 until m).map { s =>
+      s"""r${s}e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM re),
+        ${kmeansCtes(kc, pIter, s"r$s")}"""
+    }.mkString(",\n        ")
+    val codeJoins = (0 until m).map(s => s"JOIN r${s}af r$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"r$s.cid AS k${s + 1}").mkString(", ")
+    val luts = (0 until m).map { s =>
+      s"""t$s AS MATERIALIZED (
+          SELECT qs.q_id, qs.cell, c.cid,
+            list_reduce(list_transform(range(1, len(qs.sv) + 1),
+              i -> (qs.sv[i] - c.c[i]) * (qs.sv[i] - c.c[i])), (x, y) -> x + y) AS d2
+          FROM (SELECT q_id, cell, rv[${s * sub + 1}:${(s + 1) * sub}] AS sv FROM qr) qs
+          CROSS JOIN r${s}c$pIter c)"""
+    }.mkString(",\n        ")
+    val distJoins = (1 until m)
+      .map(s => s"JOIN t$s ON t$s.q_id = t0.q_id AND t$s.cell = cd.cell AND t$s.cid = cd.k${s + 1}")
+      .mkString("\n          ")
+    val distSum = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ge AS (SELECT vec_id, v FROM e),
+        ${kmeansCtes(kCoarse, cIter, "g")},
+        re AS MATERIALIZED (
+          SELECT a.vec_id, a.cid AS cell,
+            list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.c[i]) AS v
+          FROM gaf a JOIN gc$cIter c ON c.cid = a.cid),
+        $pqUnrolls,
+        codes AS MATERIALIZED (
+          SELECT re.vec_id, re.cell, $codeCols FROM re $codeJoins),
+        q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        qc AS MATERIALIZED (
+          SELECT q_id, cid AS cell, c FROM (
+            SELECT q.vec_id AS q_id, c.cid, c.c,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_reduce(list_transform(range(1, len(q.v) + 1),
+                  i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), (x, y) -> x + y) ASC,
+                c.cid ASC) AS rn
+            FROM q CROSS JOIN gc$cIter c) z
+          WHERE rn <= $nprobe),
+        qr AS MATERIALIZED (
+          SELECT qc.q_id, qc.cell,
+            list_transform(range(1, len(q.v) + 1), i -> q.v[i] - qc.c[i]) AS rv
+          FROM qc JOIN q ON q.vec_id = qc.q_id),
+        $luts,
+        dist AS (
+          SELECT t0.q_id, cd.vec_id AS n_id, round($distSum, 6) AS d2
+          FROM codes cd
+          JOIN t0 ON t0.cell = cd.cell AND t0.cid = cd.k1
+          $distJoins
+          WHERE t0.q_id <> cd.vec_id)
+        SELECT q_id, n_id, d2, rk FROM (
+          SELECT q_id, n_id, d2,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+          FROM dist) z
+        WHERE rk <= $k"""
+  }
 
   /** Unrolled MMR oracle ([[graft.operators.Similarity.mmrRerank]]): the
     * q37 brute-shortlist CTE (with candidate vectors), then k greedy
