@@ -340,7 +340,11 @@ object ScalingProbe {
       "q162_unigram_ids",
       // data card: one tokenize scan + a content-hash census + a
       // source-keyed rollup — scan-shaped
-      "q163_data_card")
+      "q163_data_card",
+      // IVF-PQ: the catalog query set grows with the corpus (the q125
+      // reasoning), but the probe still evidences the by-cell join: codes
+      // scanned per query shrink to ~nprobe/kCoarse of the index
+      "q164_ivfpq_topk")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
