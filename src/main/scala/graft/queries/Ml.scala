@@ -329,6 +329,48 @@ object Ml {
           round(CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE), 8) AS acc
         FROM pred GROUP BY 1"""),
+      bench = true),
+
+    // Inter-label centroid distance matrix — embedding-space separation /
+    // domain-drift diagnostics: exact 12-dp per-label means (the q146
+    // training pass over ALL vectors), then every label pair's L2 distance
+    // through the shared sequential-fold dot product. The output is
+    // |labels|²-bounded; the corpus appears only in the one grouped mean.
+    QueryDef("q165_centroid_dists",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val cents = Tables(s, dir, "embeddings")
+          .select(col("label").cast(LongType).as("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(sum(round(col("x"), 12).cast(DecimalType(30, 12))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 12).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+        val a = cents.select(col("label").as("label_a"), col("cv").as("va"))
+        val b = cents.select(col("label").as("label_b"), col("cv").as("vb"))
+        import graft.functions.Exprs.dot
+        a.join(b, col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"),
+            round(sqrt(dot(col("va"), col("va")) - lit(2.0d) * dot(col("va"), col("vb")) +
+              dot(col("vb"), col("vb"))), 8).as("dist"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        mu AS MATERIALIZED (
+          SELECT label, pos,
+            round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 12) AS c
+          FROM (SELECT label, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos FROM e) u
+          GROUP BY 1, 2),
+        ca AS MATERIALIZED (SELECT label, list(c ORDER BY pos) AS cv FROM mu GROUP BY 1)
+        SELECT a.label AS label_a, b.label AS label_b,
+          round(sqrt(list_dot_product(a.cv, a.cv)
+            - CAST(2 AS DOUBLE) * list_dot_product(a.cv, b.cv)
+            + list_dot_product(b.cv, b.cv)), 8) AS dist
+        FROM ca a JOIN ca b ON a.label < b.label"""),
       bench = true)
   )
 }
