@@ -344,7 +344,9 @@ object ScalingProbe {
       // IVF-PQ: the catalog query set grows with the corpus (the q125
       // reasoning), but the probe still evidences the by-cell join: codes
       // scanned per query shrink to ~nprobe/kCoarse of the index
-      "q164_ivfpq_topk")
+      "q164_ivfpq_topk",
+      // centroid distances: one grouped mean + a |labels|^2-bounded join
+      "q165_centroid_dists")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
