@@ -251,4 +251,34 @@ object Pq {
       .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
         (col("i") + 1).cast(LongType).as("rk"))
   }
+
+  /** IVF-PQ + exact re-rank (the TPAMI'11 §VII refinement applied to the
+    * IVFADC path — [[adcRerankTopK]]'s sibling over [[ivfPqTopK]]): the
+    * probed-cell ADC shortlist prunes the corpus, then true squared-L2
+    * distances re-rank just those candidates. Full vectors are read for
+    * shortlist·|queries| rows through an equi join — the final exactness
+    * costs a bounded fraction of brute force on top of the ~nprobe/kCoarse
+    * index scan. */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, kCoarse: Int, coarseIter: Int,
+                      m: Int, kc: Int, pqIter: Int, nprobe: Int,
+                      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got $shortlist/$k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    ivfPqTopK(queries, corpus, kCoarse, coarseIter, m, kc, pqIter, nprobe, shortlist)
+      .select(col("q_id"), col("n_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .select(col("q_id"), col("n_id"), round(l2, 6).as("d2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, -r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
 }

@@ -2259,6 +2259,39 @@ object Curation {
         pIter = 2, nprobe = 2, k = 10)),
       bench = true),
 
+    // IVF-PQ + exact re-rank (TPAMI'11 §VII on the IVFADC path): the
+    // probed-cell ADC shortlist (40 per query) prunes the corpus, true
+    // L2 re-ranks just those rows — final exactness for a bounded read
+    // on top of the ~nprobe/kCoarse index scan. Completes the IVF family
+    // the way q126 completed flat ADC.
+    QueryDef("q166_ivfpq_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        graft.ml.Pq.ivfPqRerankTopK(e.filter(col("vec_id") % 100 === 0), e,
+          kCoarse = 8, coarseIter = 2, m = 4, kc = 8, pqIter = 2, nprobe = 2,
+          shortlist = 40, k = 10)
+      },
+      oracle = Some(ivfpqSql(kCoarse = 8, cIter = 2, m = 4, sub = 16, kc = 8,
+        pIter = 2, nprobe = 2, k = 40, fin = """,
+        sl AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rk
+            FROM dist) z
+          WHERE rk <= 40),
+        tr AS (
+          SELECT sl.q_id, sl.n_id,
+            round(list_reduce(list_transform(range(1, len(qv.v) + 1),
+              i -> (qv.v[i] - nv.v[i]) * (qv.v[i] - nv.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM sl JOIN e nv ON nv.vec_id = sl.n_id JOIN q qv ON qv.vec_id = sl.q_id)
+        SELECT q_id, n_id, d2, rk FROM (
+          SELECT q_id, n_id, d2,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+          FROM tr) z
+        WHERE rk <= 10""")),
+      bench = true),
+
     // Per-source data card — the corpus-audit summary a curation run
     // publishes next to its output (counts, token volume, exact-dup rate,
     // language share): one tokenize scan feeding per-doc stats, the q32
@@ -2400,7 +2433,7 @@ object Curation {
     * per-(query, cell) residual LUTs, and the by-CELL ADC distance join —
     * every stage an already-proven ladder, composed. */
   private def ivfpqSql(kCoarse: Int, cIter: Int, m: Int, sub: Int, kc: Int,
-                       pIter: Int, nprobe: Int, k: Int): String = {
+                       pIter: Int, nprobe: Int, k: Int, fin: String = ""): String = {
     val pqUnrolls = (0 until m).map { s =>
       s"""r${s}e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM re),
         ${kmeansCtes(kc, pIter, s"r$s")}"""
@@ -2451,11 +2484,11 @@ object Curation {
           JOIN t0 ON t0.cell = cd.cell AND t0.cid = cd.k1
           $distJoins
           WHERE t0.q_id <> cd.vec_id)
-        SELECT q_id, n_id, d2, rk FROM (
+        ${if (fin.nonEmpty) fin else s"""SELECT q_id, n_id, d2, rk FROM (
           SELECT q_id, n_id, d2,
             CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
           FROM dist) z
-        WHERE rk <= $k"""
+        WHERE rk <= $k"""}"""
   }
 
   /** Unrolled MMR oracle ([[graft.operators.Similarity.mmrRerank]]): the
