@@ -1074,6 +1074,58 @@ object Events {
         SELECT hour_epoch, MAX(n_events) AS n_events, MAX(n_types) AS n_types,
           -CAST(round(SUM(CAST(term AS DECIMAL(30,10))), 8) AS DOUBLE) AS entropy
         FROM terms GROUP BY 1"""),
+      bench = true),
+
+    // Signup→purchase conversion latency by signup-day cohort — the
+    // time-to-event funnel metric (how long a cohort takes to convert,
+    // not just whether — q107 retention's missing axis): per user the
+    // FIRST signup and the first purchase AT OR AFTER it, latencies
+    // aggregated per cohort day with integer seconds end to end (sum,
+    // min, max exact; the mean is one integer ratio). Two user-keyed
+    // grouped mins + one user-keyed join — no windows.
+    QueryDef("q167_conversion_latency",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(epochTrunc("second", col("ts"))).as("s_sec"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), epochTrunc("second", col("ts")).as("p_sec"))
+        // the at-or-after condition lives IN the left join: a user whose
+        // purchases all precede signup must survive as unconverted (NULL),
+        // not vanish through a post-join filter
+        val lat = su.join(pu.withColumnRenamed("user_id", "p_uid"),
+            col("user_id") === col("p_uid") && col("p_sec") >= col("s_sec"), "left")
+          .groupBy(col("user_id"), col("s_sec"))
+          .agg(min(col("p_sec")).as("first_p"))
+          .select(col("user_id"),
+            (floor(col("s_sec") / lit(86400L)) * lit(86400L)).cast(LongType).as("cohort_day"),
+            (col("first_p") - col("s_sec")).as("latency"))
+        lat.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("n_signups"),
+            count(col("latency")).as("n_converted"),
+            round(sum(col("latency")).cast(DoubleType) /
+              count(col("latency")).cast(DoubleType), 6).as("mean_latency_sec"),
+            min(col("latency")).as("min_latency_sec"),
+            max(col("latency")).as("max_latency_sec"))
+      },
+      oracle = Some("""
+        WITH su AS (
+          SELECT user_id, MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS s_sec
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_sec
+          FROM events WHERE event_type = 'purchase'),
+        lat AS (
+          SELECT su.user_id, (s_sec // 86400) * 86400 AS cohort_day,
+            MIN(pu.p_sec) - s_sec AS latency
+          FROM su LEFT JOIN pu ON pu.user_id = su.user_id AND pu.p_sec >= su.s_sec
+          GROUP BY su.user_id, su.s_sec)
+        SELECT cohort_day, COUNT(*) AS n_signups,
+          CAST(COUNT(latency) AS BIGINT) AS n_converted,
+          round(CAST(SUM(latency) AS DOUBLE) / CAST(COUNT(latency) AS DOUBLE), 6) AS mean_latency_sec,
+          MIN(latency) AS min_latency_sec, MAX(latency) AS max_latency_sec
+        FROM lat GROUP BY 1"""),
       bench = true)
   )
 

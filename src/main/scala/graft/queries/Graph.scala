@@ -292,6 +292,46 @@ object Graph {
         FROM deg LEFT JOIN pv ON deg.v = pv.v"""),
       bench = true),
 
+    // Reciprocity of the word-adjacency DIGRAPH (q134's edge set): the
+    // share of directed edges whose reverse also occurs — the symmetry
+    // diagnostic separating genuinely directed structure (bigram order)
+    // from co-occurrence symmetry. One distinct + one self semi join +
+    // two 1-row aggregates; a single integer ratio.
+    QueryDef("q168_reciprocity",
+      (s, dir) => {
+        val edges = Tables(s, dir, "documents")
+          .select(graft.functions.Exprs.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 1)
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS src, tk[i] AS dst))")).as("e"))
+          .select(col("e.src"), col("e.dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val n = edges.agg(count(lit(1)).as("n_edges"))
+        val r = edges.join(
+          edges.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("n_reciprocal"))
+        n.crossJoin(r).select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_edges").cast(org.apache.spark.sql.types.DoubleType), 8).as("reciprocity"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        ed AS MATERIALIZED (
+          SELECT DISTINCT tk[i] AS src, tk[i + 1] AS dst
+          FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM seq WHERE len(tk) > 1) z
+          WHERE tk[i] <> tk[i + 1]),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed),
+        r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+              FROM ed a WHERE EXISTS (SELECT 1 FROM ed b WHERE b.src = a.dst AND b.dst = a.src))
+        SELECT n.n_edges, r.n_reciprocal,
+          round(CAST(r.n_reciprocal AS DOUBLE) / CAST(n.n_edges AS DOUBLE), 8) AS reciprocity
+        FROM n CROSS JOIN r"""),
+      bench = true),
+
     // k-core of the thresholded co-occurrence network (k = 2, cnt ≥ 20):
     // parallel peeling until fixpoint, O(peel-depth) equi-shuffle rounds.
     // The corpus graph is too dense to cascade (every term survives), so
