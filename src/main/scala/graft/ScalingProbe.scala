@@ -346,7 +346,10 @@ object ScalingProbe {
       // scanned per query shrink to ~nprobe/kCoarse of the index
       "q164_ivfpq_topk",
       // centroid distances: one grouped mean + a |labels|^2-bounded join
-      "q165_centroid_dists")
+      "q165_centroid_dists",
+      // IVFADC+R: the q164 chain + a shortlist-bounded true-L2 join;
+      // latency cohorts / reciprocity: grouped passes + one semi join
+      "q166_ivfpq_rerank", "q167_conversion_latency", "q168_reciprocity")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -377,7 +380,7 @@ object ScalingProbe {
       "q154_psi_drift", "q155_lr_calibration", "q156_clustering_coeff",
       "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit",
       "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids",
-      "q163_data_card")
+      "q163_data_card", "q167_conversion_latency", "q168_reciprocity")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
