@@ -332,6 +332,80 @@ object Graph {
         FROM n CROSS JOIN r"""),
       bench = true),
 
+    // Degree assortativity (Newman, "Assortative mixing in networks", PRL
+    // 2002): the Pearson correlation of endpoint degrees over every
+    // undirected edge (counted in both orientations — the standard form).
+    // Social graphs are assortative (hubs befriend hubs), tech/biological
+    // nets disassortative; a co-occurrence network's sign is a structure
+    // diagnostic. ALL-INTEGER sufficient statistics (Σx, Σxy, Σx² over
+    // 2m directed endpoint pairs) in DECIMAL(38,0) — one final division,
+    // the q150/q151 inference ladder on graph structure.
+    QueryDef("q169_assortativity",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dbl = org.apache.spark.sql.types.DoubleType
+        import s.implicits._
+        // the raw corpus graph is near-complete (constant degree → zero
+        // variance → r undefined): threshold to the q114 edge set and
+        // union a star+path fixture so endpoint degrees genuinely vary
+        val real = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+        val fixture = (
+          (1 to 5).map(i => ("asfix_hub", s"asfix_leaf$i")) ++
+            Seq(("asfix_leaf1", "asfix_p1"), ("asfix_p1", "asfix_p2"))
+          ).toDF("src", "dst")
+        val und = real.union(fixture)
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val pairs = und.select(col("a"), col("b"))
+          .union(und.select(col("b").as("a"), col("a").as("b")))
+          .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
+        val st = pairs.agg(count(lit(1)).as("n"),
+          sum(col("dx")).as("sx"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+        // symmetric pairs: Σx = Σy, Σx² = Σy² — r = (n·Σxy − Σx²)/(n·Σx² − Σx·Σx)
+        st.select(col("n"),
+          round((col("n").cast(dec) * col("sxy").cast(dec) -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast(dbl) /
+            (col("n").cast(dec) * col("sxx").cast(dec) -
+              col("sx").cast(dec) * col("sx").cast(dec)).cast(dbl), 8).as("assortativity"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        alle AS (
+          SELECT src, dst FROM cooc WHERE cnt >= 20
+          UNION ALL SELECT * FROM (VALUES
+            ('asfix_hub', 'asfix_leaf1'), ('asfix_hub', 'asfix_leaf2'),
+            ('asfix_hub', 'asfix_leaf3'), ('asfix_hub', 'asfix_leaf4'),
+            ('asfix_hub', 'asfix_leaf5'), ('asfix_leaf1', 'asfix_p1'),
+            ('asfix_p1', 'asfix_p2')) fx(src, dst)),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM alle WHERE src <> dst),
+        deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u GROUP BY 1),
+        pr AS (
+          SELECT da.deg AS dx, db.deg AS dy
+          FROM (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und) e
+          JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        st AS (
+          SELECT COUNT(*) AS n, CAST(SUM(dx) AS BIGINT) AS sx,
+            CAST(SUM(dx*dy) AS BIGINT) AS sxy, CAST(SUM(dx*dx) AS BIGINT) AS sxx
+          FROM pr)
+        SELECT n,
+          round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) /
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE),
+            8) AS assortativity
+        FROM st"""),
+      bench = true),
+
     // k-core of the thresholded co-occurrence network (k = 2, cnt ≥ 20):
     // parallel peeling until fixpoint, O(peel-depth) equi-shuffle rounds.
     // The corpus graph is too dense to cascade (every term survives), so
