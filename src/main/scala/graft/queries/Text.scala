@@ -706,6 +706,63 @@ object Text {
         FROM enc GROUP BY 1""")),
       bench = true),
 
+    // Spell suggestion — nearest frequent vocabulary word (edit distance
+    // ≤ 2) for each rare word, the OCR/typo-repair primitive a corpus
+    // cleaning pass runs before frequency features: LENGTH-BAND blocking
+    // (lossless — dist ≥ |len(a) − len(b)|, so only bands ±2 can qualify)
+    // turns the rare×frequent product into an equi join; ties break
+    // (dist ASC, frequency DESC, suggestion ASC). The corpus vocabulary is
+    // all-frequent by construction, so the row carries typo fixture docs
+    // (the q61/q114 precedent), mirrored verbatim in the oracle.
+    QueryDef("q170_spell_suggest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.LongType
+        val fixture = Seq(
+          (900000101L, "wrd12 datda procesing"),
+          (900000102L, "spaark systen")).toDF("doc_id", "text")
+        val words = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(fixture)
+          .select(explode(graft.functions.Exprs.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("f"))
+        val rare = words.filter(col("f") <= 2)
+        val freq = words.filter(col("f") >= 10)
+        rare.select(col("word"), col("f").as("word_freq"),
+            explode(sequence(length(col("word")) - 2, length(col("word")) + 2)).as("lb"))
+          .join(freq.select(col("word").as("suggestion"), col("f").as("sug_freq"),
+            length(col("word")).as("lb")), "lb")
+          .withColumn("dist", levenshtein(col("word"), col("suggestion")).cast(LongType))
+          .filter(col("dist") <= 2)
+          .withColumn("rn", row_number().over(Window.partitionBy(col("word"))
+            .orderBy(col("dist").asc, col("sug_freq").desc, col("suggestion").asc)))
+          .filter(col("rn") === 1)
+          .select(col("word"), col("word_freq"), col("suggestion"), col("dist"), col("sug_freq"))
+      },
+      oracle = Some(s"""
+        WITH alld AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES
+            (900000101, 'wrd12 datda procesing'),
+            (900000102, 'spaark systen')) fx(doc_id, text)),
+        w AS (
+          SELECT term AS word, COUNT(*) AS f FROM (
+            SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS term
+            FROM alld) u
+          WHERE term <> '' GROUP BY 1),
+        rare AS (SELECT word, f FROM w WHERE f <= 2),
+        freq AS (SELECT word AS suggestion, f AS sug_freq, length(word) AS lb FROM w WHERE f >= 10),
+        cand AS (
+          SELECT r.word, r.f AS word_freq, fr.suggestion,
+            CAST(levenshtein(r.word, fr.suggestion) AS BIGINT) AS dist, fr.sug_freq
+          FROM (SELECT word, f, UNNEST(generate_series(length(word) - 2, length(word) + 2)) AS lb
+                FROM rare) r
+          JOIN freq fr ON fr.lb = r.lb
+          WHERE levenshtein(r.word, fr.suggestion) <= 2)
+        SELECT word, word_freq, suggestion, dist, sug_freq FROM cand
+        QUALIFY row_number() OVER (PARTITION BY word
+          ORDER BY dist ASC, sug_freq DESC, suggestion ASC) = 1"""),
+      bench = true),
+
     // Zipf's-law fit of the term-frequency distribution: ln f regressed on
     // ln rank (the log-log slope a natural corpus sits near −1; synthetic
     // or templated corpora deviate — a corpus-forensics signal). The
