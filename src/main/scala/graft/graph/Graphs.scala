@@ -530,6 +530,80 @@ object Graphs {
     dist.select(col("v"), col("hop").as("hops"))
   }
 
+  /** k-truss (Cohen, "Trusses: cohesive subgraphs for social network
+    * analysis", NSA TR 2008): the maximal subgraph in which every EDGE
+    * participates in ≥ k−2 triangles — the edge-granular sibling of
+    * [[kCore]]'s vertex peel, and a stricter cohesion filter (every
+    * k-truss is inside a (k−1)-core). Synchronous edge peeling: each round
+    * enumerates triangles on the surviving edges (the [[triangleCounts]]
+    * degree-oriented wedge join — m^1.5-bounded), counts per-EDGE support
+    * (each triangle supports its three edges), and drops every edge below
+    * k−2 simultaneously; dropping an edge kills its triangles, so removal
+    * cascades and the round count is the peel DEPTH. The truss is unique
+    * (a closure), so extra no-op rounds change nothing — the q114 property
+    * that makes a fixed-depth oracle unroll portable.
+    *
+    * Output: (a, b, support) for every surviving edge with its triangle
+    * support INSIDE the truss (≥ k−2 by definition). */
+  def kTruss(edges: DataFrame, k: Int): DataFrame = kTrussWithRounds(edges, k)._1
+
+  /** [[kTruss]] plus the peel-round count (spec: cascade-depth bound). */
+  private[graft] def kTrussWithRounds(edges: DataFrame, k: Int): (DataFrame, Int) = {
+    require(k >= 2, s"kTruss k must be >= 2, got $k")
+    def supports(e: DataFrame): DataFrame = {
+      // degree-oriented triangle enumeration on the current edge set
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ori = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("w"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("db")).otherwise(col("da")).as("dw"))
+      val e1 = ori.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+      val e2 = ori.select(col("u"), col("w").as("w2"), col("dw").as("d2"))
+      val tri = e1.join(e2, Seq("u"))
+        .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
+        .join(ori.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
+        .select(col("u").as("t1"), col("w1").as("t2"), col("w2").as("t3"))
+      // each triangle supports its three canonical edges
+      tri.select(explode(array(
+          struct(least(col("t1"), col("t2")).as("a"), greatest(col("t1"), col("t2")).as("b")),
+          struct(least(col("t1"), col("t3")).as("a"), greatest(col("t1"), col("t3")).as("b")),
+          struct(least(col("t2"), col("t3")).as("a"), greatest(col("t2"), col("t3")).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var rounds = 0
+    var changed = n > 0
+    while (changed) {
+      val sup = supports(e)
+      val e2 = e.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
+      val n2 = e2.count()
+      changed = n2 != n
+      if (changed) rounds += 1
+      e = e2
+      n = n2
+    }
+    val out = e.join(supports(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+    (out, rounds)
+  }
+
   /** Newman modularity Q of a vertex partition over the SIMPLE undirected
     * graph (Newman & Girvan, "Finding and evaluating community structure
     * in networks", PRE 2004): Q = Σ_c [e_c/m − (d_c/2m)²] with e_c the

@@ -332,6 +332,34 @@ object Graph {
         FROM n CROSS JOIN r"""),
       bench = true),
 
+    // 4-truss of the thresholded co-occurrence network — the EDGE-granular
+    // cohesion peel (Cohen 2008; every k-truss sits inside a (k−1)-core,
+    // so this is the stricter filter than q114): every surviving edge must
+    // sit in ≥ 2 triangles, removal cascades. The corpus graph is too
+    // cohesive to cascade, so the row unions a fixture: a triangle CHAIN
+    // whose shared edges lose their support over two peel rounds and
+    // vanish, and a K4 that survives as its own 4-truss (the q114
+    // fixture pattern at edge granularity). The oracle unrolls FOUR peel
+    // rounds (measured depth 2 + margin — the truss is unique, extra
+    // rounds are no-ops; GraphsSpec pins the depth bound on this input).
+    QueryDef("q171_ktruss",
+      (s, dir) => {
+        import s.implicits._
+        val real = Graphs.coOccurrence(TextPipeline.tokenize(Tables(s, dir, "documents")))
+          .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+        val fixture = Seq(
+          ("ktfx1", "ktfx2"), ("ktfx1", "ktfx3"), ("ktfx2", "ktfx3"),
+          ("ktfx2", "ktfx4"), ("ktfx3", "ktfx4"),
+          ("ktfx3", "ktfx5"), ("ktfx4", "ktfx5"),
+          ("kqfx1", "kqfx2"), ("kqfx1", "kqfx3"), ("kqfx1", "kqfx4"),
+          ("kqfx2", "kqfx3"), ("kqfx2", "kqfx4"), ("kqfx3", "kqfx4"))
+          .toDF("src", "dst")
+        Graphs.kTruss(real.union(fixture), k = 4)
+          .select(col("a").as("term_a"), col("b").as("term_b"), col("support"))
+      },
+      oracle = Some(kTrussSql(4, 4)),
+      bench = true),
+
     // Degree assortativity (Newman, "Assortative mixing in networks", PRL
     // 2002): the Pearson correlation of endpoint degrees over every
     // undirected edge (counted in both orientations — the standard form).
@@ -798,6 +826,70 @@ object Graph {
     $rounds,
     result AS (SELECT v AS term, round(rank, 6) AS rank FROM r$iters)
     SELECT term, rank FROM result ORDER BY rank DESC, term ASC LIMIT 20"""
+  }
+
+  /** Unrolled k-truss oracle ([[Graphs.kTruss]], `rounds` peel rounds +
+    * one final support pass): per round the q104 degree-oriented triangle
+    * block on the surviving edge set e{r-1} (degrees → orientation →
+    * wedge closure), per-EDGE support (each triangle supports its three
+    * canonical edges), and the simultaneous drop of every edge below
+    * k−2. MATERIALIZED throughout — every frame feeds two successors. */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    val fixtureVals = Seq(
+      ("ktfx1", "ktfx2"), ("ktfx1", "ktfx3"), ("ktfx2", "ktfx3"),
+      ("ktfx2", "ktfx4"), ("ktfx3", "ktfx4"),
+      ("ktfx3", "ktfx5"), ("ktfx4", "ktfx5"),
+      ("kqfx1", "kqfx2"), ("kqfx1", "kqfx3"), ("kqfx1", "kqfx4"),
+      ("kqfx2", "kqfx3"), ("kqfx2", "kqfx4"), ("kqfx3", "kqfx4"))
+      .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    def supportBlock(r: Int, src: String): String =
+      s"""dg$r AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM $src UNION ALL SELECT b FROM $src) u GROUP BY 1),
+        ori$r AS MATERIALIZED (
+          SELECT
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS w,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS dw
+          FROM $src e JOIN dg$r da ON e.a = da.v JOIN dg$r db ON e.b = db.v),
+        wed$r AS (
+          SELECT e1.u AS t1, e1.w AS t2, e2.w AS t3
+          FROM ori$r e1 JOIN ori$r e2 ON e1.u = e2.u AND
+            (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+        tri$r AS MATERIALIZED (
+          SELECT t1, t2, t3 FROM wed$r JOIN ori$r o ON wed$r.t2 = o.u AND wed$r.t3 = o.w),
+        sup$r AS MATERIALIZED (
+          SELECT a, b, COUNT(*) AS support FROM (
+            SELECT least(t1, t2) AS a, greatest(t1, t2) AS b FROM tri$r
+            UNION ALL SELECT least(t1, t3) AS a, greatest(t1, t3) AS b FROM tri$r
+            UNION ALL SELECT least(t2, t3) AS a, greatest(t2, t3) AS b FROM tri$r) c
+          GROUP BY 1, 2)"""
+    val peels = (1 to rounds).map { r =>
+      s"""${supportBlock(r, s"e${r - 1}")},
+        e$r AS MATERIALIZED (
+          SELECT e.a, e.b FROM e${r - 1} e
+          JOIN sup$r s ON s.a = e.a AND s.b = e.b
+          WHERE s.support >= ${k - 2})"""
+    }.mkString(",\n        ")
+    s"""
+        WITH ${Text.toksCte},
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        cooc AS (
+          SELECT a.term AS src, b.term AS dst, COUNT(*) AS cnt
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2),
+        alle AS (
+          SELECT src, dst FROM cooc WHERE cnt >= 20
+          UNION ALL SELECT * FROM (VALUES $fixtureVals) fx(src, dst)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM alle WHERE src <> dst),
+        $peels,
+        ${supportBlock(rounds + 1, s"e$rounds")}
+        SELECT e.a AS term_a, e.b AS term_b, COALESCE(s.support, 0) AS support
+        FROM e$rounds e LEFT JOIN sup${rounds + 1} s ON s.a = e.a AND s.b = e.b"""
   }
 
   /** Unrolled HITS oracle ([[Graphs.hits]], 4 rounds): per round,

@@ -262,6 +262,38 @@ class GraphsSpec extends SparkSpec {
     assert(!short.contains("z"))
   }
 
+  test("kTruss: triangle chain cascades away, K4 survives; depth bounded") {
+    // chain T{1,2,3}, T{2,3,4}, T{3,4,5}: outer edges have support 1 and
+    // drop in round 1; the shared edges (2,3), (3,4) then lose their
+    // triangles and drop in round 2 — full cascade. The K4 survives as
+    // its own 4-truss (every edge in 2 triangles).
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val k4 = Seq((6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val edges = (chain ++ k4).toDF("src", "dst")
+    val (truss, rounds) = Graphs.kTrussWithRounds(edges, k = 4)
+    val got = truss.as[(Long, Long, Long)].collect().toSet
+    assert(got == k4.map { case (a, b) => (a, b, 2L) }.toSet, got.toString)
+    assert(rounds == 2, s"expected cascade depth 2, got $rounds")
+    // the whole graph is its own 2-truss (support >= 0)
+    assert(Graphs.kTruss(edges, k = 2).count() == 13L)
+  }
+
+  test("q171's input peels within the oracle's unrolled margin") {
+    import org.apache.spark.sql.functions.col
+    val real = Graphs.coOccurrence(
+      graft.operators.TextPipeline.tokenize(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
+      .filter(col("cnt") >= 20).select(col("src"), col("dst"))
+    val fixture = (Seq(
+      ("ktfx1", "ktfx2"), ("ktfx1", "ktfx3"), ("ktfx2", "ktfx3"),
+      ("ktfx2", "ktfx4"), ("ktfx3", "ktfx4"),
+      ("ktfx3", "ktfx5"), ("ktfx4", "ktfx5"),
+      ("kqfx1", "kqfx2"), ("kqfx1", "kqfx3"), ("kqfx1", "kqfx4"),
+      ("kqfx2", "kqfx3"), ("kqfx2", "kqfx4"), ("kqfx3", "kqfx4"))).toDF("src", "dst")
+    val (_, rounds) = Graphs.kTrussWithRounds(real.union(fixture), k = 4)
+    assert(rounds <= 4, s"q171 oracle unrolls 4 rounds but the input needs $rounds")
+  }
+
   test("modularity: two clear clusters score high, one-community scores zero") {
     // two triangles joined by one bridge edge — the textbook 2-community graph
     val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
