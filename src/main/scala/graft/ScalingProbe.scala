@@ -353,7 +353,10 @@ object ScalingProbe {
       // assortativity: the q104-family edge/degree passes + a 1-row stat
       "q169_assortativity",
       // spell suggest: Heaps-bounded vocab frames + a length-banded join
-      "q170_spell_suggest")
+      "q170_spell_suggest",
+      // k-truss: per round one triangle enumeration (m^1.5 wedge join) +
+      // an edge-keyed support count — depth-bounded like q114
+      "q171_ktruss")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -385,7 +388,7 @@ object ScalingProbe {
       "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit",
       "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids",
       "q163_data_card", "q167_conversion_latency", "q168_reciprocity",
-      "q169_assortativity", "q170_spell_suggest")
+      "q169_assortativity", "q170_spell_suggest", "q171_ktruss")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
