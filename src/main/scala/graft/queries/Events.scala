@@ -1126,6 +1126,43 @@ object Events {
           round(CAST(SUM(latency) AS DOUBLE) / CAST(COUNT(latency) AS DOUBLE), 6) AS mean_latency_sec,
           MIN(latency) AS min_latency_sec, MAX(latency) AS max_latency_sec
         FROM lat GROUP BY 1"""),
+      bench = true),
+
+    // First-order Markov transition matrix over each user's event-type
+    // sequence — the behavioral model behind next-action prediction and
+    // anomalous-flow detection: consecutive (prev → next) pairs from
+    // per-USER ordered lags (calendar-bounded partitions, ties broken by
+    // event_id), counts row-normalized into transition probabilities.
+    // Integer counts → one ratio per cell; the matrix is |types|²-bounded.
+    QueryDef("q172_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        val pairs = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            epochTrunc("second", col("ts")).as("sec"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val cells = pairs.groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+        val rows = cells.groupBy(col("prev")).agg(sum(col("n")).as("row_n"))
+        cells.join(rows, "prev")
+          .select(col("prev"), col("next"), col("n"),
+            round(col("n").cast(DoubleType) / col("row_n").cast(DoubleType), 8).as("p"))
+      },
+      oracle = Some("""
+        WITH seqd AS (
+          SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+            event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS prev
+          FROM events),
+        cells AS (
+          SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2),
+        rn AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1)
+        SELECT c.prev, c.next, c.n,
+          round(CAST(c.n AS DOUBLE) / CAST(rn.row_n AS DOUBLE), 8) AS p
+        FROM cells c JOIN rn ON rn.prev = c.prev"""),
       bench = true)
   )
 
