@@ -356,7 +356,9 @@ object ScalingProbe {
       "q170_spell_suggest",
       // k-truss: per round one triangle enumeration (m^1.5 wedge join) +
       // an edge-keyed support count — depth-bounded like q114
-      "q171_ktruss")
+      "q171_ktruss",
+      // Markov transitions: per-user ordered lags + a |types|^2 cell count
+      "q172_markov_transitions")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -388,7 +390,8 @@ object ScalingProbe {
       "q157_rake_keyphrases", "q158_burstiness", "q159_zipf_fit",
       "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids",
       "q163_data_card", "q167_conversion_latency", "q168_reciprocity",
-      "q169_assortativity", "q170_spell_suggest", "q171_ktruss")
+      "q169_assortativity", "q170_spell_suggest", "q171_ktruss",
+      "q172_markov_transitions")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
