@@ -1163,6 +1163,62 @@ object Events {
         SELECT c.prev, c.next, c.n,
           round(CAST(c.n AS DOUBLE) / CAST(rn.row_n AS DOUBLE), 8) AS p
         FROM cells c JOIN rn ON rn.prev = c.prev"""),
+      bench = true),
+
+    // Item-item collaborative filtering over the user×item interaction
+    // matrix (props.k is the item; Sarwar et al., "Item-based
+    // collaborative filtering recommendation algorithms", WWW 2001):
+    // binary-set cosine sim(i, j) = |U_i ∩ U_j| / √(|U_i|·|U_j|), top-5
+    // neighbors per item — the classic recommender primitive. Candidate
+    // pairs come from the user-keyed inverted index (only items sharing a
+    // user ever pair — per-user item sets bound the fan-out, the q33
+    // blocking idea on interaction data); counts stay integer until one
+    // sqrt ratio; the neighbor window partitions per item (≤ |items| rows).
+    QueryDef("q173_item_cf",
+      (s, dir) => {
+        val ui = Tables(s, dir, "events")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+          .distinct()
+        val ni = ui.groupBy(col("item")).agg(count(lit(1)).as("n"))
+        val co = ui.as("a").join(ui.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("co"))
+        val sym = co.select(col("ia").as("item"), col("ib").as("nbr"), col("co"))
+          .union(co.select(col("ib").as("item"), col("ia").as("nbr"), col("co")))
+        sym
+          .join(ni.select(col("item"), col("n").as("n_item")), "item")
+          .join(ni.select(col("item").as("nbr"), col("n").as("n_nbr")), "nbr")
+          .select(col("item"), col("nbr"), col("co"),
+            round(col("co").cast(DoubleType) /
+              sqrt((col("n_item") * col("n_nbr")).cast(DoubleType)), 8).as("sim"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+            .orderBy(col("sim").desc, col("nbr").asc)).cast(LongType))
+          .filter(col("rk") <= 5)
+          .select(col("item"), col("nbr"), col("co"), col("sim"), col("rk"))
+      },
+      oracle = Some("""
+        WITH ui AS (
+          SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        ni AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY 1),
+        co AS (
+          SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+          FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT ia AS item, ib AS nbr, co FROM co
+          UNION ALL SELECT ib AS item, ia AS nbr, co FROM co),
+        scored AS (
+          SELECT s.item, s.nbr, s.co,
+            round(CAST(s.co AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 8) AS sim
+          FROM sym s JOIN ni na ON na.item = s.item JOIN ni nb ON nb.item = s.nbr)
+        SELECT item, nbr, co, sim,
+          CAST(row_number() OVER (PARTITION BY item ORDER BY sim DESC, nbr ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY item ORDER BY sim DESC, nbr ASC) <= 5"""),
       bench = true)
   )
 
