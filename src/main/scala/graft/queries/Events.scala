@@ -1219,6 +1219,65 @@ object Events {
           CAST(row_number() OVER (PARTITION BY item ORDER BY sim DESC, nbr ASC) AS BIGINT) AS rk
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY item ORDER BY sim DESC, nbr ASC) <= 5"""),
+      bench = true),
+
+    // RFM segmentation (Hughes' recency/frequency/monetary scoring, the
+    // standard customer-value grid): per user the days since last
+    // activity (vs the corpus horizon), purchase count, and EXACT DECIMAL
+    // purchase total, each banded on FIXED thresholds (no global
+    // quantile/sort pass — the bands are the analyst's declared contract,
+    // like every cap in this repo), then one rollup per (r, f, m) cell.
+    // Monetary comparisons band on the exact DECIMAL total, so no double
+    // boundary can flip a segment cross-engine; the cell mean is one
+    // ratio of exact quantities.
+    QueryDef("q174_rfm_segments",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+        val e = Tables(s, dir, "events")
+        val horizon = e.agg(max(col("ts").cast(DateType)).as("hmax"))
+        val perUser = e.groupBy(col("user_id"))
+          .agg(max(col("ts").cast(DateType)).as("last_d"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+            sum(when(col("event_type") === "purchase", col("value").cast(dec))
+              .otherwise(lit(0).cast(dec))).as("monetary"))
+          .crossJoin(broadcast(horizon))
+          .select(col("user_id"), col("n_purch"), col("monetary"),
+            datediff(col("hmax"), col("last_d")).cast(LongType).as("recency_days"))
+        perUser
+          .select(
+            when(col("recency_days") <= 7, 3L).when(col("recency_days") <= 14, 2L)
+              .otherwise(1L).as("r"),
+            when(col("n_purch") >= 20, 3L).when(col("n_purch") >= 5, 2L)
+              .otherwise(1L).as("f"),
+            when(col("monetary") >= lit(500).cast(dec), 3L)
+              .when(col("monetary") >= lit(100).cast(dec), 2L).otherwise(1L).as("m"),
+            col("monetary"))
+          .groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("monetary")), 4).cast(org.apache.spark.sql.types.DoubleType)
+              .as("total_monetary"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+        pu AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
+            SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,8))
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS monetary
+          FROM events GROUP BY 1),
+        scored AS (
+          SELECT
+            CASE WHEN date_diff('day', last_d, (SELECT hmax FROM h)) <= 7 THEN 3
+                 WHEN date_diff('day', last_d, (SELECT hmax FROM h)) <= 14 THEN 2
+                 ELSE 1 END AS r,
+            CASE WHEN n_purch >= 20 THEN 3 WHEN n_purch >= 5 THEN 2 ELSE 1 END AS f,
+            CASE WHEN monetary >= 500 THEN 3 WHEN monetary >= 100 THEN 2 ELSE 1 END AS m,
+            monetary
+          FROM pu)
+        SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+          COUNT(*) AS n_users,
+          CAST(round(SUM(monetary), 4) AS DOUBLE) AS total_monetary
+        FROM scored GROUP BY 1, 2, 3"""),
       bench = true)
   )
 
