@@ -361,7 +361,9 @@ object ScalingProbe {
       "q172_markov_transitions",
       // item CF: user-keyed inverted-index pair join over |items|-bounded
       // sets + a per-item neighbor window
-      "q173_item_cf")
+      "q173_item_cf",
+      // RFM: one user-keyed grouped pass + a 27-cell rollup
+      "q174_rfm_segments")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -394,7 +396,7 @@ object ScalingProbe {
       "q160_langid_confusion", "q161_type_entropy", "q162_unigram_ids",
       "q163_data_card", "q167_conversion_latency", "q168_reciprocity",
       "q169_assortativity", "q170_spell_suggest", "q171_ktruss",
-      "q172_markov_transitions", "q173_item_cf")
+      "q172_markov_transitions", "q173_item_cf", "q174_rfm_segments")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
