@@ -6,11 +6,26 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   *
   * Each query runs four times: a warm-up pass (JIT + codegen + page cache)
-  * and three timed passes, recording the MEDIAN — a single GC pause or
-  * scheduler stall in local mode can inflate one pass by multiples, and the
-  * median is robust to one outlier where min-of-2 still let a lucky/unlucky
-  * pair through. Execution materializes every output column through the noop
-  * sink, so projections can't be cheated away by a count-only plan.
+  * and three timed passes, recording the MEDIAN. The timed passes are
+  * INTERLEAVED round-robin across queries — pass 1 of every query, then
+  * pass 2 of every query, then pass 3 — so a sustained load window on the
+  * host (a noisy-neighbor VM stall spanning minutes) inflates every query's
+  * median a little instead of multiplying whichever single query the stall
+  * lands on. Three CONSECUTIVE passes are robust to a one-off GC pause but
+  * not to sustained external load: round 8 committed q116 at 10.19 s where
+  * an idle-box re-run of the identical binary measured 2.23 s, because all
+  * three of its passes sat inside one load window. With interleaving, the
+  * three medians of any query are separated by a full sweep of the set
+  * (~minutes), so a stall must persist across the whole run to bias one
+  * query — at which point it biases all of them equally and the relative
+  * picture survives.
+  *
+  * Execution materializes every output column through the noop sink, so
+  * projections can't be cheated away by a count-only plan. The JSON line is
+  * ALSO written to bench.json next to the working directory — round 8's
+  * driver artifact kept only a truncated 4 KB tail of the stdout line (59 of
+  * ~107 rows), so the artifact now survives log truncation (the
+  * Verify/failed.json lesson applied to the bench).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,29 +52,30 @@ object Bench {
     // driver runs it; with a subset, ANY catalog query can be timed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
-      .map { q =>
-      // LSA's factorization memo is session-scoped product behavior: a
-      // query needing components 1..k reuses whatever earlier queries
-      // extracted (q105 after q103 pays only phase 2). Each timed pass
-      // restores the memo to its PRE-warm-up state so the pass measures
-      // that marginal work — never a free hit on its own warm-up's entry.
-      // clearCache() below leaves the memo intact (checkpoint blocks are
-      // persisted RDDs, not catalog cache entries), so cross-QUERY sharing
-      // is exactly what a user session would see.
-      val memoSnap = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
-      def timedPass(): Double = {
-        ml.Lsa.restoreMemo(memoSnap._1); ml.Pca.restoreMemo(memoSnap._2); runOnce(q)
-      }
-      try {
-        runOnce(q) // warm-up: JIT, codegen cache, OS page cache
-        // median of three timed passes — robust to a single outlier pass
-        val ts = Array.fill(3)(timedPass()).sorted
-        q.name -> ts(1)
-      } catch {
+    val queries = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
+
+    // LSA/PCA factorization memos are session-scoped product behavior: a
+    // query needing components 1..k reuses whatever earlier queries
+    // extracted (q105 after q103 pays only phase 2). Each timed pass
+    // restores the memo to the query's PRE-warm-up state so the pass
+    // measures that marginal work — never a free hit on its own warm-up's
+    // entry. Caching.release()/clearCache() after every pass leaves the
+    // memos intact (checkpoint blocks are persisted RDDs, not catalog cache
+    // entries), so cross-QUERY sharing is exactly what a user session sees.
+    // Snapshots are taken in catalog order during the warm-up sweep, which
+    // runs in the same order as each timed sweep — a query's snapshot
+    // therefore reflects what the queries before it contributed, same as
+    // the pre-interleaving sequential bench.
+    val memoSnaps = scala.collection.mutable.Map.empty[String, (AnyRef, AnyRef)]
+    val failed = scala.collection.mutable.Set.empty[String]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+
+    def guarded(q: QueryDef)(body: => Unit): Unit =
+      try body
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          q.name -> -1.0
+          failed += q.name
       } finally {
         // release operator pins and drop all cached data between queries:
         // each query is measured against a clean cache, not against the
@@ -68,10 +84,31 @@ object Bench {
         Caching.release()
         spark.catalog.clearCache()
       }
+
+    // Warm-up sweep: JIT, codegen cache, OS page cache.
+    queries.foreach { q =>
+      memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+      guarded(q) { runOnce(q) }
+    }
+    // Three timed sweeps, round-robin: pass k of every query before pass
+    // k+1 of any. Median per query.
+    for (_ <- 1 to 3; q <- queries if !failed(q.name)) guarded(q) {
+      val (lsaSnap, pcaSnap) = memoSnaps(q.name)
+      ml.Lsa.restoreMemo(lsaSnap); ml.Pca.restoreMemo(pcaSnap)
+      times(q.name) = runOnce(q) :: times(q.name)
+    }
+
+    val results = queries.map { q =>
+      val ts = times(q.name).sorted
+      q.name -> (if (failed(q.name) || ts.size < 3) -1.0 else ts(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full artifact beside the run — stdout may be truncated.
+    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

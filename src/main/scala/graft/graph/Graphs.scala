@@ -547,7 +547,17 @@ object Graphs {
     * support INSIDE the truss (≥ k−2 by definition). */
   def kTruss(edges: DataFrame, k: Int): DataFrame = kTrussWithRounds(edges, k)._1
 
-  /** [[kTruss]] plus the peel-round count (spec: cascade-depth bound). */
+  /** [[kTruss]] plus the peel-round count (spec: cascade-depth bound).
+    *
+    * DELIBERATE deviation from the catalog's otherwise action-free plan
+    * discipline: the peel loop's fixpoint test is a driver-side `count()`
+    * per round (the `localCheckpoint` already materializes each round's
+    * edge set, so the count is a cached-RDD fold, not a recompute). A
+    * declared-horizon variant (the [[bfsHops]]/[[shortestPathsBounded]]
+    * stance) would trade the exact fixpoint for a caller-supplied round
+    * bound; k-truss convergence depth is data-dependent (peel cascades),
+    * so the exact test is kept and the cost — one O(partitions) job per
+    * round beyond the checkpoint — is accepted and documented here. */
   private[graft] def kTrussWithRounds(edges: DataFrame, k: Int): (DataFrame, Int) = {
     require(k >= 2, s"kTruss k must be >= 2, got $k")
     def supports(e: DataFrame): DataFrame = {
@@ -664,9 +674,20 @@ object Graphs {
     // lexicographic (cost, hops) order; K bounds the hops field
     val K = 1024L
     require(maxHops < K, s"maxHops must be < $K")
+    // Operator-contract guard, checked plan-side per row: a NEGATIVE cost
+    // silently corrupts the lexicographic packed MIN, and an accumulated
+    // path cost >= Long.MaxValue/K overflows the pack. Bounding each edge
+    // at (Long.MaxValue/K - 1)/maxHops makes the worst maxHops-edge path
+    // unable to overflow. raise_error fires on first violation.
+    val maxCost = (Long.MaxValue / K - 1) / math.max(maxHops, 1).toLong
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"),
         col("cost").cast(org.apache.spark.sql.types.LongType).as("cost"))
+      .withColumn("cost",
+        when(col("cost").between(0L, maxCost), col("cost"))
+          .otherwise(raise_error(concat(
+            lit(s"shortestPathsBounded: edge cost outside [0, $maxCost]: "),
+            col("cost").cast("string")))))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("cost")).as("cost"))
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b"), col("cost")))

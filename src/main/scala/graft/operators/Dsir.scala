@@ -86,7 +86,10 @@ object Dsir {
           .cast(LongType).as("h"))
       .select(col("doc_id"),
         round(col("logw") +
-          round(-log(-log((col("h").cast(DoubleType) + lit(1.0d)) / lit(281474976710656.0d))), 10),
+          // u = (h + 0.5) / 2^48 keeps u strictly inside (0,1): with +1 the
+          // 48-bit hash 2^48-1 maps to u = 1.0 exactly and -ln(-ln u) = +Inf,
+          // a degenerate always-wins draw (oracle literal matches).
+          round(-log(-log((col("h").cast(DoubleType) + lit(0.5d)) / lit(281474976710656.0d))), 10),
           8).as("key"))
     keyed.as[(Long, Double)]
       .groupByKey(_ => 0)

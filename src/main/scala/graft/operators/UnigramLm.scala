@@ -104,10 +104,20 @@ object UnigramLm {
     * smoothing) and logp = round(ln((c+1)/(N+V)), 10). */
   def train(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
             rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
     val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    trainOn(words, subs, rounds, minSeedCount)
+  }
+
+  /** [[train]] on PRE-BUILT (words, subs) frames: callers that also need
+    * the frames downstream ([[encodePieces]], [[segment]]) build and
+    * checkpoint them ONCE and share — the first cut rebuilt and
+    * re-checkpointed both inside train, doubling the seeding work per
+    * q142/q162 run. */
+  private def trainOn(words: DataFrame, subs: DataFrame,
+                      rounds: Int, minSeedCount: Long): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // seed counts: every substring occurrence weighted by word frequency
     val c0 = subs.join(words, "word").groupBy(col("piece"))
       .agg(sum(col("cnt")).as("c"))
@@ -247,10 +257,10 @@ object UnigramLm {
     * surface [[segment]] aggregates into readable segmentations. */
   def encodePieces(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
                    rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
+    require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
     val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
-    val model = train(docs, maxWordLen, maxPieceLen, rounds, minSeedCount)
-    viterbi(words, subs, model)
+    viterbi(words, subs, trainOn(words, subs, rounds, minSeedCount))
   }
 
   /** Viterbi segmentation of every distinct corpus word under the trained
@@ -260,8 +270,10 @@ object UnigramLm {
     * corrupting the corpus). */
   def segment(docs: DataFrame, maxWordLen: Int = 12, maxPieceLen: Int = 4,
               rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
+    require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    encodePieces(docs, maxWordLen, maxPieceLen, rounds, minSeedCount)
+    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    viterbi(words, subs, trainOn(words, subs, rounds, minSeedCount))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_pieces"),
         array_join(transform(array_sort(collect_list(struct(col("p"), col("piece")))),

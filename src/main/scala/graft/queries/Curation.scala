@@ -2419,7 +2419,7 @@ object Curation {
           SELECT doc_id,
             round(logw + round(-ln(-ln(
               (CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
-                + 1.0) / 281474976710656.0)), 10), 8) AS dsir_key
+                + 0.5) / 281474976710656.0)), 10), 8) AS dsir_key
           FROM w)
         SELECT doc_id, round(dsir_key, 8) AS dsir_key FROM keyed
         QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id ASC) <= 100"""),

@@ -158,6 +158,22 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("Window"), phys.take(2000))
   }
 
+  test("q17/q43 global rank+limit plan as TakeOrderedAndProject, not a global sort") {
+    // T4 at scale: orderBy + limit must fuse into TakeOrderedAndProject —
+    // per-partition bounded heaps, one k-row merge at the driver — never an
+    // Exchange-then-global-Sort of the full frame ahead of the limit. The
+    // guard is the cheap sibling of the no-Window guards: if a refactor
+    // splits the sort from the limit (e.g. a barrier between them), the
+    // physical plan regresses to a rangepartitioning Sort and this fails.
+    for (q <- Seq("q17_top_users", "q43_top_ranked")) {
+      val phys = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }
+      assert(phys.contains("TakeOrderedAndProject"), s"$q\n" + phys.take(2000))
+      assert(!phys.contains("rangepartitioning"), s"$q\n" + phys.take(2000))
+    }
+  }
+
   test("q143 basket rules: row-local pairs, broadcast singles, no self-join of items") {
     val phys = Caching.scoped {
       SparkEntry.queries("q143_basket_rules")(spark, dir)
