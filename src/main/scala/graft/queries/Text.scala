@@ -954,7 +954,21 @@ object Text {
     * read by two successors (the q81 lesson). */
   private def unigramSql(rounds: Int, fin: String,
                          lastRoundSegOnly: Boolean = false, soft: Boolean = false,
-                         maxWordLen: Int = 12, maxPieceLen: Int = 4): String = {
+                         maxWordLen: Int = 12, maxPieceLen: Int = 4): String =
+    s"""
+        WITH $toksCte,
+        ${unigramBody(rounds, lastRoundSegOnly, soft, maxWordLen, maxPieceLen)}
+        $fin"""
+
+  /** [[unigramSql]]'s CTE chain without the WITH/toks prelude or the final
+    * SELECT, for composition into larger oracles: the q175 capstone trains
+    * the tokenizer on the PIPELINE SURVIVORS, so its word counts must read
+    * a filtered token relation, not the whole corpus — `tokSource` names
+    * the (doc_id, term) relation the `words` CTE reads. */
+  private[queries] def unigramBody(rounds: Int,
+      lastRoundSegOnly: Boolean = false, soft: Boolean = false,
+      maxWordLen: Int = 12, maxPieceLen: Int = 4,
+      tokSource: String = "toks"): String = {
     val P = maxWordLen
     // soft-EM round: forward α chain, backward β chain (both through the
     // deterministic log-sum-exp ladder), lattice posteriors, fractional
@@ -1061,10 +1075,8 @@ object Text {
         if (r == rounds && lastRoundSegOnly) vit else s"$vit,\n        ${modelCte(r)}"
       }
     }.mkString(",\n        ")
-    s"""
-        WITH $toksCte,
-        words AS MATERIALIZED (
-          SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+    s"""words AS MATERIALIZED (
+          SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM $tokSource
           WHERE length(term) BETWEEN 1 AND $P GROUP BY 1),
         gi AS (SELECT UNNEST(generate_series(1, $P)) AS i),
         gj AS (SELECT UNNEST(generate_series(1, $maxPieceLen)) AS j),
@@ -1083,7 +1095,6 @@ object Text {
             round(ln(CAST(c + 1 AS DOUBLE) /
               CAST((SELECT SUM(c) FROM spc) + (SELECT COUNT(*) FROM spc) AS DOUBLE)), 10) AS logp
           FROM spc),
-        $roundCtes
-        $fin"""
+        $roundCtes"""
   }
 }

@@ -174,6 +174,20 @@ class CurationPlanSpec extends SparkSpec {
     }
   }
 
+  test("q175 capstone: no cartesian product; packing window bounded, rates broadcast") {
+    // six composed stages must keep their individual plan disciplines: the
+    // only Window is the (lang, shard)-bounded packing sum (q75's shape),
+    // pair generation stays the banded equi join, and the rate table joins
+    // back by broadcast — a cartesian or sort-merge regression in any stage
+    // surfaces here even though each stage has its own guard
+    val phys = Caching.scoped {
+      SparkEntry.queries("q175_pretrain_pipeline")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+  }
+
   test("q143 basket rules: row-local pairs, broadcast singles, no self-join of items") {
     val phys = Caching.scoped {
       SparkEntry.queries("q143_basket_rules")(spark, dir)
