@@ -92,9 +92,15 @@ object Bench {
     }
     // Three timed sweeps, round-robin: pass k of every query before pass
     // k+1 of any. Median per query.
+    // restoreMemoShared, NOT restoreMemo: with every query's snapshot
+    // live across the whole interleaved run, a releasing restore would
+    // unpersist checkpoint blocks other snapshots still reference
+    // (q105/q109/q119 died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when
+    // the interleaving first landed). Evicted components stay persisted
+    // until spark.stop() — bounded by snapshots × passes.
     for (_ <- 1 to 3; q <- queries if !failed(q.name)) guarded(q) {
       val (lsaSnap, pcaSnap) = memoSnaps(q.name)
-      ml.Lsa.restoreMemo(lsaSnap); ml.Pca.restoreMemo(pcaSnap)
+      ml.Lsa.restoreMemoShared(lsaSnap); ml.Pca.restoreMemoShared(pcaSnap)
       times(q.name) = runOnce(q) :: times(q.name)
     }
 

@@ -107,6 +107,20 @@ object Lsa {
     memo.putAll(restored)
   }
 
+  /** [[restoreMemo]] WITHOUT releasing evicted components' checkpoint
+    * blocks — for harnesses holding MANY interleaved snapshots at once
+    * (the round-robin [[graft.Bench]]): snapshot A may reference
+    * components that snapshot B's restore would evict, so a releasing
+    * restore poisons every other snapshot's blocks (the round-9
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure on q105/q109/q119).
+    * Evicted components stay persisted until session end — bounded by
+    * snapshots × passes, the bench's documented trade. */
+  def restoreMemoShared(snap: AnyRef): Unit = {
+    val restored = snap.asInstanceOf[java.util.HashMap[Key, Vector[Comp]]]
+    memo.clear()
+    memo.putAll(restored)
+  }
+
   /** cells: (doc_id, term, w), w ≥ 0. Returns (term, weight): the
     * unit-norm top right-singular vector, rounded to 8 dp. */
   def topSingular(cells: DataFrame, iterations: Int): DataFrame = {

@@ -110,6 +110,18 @@ object Pca {
     covMemo.clear(); covMemo.putAll(rCov)
   }
 
+  /** [[restoreMemo]] WITHOUT releasing evicted entries — see
+    * [[Lsa.restoreMemoShared]]: required when many snapshots are live at
+    * once (the interleaved Bench), where a releasing restore unpersists
+    * blocks other snapshots still reference. */
+  def restoreMemoShared(snap: AnyRef): Unit = {
+    val Array(cv, cm) = snap.asInstanceOf[Array[AnyRef]]
+    compMemo.clear()
+    compMemo.putAll(cm.asInstanceOf[java.util.HashMap[CompKey, Vector[Comp]]])
+    covMemo.clear()
+    covMemo.putAll(cv.asInstanceOf[java.util.HashMap[CovKey, Cov]])
+  }
+
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 

@@ -46,6 +46,14 @@ object Dsir {
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("f")), 1, 12), 16, 10).cast(LongType) % buckets).as("b"))
 
+  /** The hashed-feature occurrence rows alone — (doc_id, b), one row per
+    * unigram/bigram occurrence — for consumers beyond DSIR (the q176
+    * hashed-feature classifier shares this exact feature space). */
+  def hashedFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    features(docs, lit(false), buckets).select(col("doc_id"), col("b"))
+  }
+
   /** Per-document DSIR log importance weight over the hashed-n-gram models:
     * (doc_id, n_feats, logw). `isTarget` marks the target slice WITHIN
     * `docs` (the usual deployment fits the target model on a separate

@@ -324,19 +324,33 @@ object Curation {
              CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE),
              CAST(least(n_tokens, 100) AS DOUBLE)/100.0] AS x,
             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-          FROM per_doc),
-        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
-        w0 AS (SELECT CAST(UNNEST(range(0, $dims)) AS INT) AS pos, 0.0 AS w)"""
+          FROM per_doc)"""
+    (head +: Seq(lrRoundCtes("feat", dims, lr, iterations))).mkString(",\n        ")
+  }
+
+  /** The GD rounds of [[lrCtes]] alone, parameterized by the feature CTE
+    * (`featCte` must provide (id, x LIST<DOUBLE> of `dims` elems, y)) —
+    * shared by the engineered-feature q96/q97 head and the hashed-feature
+    * q176 head. Round r: 10-dp sigmoid over the 12-dp margin, per-feature
+    * gradient sums through DECIMAL(30,12), 12-dp updates — the exact
+    * [[graft.ml.Logistic.train]] ladder. */
+  private def lrRoundCtes(featCte: String, dims: Int, lr: String, iterations: Int): String = {
+    // MATERIALIZED is load-bearing (the bpeTrainSql lesson): each w_{r-1}
+    // is referenced twice (the wa list and the w_r update), so DuckDB's
+    // default CTE inlining doubles the plan per round — 2^8 was tolerable
+    // on q96's 4-dim tree, 2^16 on q176's 257-dim tree hung the oracle.
+    val head = s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $featCte),
+        w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, $dims)) AS INT) AS pos, 0.0 AS w)"""
     val rounds = (1 to iterations).map { r =>
-      s"""wa${r - 1} AS (SELECT list(w ORDER BY pos) AS wv FROM w${r - 1}),
-        p$r AS (SELECT id, x, y,
+      s"""wa${r - 1} AS MATERIALIZED (SELECT list(w ORDER BY pos) AS wv FROM w${r - 1}),
+        p$r AS MATERIALIZED (SELECT id, x, y,
             round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS p
-          FROM feat, wa${r - 1}),
-        g$r AS (SELECT u.pos,
+          FROM $featCte, wa${r - 1}),
+        g$r AS MATERIALIZED (SELECT u.pos,
             CAST(SUM(CAST(round((p - y) * x[u.pos + 1], 12) AS DECIMAL(30,12))) AS DOUBLE) AS s
           FROM p$r, (SELECT CAST(UNNEST(range(0, $dims)) AS INT) AS pos) u
           GROUP BY u.pos),
-        w$r AS (SELECT w.pos, round(w.w - $lr * (g.s / nn.n), 12) AS w
+        w$r AS MATERIALIZED (SELECT w.pos, round(w.w - $lr * (g.s / nn.n), 12) AS w
           FROM w${r - 1} w JOIN g$r g USING (pos), nn)"""
     }
     (head +: rounds).mkString(",\n        ")
@@ -2598,6 +2612,82 @@ object Curation {
         SELECT lang, shard, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
         FROM cum GROUP BY 1, 2, 3"""),
+      bench = true),
+
+    // Hashed-feature quality classifier — the fastText shape (Joulin et
+    // al. 2016, "Bag of Tricks for Efficient Text Classification"), the
+    // classifier family CCNet/RefinedWeb actually deploy for quality/
+    // domain gating: unigrams+bigrams hashed into B buckets (the hashing
+    // trick — DSIR's exact feature space, q135's ladder), per-doc
+    // occurrence counts normalized to frequencies, and a logistic head
+    // trained by the q96 full-batch GD. Where q96/q97's four ENGINEERED
+    // features top out at a 0.43-0.45 score band, the hashed features let
+    // the model key on actual vocabulary. Shape at scale: the feature
+    // frame is (docs · B)-sparse with dense (B+1)-vectors built ROW-LOCALLY
+    // from a per-doc count map; training shuffles n·(B+1) gradient terms
+    // per round, map-side combined onto B+1 cells; scoring is one
+    // broadcast. The ENTIRE chain — hashing, normalization, every GD
+    // round, the sigmoid — replays as CTEs. Output: per-doc score,
+    // prediction, truth, correctness (an evaluated classifier, q160's
+    // stance).
+    QueryDef("q176_hashed_lr_filter",
+      (s, dir) => {
+        val B = 256
+        val hb = graft.operators.Dsir.hashedFeatures(docs(s, dir), B)
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        val feats = hb.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"),
+            map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id").as("id"),
+            concat(array(lit(1.0d)),
+              transform(sequence(lit(0), lit(B - 1)),
+                b => round(lit(256.0d) *
+                  coalesce(element_at(col("m"), b.cast("long")), lit(0L)).cast("double") /
+                  col("n").cast("double"), 10))).as("x"),
+            when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"))
+        val wts = graft.ml.Logistic.train(feats, lr = 0.1, iterations = 16)
+        graft.ml.Logistic.score(feats, wts)
+          .join(feats.select(col("id"), col("y")), "id")
+          .select(col("id"), col("score"),
+            (col("score") >= lit(0.5d)).as("pred"),
+            col("y"),
+            ((col("score") >= lit(0.5d)) === (col("y") === lit(1.0d))).as("correct"))
+      },
+      oracle = Some(s"""
+        WITH hfs AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        hfr AS (
+          SELECT doc_id, UNNEST(list_concat(
+            list_transform(tk, w -> 'u:' || w),
+            list_transform(generate_series(1, len(tk) - 1), i -> 'b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+          FROM hfs WHERE len(tk) > 0),
+        hfh AS MATERIALIZED (
+          SELECT doc_id, CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 256 AS b
+          FROM hfr),
+        hb AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM hfh GROUP BY 1, 2),
+        hdense AS (
+          SELECT n.doc_id, gb.b,
+            round(256.0 * CAST(COALESCE(hb.c, 0) AS DOUBLE) / CAST(n.n AS DOUBLE), 10) AS v
+          FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hb GROUP BY 1) n
+          CROSS JOIN (SELECT UNNEST(range(0, 256)) AS b) gb
+          LEFT JOIN hb ON hb.doc_id = n.doc_id AND hb.b = gb.b),
+        feat AS MATERIALIZED (
+          SELECT hd.doc_id AS id,
+            [CAST(1.0 AS DOUBLE)] || list(v ORDER BY b) AS x,
+            CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM hdense hd JOIN documents d ON d.doc_id = hd.doc_id
+          GROUP BY hd.doc_id, d.lang),
+        ${lrRoundCtes("feat", 257, "0.1", 16)},
+        waf AS (SELECT list(w ORDER BY pos) AS wv FROM w16)
+        SELECT id,
+          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS score,
+          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5 AS pred,
+          y,
+          (round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5) = (y = 1.0) AS correct
+        FROM feat, waf"""),
       bench = true)
   )
 

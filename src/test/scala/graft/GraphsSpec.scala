@@ -262,6 +262,19 @@ class GraphsSpec extends SparkSpec {
     assert(!short.contains("z"))
   }
 
+  test("shortestPathsBounded: negative edge cost is refused plan-side") {
+    // a negative cost would silently corrupt the lexicographic packed MIN;
+    // the operator guards it with a per-row raise_error
+    val bad = Seq(("s", "x", -1L)).toDF("src", "dst", "cost")
+    val e = intercept[Exception] {
+      Graphs.shortestPathsBounded(bad, Seq("s").toDF("v"), maxHops = 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("edge cost outside")), e.toString)
+  }
+
   test("kTruss: triangle chain cascades away, K4 survives; depth bounded") {
     // chain T{1,2,3}, T{2,3,4}, T{3,4,5}: outer edges have support 1 and
     // drop in round 1; the shared edges (2,3), (3,4) then lose their
