@@ -675,4 +675,104 @@ object Multimodal {
       it.map(r => (r.media_id, r.kind, resizeImage(r.content, outW, outH).orNull))
     }.toDF("media_id", "kind", "image")
   }
+
+  /** Encode raw interleaved-RGB pixels as an uncompressed 24-bit
+    * BITMAPINFOHEADER BMP — the inverse of [[rasterBmp]] (bottom-up rows,
+    * 4-byte row padding). `rgb(i)` yields interleaved R,G,B for `w*h`
+    * pixels. Round-trip `rasterBmp(encodeBmp(w, h, f))` is pixel-identical,
+    * which is what lets a catalog query drive the REAL byte-level
+    * encode→decode path while its DuckDB oracle replays only the pixel
+    * arithmetic: any drift in either codec flips the query hash. */
+  def encodeBmp(w: Int, h: Int, rgb: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"BMP dims must be positive, got ${w}x$h")
+    val rowBytes = (3 * w + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, size); p32(10, 54) // file size, pixel-data offset
+    p32(14, 40); p32(18, w); p32(22, h) // BITMAPINFOHEADER, positive h = bottom-up
+    p16(26, 1); p16(28, 24); p32(30, 0) // 1 plane, 24 bpp, BI_RGB
+    p32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        // disk order is BGR
+        out(base + 3 * x) = rgb(p + 2).toByte
+        out(base + 3 * x + 1) = rgb(p + 1).toByte
+        out(base + 3 * x + 2) = rgb(p).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit average-hash (aHash) perceptual image fingerprint: decode the
+    * raster, partition it into an 8×8 grid of pixel blocks (pixel x maps to
+    * block bx = ⌊8x/w⌋, likewise y), and set bit
+    * p = by·8 + bx iff the block's integer-luma sum is strictly above the
+    * image mean — compared by exact cross-multiplication
+    * `blockSum · totalPixels > totalSum · blockPixels`, so no division and
+    * no float enters the hash. Luma is the same integer Rec.601 form the
+    * feature kernel uses: (299·r + 587·g + 114·b) / 1000.
+    *
+    * Output: (media_id, width, height, h_hi, h_lo, b0..b3) — the hash as
+    * two 32-bit halves (bits 32..63 / 0..31, both nonneg in a LONG) plus
+    * its four 16-bit LSH bands for banded Hamming candidate joins (b0 =
+    * lowest 16 bits). Non-raster payloads are dropped (dedup over images
+    * only — the caller filters kinds upstream if it wants an error path).
+    *
+    * At scale this is the image twin of SimHash dedup (q35): the hash is a
+    * per-row scan product, candidates come from 4 band equi joins, and the
+    * ≤64-bit Hamming check runs only on band-colliding pairs — never
+    * all-pairs. */
+  def imageAHash(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRaster(r.content).map { case (w, h, rgb) =>
+          val blockSum = new Array[Long](64)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = 3 * (y * w + x)
+              val l = (299 * rgb(p) + 587 * rgb(p + 1) + 114 * rgb(p + 2)) / 1000
+              blockSum(by * 8 + (x * 8 / w)) += l
+              totalSum += l
+              x += 1
+            }
+            y += 1
+          }
+          val totalPx = w.toLong * h
+          var hi = 0L; var lo = 0L
+          var p = 0
+          while (p < 64) {
+            val bx = p % 8; val by = p / 8
+            // block pixel count: #{x : ⌊8x/w⌋ = bx} = ⌈(bx+1)w/8⌉ − ⌈bx·w/8⌉
+            // (ceil bounds — floor bounds disagree when 8 ∤ w, e.g. w=10)
+            val x0 = (bx * w + 7) / 8; val x1 = ((bx + 1) * w + 7) / 8
+            val y0 = (by * h + 7) / 8; val y1 = ((by + 1) * h + 7) / 8
+            val blockPx = (x1 - x0).toLong * (y1 - y0)
+            if (blockPx > 0 && blockSum(p) * totalPx > totalSum * blockPx) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          (r.media_id, w, h, hi, lo,
+            lo & 0xffffL, (lo >> 16) & 0xffffL, hi & 0xffffL, (hi >> 16) & 0xffffL)
+        }
+      }
+    }.toDF("media_id", "width", "height", "h_hi", "h_lo", "b0", "b1", "b2", "b3")
+  }
 }

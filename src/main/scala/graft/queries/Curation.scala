@@ -2688,6 +2688,103 @@ object Curation {
           y,
           (round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5) = (y = 1.0) AS correct
         FROM feat, waf"""),
+      bench = true),
+
+    // Image perceptual-hash dedup — the multimodal twin of SimHash text
+    // dedup (q35): every document gets a deterministic 16×16 synthetic
+    // photo (groups of 5 docs share a base image; members 1–4 carry a
+    // 3-pixel perturbation — the fixture, generated in-plan), the plan
+    // encodes it through the REAL byte-level BMP writer, decodes it back
+    // through the REAL BMP parser, and fingerprints the raster with the
+    // 64-bit average hash (aHash: 8×8 block-luma vs image mean, exact
+    // integer cross-multiplication — imagehash's classic algorithm).
+    // Near-duplicates surface by 4×16-bit LSH banding + Hamming ≤ 10 on
+    // band-colliding pairs only — never all-pairs. The oracle replays the
+    // PIXEL arithmetic (formula → luma → blocks → bits → bands → Hamming)
+    // but NOT the codec: any drift in encodeBmp, rasterBmp, or the hash
+    // kernel flips the committed hash, so the byte-level round trip is
+    // oracle-gated, not just spec-pinned. Shape at scale: hash is a
+    // per-row scan product (decode batched per partition), candidates come
+    // from 4 equi joins on (band, value), Hamming runs on collisions only;
+    // production callers bound degenerate buckets exactly like q34's
+    // maxBucketSize cap.
+    QueryDef("q177_image_ahash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+          val g = id / 5; val m = id % 5
+          val rgb: Int => Int = { i =>
+            val p = i / 3; val c = i % 3; val x = p % 16; val y = p / 16
+            val v0 = ((g * 37 + x * 13 + y * 29 + c * 71 +
+              g * (x + 2 * y + c)) % 256).toInt
+            if (m > 0 && (x + 16 * y) % 97 == m) (v0 + 128) % 256 else v0
+          }
+          Multimodal.MediaRecord(id, "bmp",
+            Multimodal.encodeBmp(16, 16, rgb), Map.empty)
+        }
+        val hv = Multimodal.imageAHash(media)
+        val bands = hv.select(col("media_id"), explode(array(
+            struct(lit(0L).as("t"), col("b0").as("bv")),
+            struct(lit(1L).as("t"), col("b1").as("bv")),
+            struct(lit(2L).as("t"), col("b2").as("bv")),
+            struct(lit(3L).as("t"), col("b3").as("bv")))).as("b"))
+          .select(col("media_id"), col("b.t").as("t"), col("b.bv").as("bv"))
+        val cand = bands.as("ba").join(bands.as("bb"), Seq("t", "bv"))
+          .filter(col("ba.media_id") < col("bb.media_id"))
+          .select(col("ba.media_id").as("doc_a"), col("bb.media_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(hv.select(col("media_id").as("doc_a"),
+            col("h_hi").as("hi_a"), col("h_lo").as("lo_a")), "doc_a")
+          .join(hv.select(col("media_id").as("doc_b"),
+            col("h_hi").as("hi_b"), col("h_lo").as("lo_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+              .cast(org.apache.spark.sql.types.LongType).as("hamming"))
+          .filter(col("hamming") <= 10)
+      },
+      oracle = Some("""
+        WITH ids AS (SELECT doc_id AS id, doc_id // 5 AS g, doc_id % 5 AS m FROM documents),
+        px AS (
+          SELECT id, g, m, p % 16 AS x, p // 16 AS y
+          FROM ids, UNNEST(range(256)) AS tp(p)),
+        lum AS (
+          SELECT id, (x // 2) + 8 * (y // 2) AS bp,
+            (299 * v0 + 587 * v1 + 114 * v2) // 1000 AS l
+          FROM (
+            SELECT id, x, y,
+              MAX(CASE WHEN c = 0 THEN v END) AS v0,
+              MAX(CASE WHEN c = 1 THEN v END) AS v1,
+              MAX(CASE WHEN c = 2 THEN v END) AS v2
+            FROM (
+              SELECT id, x, y, c,
+                CASE WHEN m > 0 AND (x + 16 * y) % 97 = m
+                  THEN ((g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 + 128) % 256
+                  ELSE (g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 END AS v
+              FROM px, UNNEST([0, 1, 2]) AS tc(c)) ch
+            GROUP BY id, x, y) pix),
+        blocks AS (SELECT id, bp, CAST(SUM(l) AS BIGINT) AS bsum FROM lum GROUP BY 1, 2),
+        tot AS (SELECT id, CAST(SUM(l) AS BIGINT) AS tsum FROM lum GROUP BY 1),
+        bits AS (
+          SELECT b.id, b.bp, CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS bit
+          FROM blocks b JOIN tot t ON b.id = t.id),
+        halves AS (
+          SELECT id,
+            CAST(SUM(CASE WHEN bp < 32 THEN bit * (1::BIGINT << bp) ELSE 0 END) AS BIGINT) AS h_lo,
+            CAST(SUM(CASE WHEN bp >= 32 THEN bit * (1::BIGINT << (bp - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+          FROM bits GROUP BY 1),
+        bands AS (
+          SELECT id, t, CASE t WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+            WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bv
+          FROM halves, UNNEST([0, 1, 2, 3]) AS tt(t)),
+        cand AS (
+          SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+          FROM bands a JOIN bands b ON a.t = b.t AND a.bv = b.bv AND a.id < b.id)
+        SELECT c.doc_a, c.doc_b,
+          CAST(bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming
+        FROM cand c JOIN halves ha ON ha.id = c.doc_a JOIN halves hb ON hb.id = c.doc_b
+        WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 10"""),
       bench = true)
   )
 

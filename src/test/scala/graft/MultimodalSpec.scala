@@ -446,4 +446,70 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0)._3 != null && Multimodal.decodeRaster(rows(0)._3).isDefined)
     assert(rows(1)._3 == null)
   }
+
+  test("encodeBmp ∘ rasterBmp is pixel-identical, including padded odd widths") {
+    for ((w, h) <- Seq((16, 16), (10, 7), (1, 1), (3, 2))) {
+      val src: Int => Int = i => (i * 37 + 11) % 256
+      val bytes = Multimodal.encodeBmp(w, h, src)
+      // rows must be 4-byte padded: 54-byte header + stride*h exactly
+      assert(bytes.length == 54 + (3 * w + 3) / 4 * 4 * h, s"${w}x$h size")
+      val (dw, dh, rgb) = Multimodal.rasterBmp(bytes).get
+      assert(dw == w && dh == h)
+      for (i <- 0 until 3 * w * h) assert(rgb(i) == src(i), s"${w}x$h px $i")
+    }
+  }
+
+  test("aHash: block partition matches the scan mapping when 8 does not divide w") {
+    // w=10: pixel→block mapping ⌊8x/10⌋ gives block sizes 2,1,1,1,2,1,1,1 —
+    // a gradient image's hash must use those counts, not ⌊bw/8⌋ bounds.
+    // Row-gradient luma: every row identical, so exactly the right-luma
+    // half of the 8 columns (weighted by true block size) sets bits.
+    val w = 10; val h = 8
+    val img: Int => Int = i => { val x = (i / 3) % w; x * 25 }
+    val ds = Seq(MediaRecord(7L, "bmp", Multimodal.encodeBmp(w, h, img),
+      Map.empty[String, String])).toDS()
+    val r = Multimodal.imageAHash(ds).collect().head
+    val (hi, lo) = (r.getAs[Long]("h_hi"), r.getAs[Long]("h_lo"))
+    // brute-force reference with the same integer arithmetic
+    val lum = Array.tabulate(w)(x => (299 * x * 25 + 587 * x * 25 + 114 * x * 25) / 1000)
+    val bSum = Array.fill(8)(0L)
+    for (x <- 0 until w) bSum(x * 8 / w) += lum(x).toLong * h
+    val tSum = lum.map(_.toLong).sum * h
+    val bCnt = Array.tabulate(8)(bx => (((bx + 1) * w + 7) / 8 - (bx * w + 7) / 8).toLong * h)
+    var expHi = 0L; var expLo = 0L
+    for (p <- 0 until 64) {
+      val bx = p % 8
+      if (bSum(bx) * (w.toLong * h) > tSum * bCnt(bx)) {
+        if (p < 32) expLo |= 1L << p else expHi |= 1L << (p - 32)
+      }
+    }
+    assert(hi == expHi && lo == expLo)
+    // bands recompose the halves
+    assert(r.getAs[Long]("b0") == (lo & 0xffffL) && r.getAs[Long]("b1") == ((lo >> 16) & 0xffffL))
+    assert(r.getAs[Long]("b2") == (hi & 0xffffL) && r.getAs[Long]("b3") == ((hi >> 16) & 0xffffL))
+  }
+
+  test("aHash: a few-pixel perturbation stays Hamming-near, distinct images far") {
+    def hash(seed: Long, noise: Boolean): (Long, Long) = {
+      val img: Int => Int = i => {
+        val p = i / 3; val x = p % 16; val y = p / 16
+        val v = ((seed * 37 + x * 13 + y * 29 + seed * (x + 2 * y)) % 256).toInt
+        if (noise && (x + 16 * y) % 97 == 1) (v + 128) % 256 else v
+      }
+      val ds = Seq(MediaRecord(seed, "bmp", Multimodal.encodeBmp(16, 16, img),
+        Map.empty[String, String])).toDS()
+      val r = Multimodal.imageAHash(ds).collect().head
+      (r.getAs[Long]("h_hi"), r.getAs[Long]("h_lo"))
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = hash(3L, noise = false)
+    assert(ham(base, hash(3L, noise = true)) <= 6, "3 perturbed pixels span ≤3 blocks")
+    assert(ham(base, hash(4L, noise = false)) > 10, "different base images are far")
+    // non-raster rows are dropped, not errored
+    val mixed = Seq(
+      MediaRecord(1L, "bmp", Multimodal.encodeBmp(4, 4, _ => 9), Map.empty[String, String]),
+      MediaRecord(2L, "junk", Array[Byte](1, 2), Map.empty[String, String])).toDS()
+    assert(Multimodal.imageAHash(mixed).count() == 1L)
+  }
 }
