@@ -941,6 +941,92 @@ object Text {
               FROM seg3 GROUP BY 1) g
         JOIN words w USING (word)""",
         lastRoundSegOnly = true)),
+      bench = true),
+
+    // Closed-form ordinary least squares by the NORMAL EQUATIONS — the
+    // d²-shuffle regression the GD family (q96/q176) deliberately avoids
+    // iterating: one distributed pass accumulates the Gram matrix XᵀX and
+    // moment vector Xᵀy (d(d+1)/2 + d integer sums, map-side combined —
+    // the exchange carries d² partials, never n·d, the q116 covariance
+    // posture), then β = (XᵀX)⁻¹Xᵀy solves ON THE ONE-ROW FRAME by exact
+    // integer Cramer determinants (BigInt in-plan / HUGEINT in the
+    // oracle), published as 1e-6 fixed-point — no float enters the ladder,
+    // so the hash compare is trivially order-free. Model: n_chars ≈
+    // β₀ + β₁·n_tokens + β₂·n_distinct_tokens (the doc-length model a
+    // curation pipeline fits to flag outlier docs). Magnitude bound:
+    // Cramer numerators ≤ ~6·(Σx²)³ ≈ 1e30 at sf0.1, ×1e6 ≈ 1e36 <
+    // HUGEINT's 1.7e38 — the 1e-6 (not 1e-8) resolution is chosen
+    // exactly for that headroom.
+    QueryDef("q178_ols_normal_eq",
+      (s, dir) => {
+        import s.implicits._
+        val lng = org.apache.spark.sql.types.LongType
+        val tf = toks(s, dir).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("ntok"), countDistinct(col("term")).as("ndis"))
+        val f = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(tf, Seq("doc_id"), "left")
+          .select(col("n_chars").cast(lng).as("y"),
+            coalesce(col("ntok"), lit(0L)).as("x2"),
+            coalesce(col("ndis"), lit(0L)).as("x3"))
+        f.agg(
+            count(lit(1)).as("n"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+            sum(col("x2") * col("x2")).as("s22"), sum(col("x2") * col("x3")).as("s23"),
+            sum(col("x3") * col("x3")).as("s33"), sum(col("y")).as("sy"),
+            sum(col("x2") * col("y")).as("sy2"), sum(col("x3") * col("y")).as("sy3"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+          .map { case (n, s2, s3, s22, s23, s33, sy, sy2, sy3) =>
+            val (bn, b2, b3) = (BigInt(n), BigInt(s2), BigInt(s3))
+            val (b22, b23, b33) = (BigInt(s22), BigInt(s23), BigInt(s33))
+            val (by, by2, by3) = (BigInt(sy), BigInt(sy2), BigInt(sy3))
+            val det = bn * (b22 * b33 - b23 * b23) - b2 * (b2 * b33 - b23 * b3) +
+              b3 * (b2 * b23 - b22 * b3)
+            val n0 = by * (b22 * b33 - b23 * b23) - b2 * (by2 * b33 - b23 * by3) +
+              b3 * (by2 * b23 - b22 * by3)
+            val n1 = bn * (by2 * b33 - b23 * by3) - by * (b2 * b33 - b23 * b3) +
+              b3 * (b2 * by3 - by2 * b3)
+            val n2 = bn * (b22 * by3 - by2 * b23) - b2 * (b2 * by3 - by2 * b3) +
+              by * (b2 * b23 - b22 * b3)
+            // sign-normalized truncating division: BigInt / truncates toward
+            // zero on nonneg operands, exactly DuckDB's // on abs values
+            def e6(num: BigInt): Long = {
+              val q = num.abs * 1000000 / det.abs
+              (if ((num.signum < 0) != (det.signum < 0)) -q else q).toLong
+            }
+            (n, e6(n0), e6(n1), e6(n2))
+          }
+          .toDF("n", "b0_e6", "b1_e6", "b2_e6")
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        tf AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+            CAST(COUNT(DISTINCT term) AS BIGINT) AS ndis
+          FROM toks GROUP BY 1),
+        f AS (
+          SELECT d.n_chars AS y, COALESCE(tf.ntok, 0) AS x2, COALESCE(tf.ndis, 0) AS x3
+          FROM documents d LEFT JOIN tf USING (doc_id)),
+        s AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(x2) AS HUGEINT) AS s2, CAST(SUM(x3) AS HUGEINT) AS s3,
+            CAST(SUM(x2*x2) AS HUGEINT) AS s22, CAST(SUM(x2*x3) AS HUGEINT) AS s23,
+            CAST(SUM(x3*x3) AS HUGEINT) AS s33, CAST(SUM(y) AS HUGEINT) AS sy,
+            CAST(SUM(x2*y) AS HUGEINT) AS sy2, CAST(SUM(x3*y) AS HUGEINT) AS sy3
+          FROM f),
+        dets AS (
+          SELECT n,
+            n*(s22*s33 - s23*s23) - s2*(s2*s33 - s23*s3) + s3*(s2*s23 - s22*s3) AS det,
+            sy*(s22*s33 - s23*s23) - s2*(sy2*s33 - s23*sy3) + s3*(sy2*s23 - s22*sy3) AS n0,
+            n*(sy2*s33 - s23*sy3) - sy*(s2*s33 - s23*s3) + s3*(s2*sy3 - sy2*s3) AS n1,
+            n*(s22*sy3 - sy2*s23) - s2*(s2*sy3 - sy2*s3) + sy*(s2*s23 - s22*s3) AS n2
+          FROM s)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST(CASE WHEN (n0 < 0) <> (det < 0) THEN -(abs(n0)*1000000 // abs(det))
+               ELSE abs(n0)*1000000 // abs(det) END AS BIGINT) AS b0_e6,
+          CAST(CASE WHEN (n1 < 0) <> (det < 0) THEN -(abs(n1)*1000000 // abs(det))
+               ELSE abs(n1)*1000000 // abs(det) END AS BIGINT) AS b1_e6,
+          CAST(CASE WHEN (n2 < 0) <> (det < 0) THEN -(abs(n2)*1000000 // abs(det))
+               ELSE abs(n2)*1000000 // abs(det) END AS BIGINT) AS b2_e6
+        FROM dets"""),
       bench = true)
   )
 
