@@ -378,7 +378,21 @@ object ScalingProbe {
       // sets + a per-item neighbor window
       "q173_item_cf",
       // RFM: one user-keyed grouped pass + a 27-cell rollup
-      "q174_rfm_segments")
+      "q174_rfm_segments",
+      // image aHash dedup: per-partition encode+decode+hash scan, then 4
+      // band equi joins on the n-row hash frame — id-shift multiplies
+      // near-dup groups ×factor (group structure is doc_id-arithmetic, so
+      // each copy carries its own groups); text is unused, so the
+      // vocabgrow replica would measure the identical plan — id-shift only
+      "q177_image_ahash_dedup",
+      // closed-form OLS: one tokenize scan + nine map-side-combined sums
+      // into a 1-row solve — the ratio IS the scan ratio in both regimes
+      "q178_ols_normal_eq",
+      // hard-negative mining: anchors×corpus broadcast kernel through the
+      // bounded-heap TopK — the catalog anchor set grows with the corpus
+      // (the q37 caveat); at 100 TB anchors are a fixed minibatch and the
+      // corpus routes through IVF/PQ
+      "q179_hard_negatives")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -419,7 +433,10 @@ object ScalingProbe {
       // the new orders time-shift replica (longer history, constant
       // comparison windows)
       "q124_pq_codes", "q148_snapshot_diff", "q153_mmr_rerank",
-      "q164_ivfpq_topk", "q165_centroid_dists", "q166_ivfpq_rerank")
+      "q164_ivfpq_topk", "q165_centroid_dists", "q166_ivfpq_rerank",
+      // round-9 additions (q177 is id-shift-only: it never reads text;
+      // q179 rides the translated-copies embeddings replica)
+      "q178_ols_normal_eq", "q179_hard_negatives")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -141,6 +141,40 @@ object Similarity {
         (col("i") + 1).cast(LongType).as("rk"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining step
+    * of e.g. SBERT/DPR-style encoder training): for every anchor vector,
+    * the k most-cosine-similar corpus vectors whose LABEL DIFFERS — the
+    * near-misses that carry the training signal, where random negatives
+    * carry none. Same bounded-heap shape as [[bruteTopKAgg]] (at most k
+    * rows per anchor reach the shuffle), with the label-mismatch predicate
+    * applied BEFORE scoring so same-label pairs never enter the heap.
+    * Output: (q_id, q_label, n_id, sim, rk). At 100 TB the
+    * anchors are the current training minibatch (corpus-independent size)
+    * and the corpus side routes through the IVF/PQ index family
+    * (q50/q164) instead of the broadcast — this operator is the exact
+    * baseline those approximations are measured against. */
+  def hardNegativeTopK(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = anchors.sparkSession
+    import spark.implicits._
+    val q = anchors.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").cast("array<double>").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").cast("array<double>").as("n_vec"))
+    q.crossJoin(broadcast(c))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .as[(Long, Int, Long, Int, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => graft.ml.TopK.Scored(r._3, r._5))
+      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
+      .toDF("qk", "top")
+      .select(col("qk._1").as("q_id"), col("qk._2").as("q_label"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("q_label"), col("s.id").as("n_id"),
+        col("s.score").as("sim"), (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   /** Integer quantization of a double vector: floor(x·1e6 + 0.5) per element.
     * floor (not round/cast) because its tie behavior is identical in every
     * IEEE engine — the quantized vectors are bit-portable. */

@@ -2785,6 +2785,39 @@ object Curation {
           CAST(bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming
         FROM cand c JOIN halves ha ON ha.id = c.doc_a JOIN halves hb ON hb.id = c.doc_b
         WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 10"""),
+      bench = true),
+
+    // Hard-negative mining for contrastive encoder training (the SBERT/
+    // DPR batch-mining step): for every anchor in the "minibatch" (every
+    // 4th vector), the 3 most-cosine-similar vectors with a DIFFERENT
+    // label — the near-misses that carry training signal where random
+    // negatives carry none. Runs through the bounded-heap TopK Aggregator
+    // (at most k rows per anchor reach the shuffle — the q62 scale shape),
+    // with the label-mismatch predicate applied before scoring so
+    // same-label pairs never enter the heap. At 100 TB the anchor set is
+    // the minibatch (corpus-independent) and the corpus side routes
+    // through IVF/PQ (q50/q164); this exact form is the baseline those
+    // approximations are measured against.
+    QueryDef("q179_hard_negatives",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.hardNegativeTopK(e.filter(col("vec_id") % 4 === 0), e, k = 3)
+      },
+      oracle = Some("""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM emb WHERE vec_id % 4 = 0),
+        sims AS (
+          SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) END, 6) AS sim
+          FROM q CROSS JOIN emb c WHERE q.label <> c.label)
+        SELECT q_id, q_label, n_id, sim, rk FROM (
+          SELECT q_id, q_label, n_id, sim,
+            CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+          FROM sims) s
+        WHERE rk <= 3"""),
       bench = true)
   )
 

@@ -440,4 +440,27 @@ class DedupSimilaritySpec extends SparkSpec {
     val s12 = t(2).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq == Seq((11L, s11, 1L), (10L, s10, 2L), (12L, s12, 3L)), got.mkString(","))
   }
+
+  test("hardNegativeTopK: same-label near-misses excluded, ranks by cosine desc") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), // anchor
+      (2L, Array(0.99f, 0.1f), 0), // nearest overall but SAME label — excluded
+      (3L, Array(0.9f, 0.3f), 1), // hard negative: rank 1
+      (4L, Array(0.0f, 1.0f), 1), // orthogonal: rank 2
+      (5L, Array(-1.0f, 0.0f), 2) // opposite: rank 3, but k=2 cuts it
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegativeTopK(emb.filter(col("vec_id") === 1L), emb, k = 2)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 0, 3L, 1L), (1L, 0, 4L, 2L)), got.mkString(","))
+    // every anchor mines only cross-label rows — no self, no same-label
+    val all = Similarity.hardNegativeTopK(emb, emb, k = 4).collect()
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    all.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(2)),
+        s"same-label pair leaked: $r")
+    }
+    // anchor 1 (label 0) has exactly 3 cross-label candidates
+    assert(all.count(_.getLong(0) == 1L) == 3)
+  }
 }
