@@ -379,6 +379,14 @@ object ScalingProbe {
       "q173_item_cf",
       // RFM: one user-keyed grouped pass + a 27-cell rollup
       "q174_rfm_segments",
+      // composed pretraining capstone: six already-probed stages in ONE
+      // plan (MinHash dedup → decontam → ppl gate → rebalance → tokenize →
+      // pack) — the ratio should track the sum of its stage ratios
+      "q175_pretrain_pipeline",
+      // hashed-feature classifier: per GD round one n·(B+1) shuffle
+      // map-side combined onto 257 cells — both regimes should scan-scale
+      // (vocabgrow grows the hashed bigram stream linearly too)
+      "q176_hashed_lr_filter",
       // image aHash dedup: per-partition encode+decode+hash scan, then 4
       // band equi joins on the n-row hash frame — id-shift multiplies
       // near-dup groups ×factor (group structure is doc_id-arithmetic, so
@@ -388,6 +396,9 @@ object ScalingProbe {
       // closed-form OLS: one tokenize scan + nine map-side-combined sums
       // into a 1-row solve — the ratio IS the scan ratio in both regimes
       "q178_ols_normal_eq",
+      // WordPiece trainer: the q79 loop + one extra Heaps-bounded census
+      // shuffle per round — ratios should track q79's
+      "q180_wordpiece_train",
       // hard-negative mining: anchors×corpus broadcast kernel through the
       // bounded-heap TopK — the catalog anchor set grows with the corpus
       // (the q37 caveat); at 100 TB anchors are a fixed minibatch and the
@@ -436,7 +447,8 @@ object ScalingProbe {
       "q164_ivfpq_topk", "q165_centroid_dists", "q166_ivfpq_rerank",
       // round-9 additions (q177 is id-shift-only: it never reads text;
       // q179 rides the translated-copies embeddings replica)
-      "q178_ols_normal_eq", "q179_hard_negatives")
+      "q175_pretrain_pipeline", "q176_hashed_lr_filter",
+      "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

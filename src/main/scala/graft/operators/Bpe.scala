@@ -74,4 +74,62 @@ object Bpe {
     * rank order — reproduces the training segmentation for seen words). */
   def encode(tokens: Column, merges: Seq[Merge]): Column =
     BpeEncode(tokens, merges.sortBy(_.rank).map(m => (m.l, m.r)))
+
+  /** One trained WordPiece merge: `l`+`r` fuse at `rank`, selected with
+    * likelihood `score`. */
+  case class ScoredMerge(rank: Long, l: String, r: String, score: Double)
+
+  /** WordPiece-style trainer (Schuster & Nakajima, ICASSP 2012 — the BERT
+    * tokenizer's training objective as implemented by the HuggingFace
+    * `tokenizers` WordPiece trainer): identical loop shape to [[train]],
+    * but each round's merge maximizes the LIKELIHOOD score
+    * `count(l,r) / (count(l) · count(r))` instead of the raw pair count —
+    * a rare-symbol pair that almost always co-occurs beats a frequent
+    * pair of independently-frequent symbols. Per round this costs one
+    * extra vocabulary-frame shuffle (the per-symbol occurrence census);
+    * the score is one double division of exactly-representable integers
+    * rounded to 12 dp (the denominator multiplies AS DOUBLE so corpus
+    * totals past 2^31.5 cannot overflow a long product), so the argmax
+    * row — and with it the whole training trajectory — replays
+    * bit-identically in SQL. Merge application and the encode path are
+    * shared with BPE unchanged ([[BpeMergeStep]]/[[encode]]). */
+  def trainWordPiece(docs: DataFrame, textCol: Column,
+                     numMerges: Int): Seq[ScoredMerge] = {
+    val dbl = org.apache.spark.sql.types.DoubleType
+    var syms = docs.select(explode(Exprs.tokens(textCol)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), filter(split(col("word"), ""), c => c =!= "").as("syms"))
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[ScoredMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val symCnt = syms.select(explode(col("syms")).as("s"), col("cnt"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("cs"))
+      val best = syms
+        .select(col("cnt"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("la"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("ra"))
+        .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .join(symCnt.select(col("s").as("l"), col("cs").as("cl")), "l")
+        .join(symCnt.select(col("s").as("r"), col("cs").as("cr")), "r")
+        .select(col("l"), col("r"),
+          round(col("c").cast(dbl) / (col("cl").cast(dbl) * col("cr").cast(dbl)), 12)
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ScoredMerge(rank.toLong, l, r, best(0).getDouble(2))
+        syms = syms.withColumn("syms", BpeMergeStep(col("syms"), l, r))
+        if (rank % 4 == 0 && rank < numMerges)
+          syms = syms.localCheckpoint(eager = true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
 }

@@ -2818,6 +2818,28 @@ object Curation {
             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
           FROM sims) s
         WHERE rk <= 3"""),
+      bench = true),
+
+    // WordPiece-style tokenizer trainer (Schuster & Nakajima, ICASSP
+    // 2012 — the BERT tokenizer's objective, as the HuggingFace
+    // `tokenizers` WordPiece trainer implements it), completing the
+    // trainer trio: BPE merges by raw pair count (q79), unigram-LM prunes
+    // by EM likelihood (q141/q145), WordPiece merges by the likelihood
+    // ratio count(l,r)/(count(l)·count(r)) — a rare pair that always
+    // co-occurs beats a frequent pair of independently-frequent symbols.
+    // Same word-vocabulary-sized state and 1-row-per-round argmax as BPE;
+    // each round adds ONE vocabulary-frame shuffle (the symbol census).
+    // The score is a single double division of exact integers rounded to
+    // 12 dp, so every round's argmax — the whole trajectory — replays
+    // bit-identically as CTEs.
+    QueryDef("q180_wordpiece_train",
+      (s, dir) => {
+        import s.implicits._
+        Bpe.trainWordPiece(docs(s, dir), col("text"), BpeMergeRounds)
+          .toDF("rank", "l", "r", "score")
+      },
+      oracle = Some(wordPieceSql(BpeMergeRounds) + s"""
+        SELECT CAST(rank AS BIGINT) AS rank, l, r, score FROM merges"""),
       bench = true)
   )
 
@@ -3011,6 +3033,49 @@ object Curation {
     }.mkString(",", ",", "")
     val merges = (1 to rounds)
       .map(i => s"SELECT $i AS rank, l, r FROM b$i")
+      .mkString(",\n        merges AS (", " UNION ALL ", ")")
+    base + loop + merges
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainWordPiece]]:
+    * [[bpeTrainSql]]'s round triple plus a per-round symbol-occurrence
+    * census `s<i>`, with the argmax ordered by the WordPiece likelihood
+    * `round(c / (cs_l · cs_r), 12)` (both factors cast to DOUBLE before
+    * multiplying — the same overflow-safe form the Spark side uses) and
+    * the identical (score desc, l asc, r asc) tie-break. Merge application
+    * is byte-for-byte bpeTrainSql's list_reduce fold. Ends with `merges
+    * (rank, l, r, score)` open for the caller's final SELECT. */
+  private def wordPieceSql(rounds: Int): String = {
+    val base = """
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, t AS word FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              t -> t <> '')) AS t FROM documents)),
+        r0 AS MATERIALIZED (
+          SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
+          FROM toks GROUP BY word)"""
+    val loop = (1 to rounds).map { i =>
+      s"""
+        s$i AS MATERIALIZED (
+          SELECT s, CAST(SUM(cnt) AS BIGINT) AS cs
+          FROM (SELECT unnest(syms) AS s, cnt FROM r${i - 1}) u GROUP BY 1),
+        p$i AS MATERIALIZED (
+          SELECT syms[u.i] AS l, syms[u.i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        b$i AS MATERIALIZED (
+          SELECT p.l, p.r,
+            round(CAST(p.c AS DOUBLE) / (CAST(sl.cs AS DOUBLE) * CAST(sr.cs AS DOUBLE)), 12) AS score
+          FROM p$i p JOIN s$i sl ON sl.s = p.l JOIN s$i sr ON sr.s = p.r
+          ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1),
+        r$i AS MATERIALIZED (
+          SELECT word, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+              WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(1) || b.l))
+              THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS syms
+          FROM r${i - 1} LEFT JOIN b$i AS b ON TRUE)"""
+    }.mkString(",", ",", "")
+    val merges = (1 to rounds)
+      .map(i => s"SELECT $i AS rank, l, r, score FROM b$i")
       .mkString(",\n        merges AS (", " UNION ALL ", ")")
     base + loop + merges
   }

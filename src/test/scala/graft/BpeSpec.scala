@@ -121,4 +121,29 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array<string>") ||
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("wordpiece: likelihood score picks rare-but-cohesive pairs over raw count") {
+    // corpus: "xy" ×2, "aab" ×5. Symbol census round 1: x=2 y=2 a=10 b=5.
+    // Pair counts: (x,y)=2 (a,a)=5 (a,b)=5. BPE would merge (a,a) (count 5);
+    // WordPiece scores (x,y)=2/(2·2)=0.5 > (a,b)=5/(10·5)=0.1 >
+    // (a,a)=5/(10·10)=0.05 — the rare-but-always-together pair wins.
+    // Round 2 (xy fused): (a,b)=0.1 beats (a,a)=0.05. Round 3 (aab→[a,ab]):
+    // only (a,ab)=5/(5·5)=0.2 remains.
+    val docs = Seq((1L, "xy xy aab aab aab aab aab")).toDF("doc_id", "text")
+    val got = Bpe.trainWordPiece(docs, col("text"), numMerges = 3)
+    assert(got.map(m => (m.rank, m.l, m.r)) ==
+      Seq((1L, "x", "y"), (2L, "a", "b"), (3L, "a", "ab")), got.mkString(","))
+    assert(got.map(_.score) == Seq(0.5, 0.1, 0.2), got.mkString(","))
+    // BPE on the same corpus takes the raw-count path instead
+    assert(Bpe.train(docs, col("text"), 1).head == Bpe.Merge(1L, "a", "a"))
+    // the shared encode path applies scored merges identically
+    val enc = Seq(Seq("xy", "aab")).toDF("toks")
+      .select(BpeEncode(col("toks"),
+        got.sortBy(_.rank).map(m => (m.l, m.r))).as("sub"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("xy", "aab"))
+    // early stop past pair exhaustion (both words fully fused after round
+    // 3), same contract as train
+    assert(Bpe.trainWordPiece(docs, col("text"), numMerges = 10).length == 3)
+  }
 }
