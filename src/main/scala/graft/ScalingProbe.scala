@@ -29,6 +29,10 @@ object ScalingProbe {
       // grows ×factor. The adversarial regime for q87, analogous to what
       // id-shift does to shingle df.
       "events" -> Seq("event_id"),
+      // id-shift only, SAME nation/balance distributions: ×factor customers
+      // deepen every (nation, balance-bucket) blocking cell ×factor — the
+      // adversarial regime for blocked entity resolution (q181)
+      "customer" -> Seq("c_custkey"),
       // id-shift only: ×factor vectors, SAME embedding space — cluster
       // populations grow ×factor, the adversarial regime for intra-cluster
       // pair search (q95)
@@ -396,6 +400,11 @@ object ScalingProbe {
       // closed-form OLS: one tokenize scan + nine map-side-combined sums
       // into a 1-row solve — the ratio IS the scan ratio in both regimes
       "q178_ols_normal_eq",
+      // entity resolution: blocked pair join — id-shift deepens every
+      // (nation, balance-bucket) cell ×factor, so the pair term is the
+      // watched quantity (the q33 uncapped-block regime on records);
+      // fixture dups ride along (custkey%10 preserved mod 1e9 shifts)
+      "q181_entity_resolution",
       // WordPiece trainer: the q79 loop + one extra Heaps-bounded census
       // shuffle per round — ratios should track q79's
       "q180_wordpiece_train",

@@ -375,6 +375,66 @@ object Relational {
             sa.old_n, sb.new_n, sa.old_total, sb.new_total
           FROM sa FULL OUTER JOIN sb ON sa.o_custkey = sb.o_custkey)
         SELECT * FROM d WHERE change <> 'unchanged'"""),
+      bench = true),
+
+    // Entity resolution (record linkage): blocked candidate generation +
+    // Fellegi–Sunter-style field-agreement scoring (Fellegi & Sunter,
+    // JASA 1969 — the framework every dedupe/linkage system descends
+    // from). The fixture injects a "dirty" duplicate for every 10th
+    // customer in-plan (one name typo, same nation/balance/segment — the
+    // re-keyed re-import case), then the pipeline must rediscover them:
+    // candidates come from an equi join on the blocking key
+    // (nation, ⌊acctbal/100⌋) — never all-pairs; each candidate scores
+    // name-edit-distance ≤ 1 → +3, exact balance → +2, same segment → +1;
+    // links are score ≥ 5, so a link REQUIRES the exact-balance agreement
+    // plus a near-exact name — sequential TPC-H names (lev 1 apart) alone
+    // can't cross it. Shape at scale: block occupancy is set by key
+    // granularity (|nations|·|balance buckets| cells); degenerate blocks
+    // get the q34 census-cap treatment; scoring is per-candidate codegen
+    // (levenshtein + equality), no UDF.
+    QueryDef("q181_entity_resolution",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val dirty = c.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + lit(100000000L)).as("c_custkey"),
+            concat(substring(col("c_name"), 1, 17), lit("X")).as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        val all = c.unionByName(dirty)
+          .withColumn("blk", floor(col("c_acctbal") / 100.0d).cast(LongType))
+        val x = all.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+          col("c_nationkey").as("nat"), col("c_acctbal").as("bal_a"),
+          col("c_mktsegment").as("seg_a"), col("blk"))
+        val y = all.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+          col("c_nationkey").as("nat"), col("c_acctbal").as("bal_b"),
+          col("c_mktsegment").as("seg_b"), col("blk"))
+        x.join(y, Seq("nat", "blk"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (when(levenshtein(col("name_a"), col("name_b")) <= 1, 3L).otherwise(0L) +
+              when(col("bal_a") === col("bal_b"), 2L).otherwise(0L) +
+              when(col("seg_a") === col("seg_b"), 1L).otherwise(0L)).as("score"))
+          .filter(col("score") >= 5)
+      },
+      oracle = Some("""
+        WITH dirty AS (
+          SELECT c_custkey + 100000000 AS c_custkey,
+            substr(c_name, 1, 17) || 'X' AS c_name,
+            c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 3),
+        allc AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+            CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk
+          FROM (SELECT * FROM customer UNION ALL SELECT * FROM dirty) u),
+        scored AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+            (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 3 ELSE 0 END +
+             CASE WHEN a.c_acctbal = b.c_acctbal THEN 2 ELSE 0 END +
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END) AS score
+          FROM allc a JOIN allc b
+            ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+           AND a.c_custkey < b.c_custkey)
+        SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+        FROM scored WHERE score >= 5"""),
       bench = true)
   )
 }
