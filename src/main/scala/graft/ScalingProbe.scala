@@ -400,6 +400,9 @@ object ScalingProbe {
       // closed-form OLS: one tokenize scan + nine map-side-combined sums
       // into a 1-row solve — the ratio IS the scan ratio in both regimes
       "q178_ols_normal_eq",
+      // curriculum manifest: one (phase, shard)-partitioned window over
+      // the scan — the ratio IS the scan ratio in both regimes
+      "q182_curriculum_order",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -457,7 +460,8 @@ object ScalingProbe {
       // round-9 additions (q177 is id-shift-only: it never reads text;
       // q179 rides the translated-copies embeddings replica)
       "q175_pretrain_pipeline", "q176_hashed_lr_filter",
-      "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train")
+      "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
+      "q182_curriculum_order")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -2840,6 +2840,46 @@ object Curation {
       },
       oracle = Some(wordPieceSql(BpeMergeRounds) + s"""
         SELECT CAST(rank AS BIGINT) AS rank, l, r, score FROM merges"""),
+      bench = true),
+
+    // Training-order manifest: curriculum phases + a deterministic global
+    // shuffle — the artifact that tells the trainer WHAT to read WHEN
+    // (curriculum learning, Bengio et al. ICML 2009; every production run
+    // also needs a reproducible permutation, not an RNG). Phase = FIXED
+    // difficulty bands on n_chars (the q174 fixed-threshold stance — no
+    // global quantile pass); within a phase, docs scatter to 16 shards by
+    // the portable md5-60 coin and order by (hash, doc_id) — a
+    // deterministic permutation both engines replay. The (phase, shard,
+    // pos) triple is the manifest form real loaders consume (file +
+    // offset). Shape at scale: one shuffle to (phase, shard) partitions
+    // with a per-partition sort; the shard count is the parallelism knob
+    // (thousands at 100 TB, so no partition outgrows a file), and no
+    // global total order is ever materialized.
+    QueryDef("q182_curriculum_order",
+      (s, dir) => {
+        val h = Exprs.h60(concat(lit("ord:"), col("doc_id")))
+        val w = Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("hv").asc, col("doc_id").asc)
+        docs(s, dir)
+          .select(col("doc_id"),
+            when(col("n_chars") < 200, 1L).when(col("n_chars") < 400, 2L)
+              .otherwise(3L).as("phase"),
+            (h % 16L).as("shard"), h.as("hv"))
+          .withColumn("pos", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+          .select(col("phase"), col("shard"), col("pos"), col("doc_id"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+            CASE WHEN n_chars < 200 THEN 1 WHEN n_chars < 400 THEN 2 ELSE 3 END AS phase,
+            CAST('0x' || substr(md5('ord:' || doc_id), 1, 15) AS BIGINT) % 16 AS shard,
+            CAST('0x' || substr(md5('ord:' || doc_id), 1, 15) AS BIGINT) AS hv
+          FROM documents)
+        SELECT CAST(phase AS BIGINT) AS phase, shard,
+          CAST(row_number() OVER (PARTITION BY phase, shard
+                                  ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos,
+          doc_id
+        FROM m"""),
       bench = true)
   )
 
