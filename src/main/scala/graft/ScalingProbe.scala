@@ -403,6 +403,10 @@ object ScalingProbe {
       // curriculum manifest: one (phase, shard)-partitioned window over
       // the scan — the ratio IS the scan ratio in both regimes
       "q182_curriculum_order",
+      // shared passages: df-capped positional gram join + (pair, diagonal)
+      // windows — id-shift multiplies df per gram (the q76 regime),
+      // vocabgrow holds df at base while positions grow ×10
+      "q183_shared_passages",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -461,7 +465,7 @@ object ScalingProbe {
       // q179 rides the translated-copies embeddings replica)
       "q175_pretrain_pipeline", "q176_hashed_lr_filter",
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
-      "q182_curriculum_order")
+      "q182_curriculum_order", "q183_shared_passages")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

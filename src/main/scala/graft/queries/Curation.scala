@@ -2880,6 +2880,73 @@ object Curation {
                                   ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos,
           doc_id
         FROM m"""),
+      bench = true),
+
+    // Shared-passage detection — the EXACT-SUBSTRING dedup signal (Lee et
+    // al., ACL 2022 "Deduplicating Training Data Makes Language Models
+    // Better") without the suffix array: where q76 counts which fixed
+    // 8-grams are duplicated, this recovers the MAXIMAL shared runs — a
+    // run of k consecutive shared 8-grams is a verbatim shared passage of
+    // k+7 tokens, located by start offset in BOTH docs. Mechanism: the
+    // df-capped inverted 8-gram index joins positions (doc_a, doc_b, pa,
+    // pb); matches on one diagonal d = pa − pb are consecutive iff their
+    // pa are — the classic gaps-and-islands grouping (island id = pa −
+    // row_number per (pair, d)), so passages fall out of one bounded
+    // window + one grouped min/count. Shape at scale: the only joins are
+    // gram equi joins (hot grams df > 64 dropped — the q34/q76 cap
+    // posture); windows partition by (pair, diagonal), bounded by shared
+    // positions per pair, never corpus-sized.
+    QueryDef("q183_shared_passages",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val lng = org.apache.spark.sql.types.LongType
+        val sp = docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), posexplode(Exprs.shingles(col("toks"), 8)).as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1).cast(lng).as("p"), col("g"))
+        val hot = sp.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df")).filter(col("df") > 64)
+        val cold = sp.join(hot.select(col("g")), Seq("g"), "left_anti")
+        val pairs = cold.as("pa").join(cold.as("pb"), Seq("g"))
+          .filter(col("pa.doc_id") < col("pb.doc_id"))
+          .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
+            col("pa.p").as("ppa"), col("pb.p").as("ppb"),
+            (col("pa.p") - col("pb.p")).as("d"))
+        val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
+          .orderBy(col("ppa").asc)
+        pairs
+          .withColumn("isl", col("ppa") - row_number().over(w))
+          .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
+          .agg(min(col("ppa")).as("start_a"), min(col("ppb")).as("start_b"),
+            count(lit(1)).as("run_len"))
+          .filter(col("run_len") >= 2)
+          .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+            col("run_len"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sp AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p,
+            array_to_string(tk[i:i+7], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        hot AS (SELECT g FROM (
+          SELECT g, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY 1) h WHERE df > 64),
+        cold AS (SELECT * FROM sp ANTI JOIN hot USING (g)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS ppa, b.p AS ppb,
+            a.p - b.p AS d
+          FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id),
+        isl AS (
+          SELECT doc_a, doc_b, d, ppa, ppb,
+            ppa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY ppa ASC) AS isl
+          FROM pairs)
+        SELECT doc_a, doc_b, MIN(ppa) AS start_a, MIN(ppb) AS start_b,
+          COUNT(*) AS run_len
+        FROM isl GROUP BY doc_a, doc_b, d, isl
+        HAVING COUNT(*) >= 2"""),
       bench = true)
   )
 
