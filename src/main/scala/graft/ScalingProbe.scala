@@ -407,6 +407,9 @@ object ScalingProbe {
       // windows — id-shift multiplies df per gram (the q76 regime),
       // vocabgrow holds df at base while positions grow ×10
       "q183_shared_passages",
+      // quality rule bundle: one (doc, term) count + one per-doc rollup —
+      // scan-shaped in both regimes
+      "q184_quality_rules",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -465,7 +468,7 @@ object ScalingProbe {
       // q179 rides the translated-copies embeddings replica)
       "q175_pretrain_pipeline", "q176_hashed_lr_filter",
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
-      "q182_curriculum_order", "q183_shared_passages")
+      "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

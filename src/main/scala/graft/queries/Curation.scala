@@ -2947,6 +2947,58 @@ object Curation {
           COUNT(*) AS run_len
         FROM isl GROUP BY doc_a, doc_b, d, isl
         HAVING COUNT(*) >= 2"""),
+      bench = true),
+
+    // Gopher-style quality RULE BUNDLE (Rae et al. 2021, Appendix A —
+    // the rule-list form production filters actually ship, vs q40's
+    // single blended score): per-doc pass/fail flags for word-count
+    // bounds, mean-word-length bounds, top-term share, and hapax share,
+    // plus the conjunctive keep bit. Every threshold evaluates by integer
+    // CROSS-MULTIPLICATION (mean length ≥ 4 ⟺ Σlen ≥ 4n; top share
+    // ≤ 0.15 ⟺ 100·top ≤ 15n; hapax share ≥ 0.2 ⟺ 5·hapax ≥ distinct) —
+    // no division, no float, so the gate replays exactly and a 100 TB run
+    // can evaluate it in one scan + one (doc, term) count. The per-rule
+    // flags are the point: a data card reports WHICH rule rejected how
+    // much, not just how much was rejected.
+    QueryDef("q184_quality_rules",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val pc = docs(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        pc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndis"),
+            max(col("c")).as("topc"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(length(col("term")) * col("c")).as("sumlen"))
+          .select(col("doc_id"),
+            (col("n") >= 30).as("r_len"),
+            (col("sumlen") >= lit(4L) * col("n") &&
+              col("sumlen") <= lit(5L) * col("n")).as("r_mwl"),
+            (lit(100L) * col("topc") <= lit(15L) * col("n")).as("r_top"),
+            (lit(5L) * col("hapax") >= col("ndis")).as("r_hapax"))
+          .withColumn("keep",
+            col("r_len") && col("r_mwl") && col("r_top") && col("r_hapax"))
+      },
+      oracle = Some(s"""
+        WITH ${graft.queries.Text.toksCte},
+        pc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ndis,
+            CAST(MAX(c) AS BIGINT) AS topc,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+            CAST(SUM(LEN(term) * c) AS BIGINT) AS sumlen
+          FROM pc GROUP BY 1),
+        flags AS (
+          SELECT doc_id,
+            n >= 30 AS r_len,
+            sumlen >= 4 * n AND sumlen <= 5 * n AS r_mwl,
+            100 * topc <= 15 * n AS r_top,
+            5 * hapax >= ndis AS r_hapax
+          FROM st)
+        SELECT doc_id, r_len, r_mwl, r_top, r_hapax,
+          r_len AND r_mwl AND r_top AND r_hapax AS keep
+        FROM flags"""),
       bench = true)
   )
 
