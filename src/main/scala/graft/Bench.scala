@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   * query — at which point it biases all of them equally and the relative
   * picture survives.
   *
+  * Each interleaved slot is a (prime, timed) run pair: the prime pass
+  * rebuilds the query's own Caching.pin entries that inter-slot cleanup
+  * dropped, so the timed pass measures the warm-cache steady state — the
+  * semantics every prior round's committed artifact used — while at most
+  * one query's pins are ever live (the round-2 accumulated-pins lesson).
+  *
   * Execution materializes every output column through the noop sink, so
   * projections can't be cheated away by a count-only plan. The JSON line is
   * ALSO written to bench.json next to the working directory — round 8's
@@ -92,14 +98,32 @@ object Bench {
     }
     // Three timed sweeps, round-robin: pass k of every query before pass
     // k+1 of any. Median per query.
+    // Each slot runs a PRIMING pass then the timed pass. The priming pass
+    // repopulates the query's own Caching.pin entries (and OS page cache)
+    // that the previous slot's cleanup dropped, so the timed pass measures
+    // the warm-cache steady state — the protocol every prior round's
+    // committed numbers used (the sequential bench's three passes rode the
+    // warm-up's pins, since cleanup only ran between queries). Without the
+    // prime, interleaving silently switched the whole artifact to
+    // cold-cache semantics: the round-9 first cut read q34 at 2.6 s where
+    // the round-8 binary measures 0.9 s on the same box — pin-heavy dedup
+    // queries were recomputing their pinned shingle frames inside every
+    // timed pass. Priming inside the slot (rather than letting pins
+    // accumulate across the sweep) keeps the round-2 lesson intact: at
+    // most ONE query's pins are live at any moment.
     // restoreMemoShared, NOT restoreMemo: with every query's snapshot
     // live across the whole interleaved run, a releasing restore would
     // unpersist checkpoint blocks other snapshots still reference
     // (q105/q109/q119 died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when
     // the interleaving first landed). Evicted components stay persisted
-    // until spark.stop() — bounded by snapshots × passes.
+    // until spark.stop() — bounded by snapshots × passes. The memo is
+    // restored again between prime and timed pass so the timed pass
+    // measures the query's marginal factorization work, not a free hit on
+    // its own prime.
     for (_ <- 1 to 3; q <- queries if !failed(q.name)) guarded(q) {
       val (lsaSnap, pcaSnap) = memoSnaps(q.name)
+      ml.Lsa.restoreMemoShared(lsaSnap); ml.Pca.restoreMemoShared(pcaSnap)
+      runOnce(q) // prime: pins + page cache for THIS slot only
       ml.Lsa.restoreMemoShared(lsaSnap); ml.Pca.restoreMemoShared(pcaSnap)
       times(q.name) = runOnce(q) :: times(q.name)
     }

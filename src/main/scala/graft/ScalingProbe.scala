@@ -410,6 +410,17 @@ object ScalingProbe {
       // quality rule bundle: one (doc, term) count + one per-doc rollup —
       // scan-shaped in both regimes
       "q184_quality_rules",
+      // source leakage: map-side distinct to (source, shingle) — id-shift
+      // grows the per-(source, shingle) pre-distinct volume, vocabgrow
+      // grows the shingle space itself; output stays |sources|²
+      "q185_source_leakage",
+      // CDC chunking: doc-bounded prefix sums + fingerprint census — the
+      // ratio is the scan ratio; id-shift multiplies chunk df (more dup
+      // mass), vocabgrow keeps df at base
+      "q186_cdc_chunks",
+      // containment pairs: the q33 join shape with per-side divisions —
+      // same cap-bounded regimes as q33
+      "q187_containment_pairs",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -468,7 +479,8 @@ object ScalingProbe {
       // q179 rides the translated-copies embeddings replica)
       "q175_pretrain_pipeline", "q176_hashed_lr_filter",
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
-      "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules")
+      "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
+      "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

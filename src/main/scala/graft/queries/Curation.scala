@@ -2999,6 +2999,179 @@ object Curation {
         SELECT doc_id, r_len, r_mwl, r_top, r_hapax,
           r_len AND r_mwl AND r_top AND r_hapax AS keep
         FROM flags"""),
+      bench = true),
+
+    // Cross-source leakage matrix — the data-card companion to
+    // decontamination (q73): WHICH sources share verbatim content with
+    // which, as a |sources|²-bounded overlap matrix over the trigram
+    // shingle space (shared shingles + exact integer-millionths Jaccard).
+    // A pretraining pipeline reads this to find mirror/scrape relations
+    // between feeds before mixing. Shape at scale: the distinct
+    // (source, shingle) projection collapses corpus volume to vocabulary
+    // volume map-side; the self-join is shingle-keyed (df-capped at 64 —
+    // a shingle in MOST sources separates nothing, the q34 posture);
+    // output is |sources|² rows. The Jaccard is integer division
+    // (1e6·common) DIV union — no float anywhere.
+    QueryDef("q185_source_leakage",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val sh = docs(s, dir)
+          .select(col("source"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("source"), explode(Exprs.shingles(col("toks"), 3)).as("sh"))
+          .distinct()
+        val hot = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > 64)
+        val cold = sh.join(hot.select(col("sh")), Seq("sh"), "left_anti")
+        val sizes = cold.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val common = cold.as("x").join(cold.as("y"), Seq("sh"))
+          .filter(col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), "src_a")
+          .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("common"), col("sz_a"), col("sz_b"),
+            expr("(1000000 * common) div (sz_a + sz_b - common)").as("jac_e6"))
+      },
+      oracle = Some(s"""
+        WITH sq AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+          FROM (SELECT source, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM sq) g),
+        hot AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) h WHERE df > 64),
+        cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM cold GROUP BY 1),
+        cm AS (
+          SELECT x.source AS src_a, y.source AS src_b, CAST(COUNT(*) AS BIGINT) AS common
+          FROM cold x JOIN cold y ON x.sh = y.sh AND x.source < y.source
+          GROUP BY 1, 2)
+        SELECT cm.src_a, cm.src_b, cm.common, sa.sz AS sz_a, sb.sz AS sz_b,
+          (1000000 * cm.common) // (sa.sz + sb.sz - cm.common) AS jac_e6
+        FROM cm JOIN sizes sa ON sa.source = cm.src_a
+                JOIN sizes sb ON sb.source = cm.src_b"""),
+      bench = true),
+
+    // Content-defined chunking (CDC) dedup — the storage-dedup primitive
+    // (Muthitacharoen et al., SOSP 2001 LBFS) applied to the token
+    // stream: chunk boundaries fall AFTER any token whose portable hash
+    // ≡ 0 (mod 8), so boundaries are a function of CONTENT, not offsets —
+    // an insertion reshapes only the chunk it lands in, where q102's
+    // fixed 8-token windows shift every downstream boundary. Per doc:
+    // chunk count, corpus-duplicated chunk count (fingerprint df ≥ 2),
+    // and the duplicated-token mass — the per-doc "how much of this doc
+    // is boilerplate" number robust to splicing. Shape at scale: one
+    // doc-partitioned prefix-sum window (doc-length-bounded), one
+    // (doc, chunk) grouped fingerprint, one fingerprint census —
+    // shuffles carry chunk fingerprints, never token streams.
+    QueryDef("q186_cdc_chunks",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val lng = org.apache.spark.sql.types.LongType
+        val tk = docs(s, dir)
+          .select(col("doc_id"), posexplode(Exprs.tokens(col("text"))).as(Seq("p0", "term")))
+          .select(col("doc_id"), (col("p0") + 1).cast(lng).as("p"), col("term"),
+            when(Exprs.h60(concat(lit("cdc:"), col("term"))) % 8 === 0, 1L)
+              .otherwise(0L).as("brk"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val fp = tk
+          .withColumn("chunk", coalesce(sum(col("brk")).over(w), lit(0L)))
+          .groupBy(col("doc_id"), col("chunk"))
+          .agg(md5(array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("term")))),
+              x => x.getField("term")), " ")).as("f"),
+            count(lit(1)).as("ntok"))
+        val df = fp.groupBy(col("f")).agg(countDistinct(col("doc_id")).as("d"))
+        fp.join(df, "f")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("d") >= 2, col("ntok")).otherwise(0L)).as("dup_tokens"),
+            sum(col("ntok")).as("tot_tokens"))
+      },
+      oracle = Some("""
+        WITH sq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        tk AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS term,
+            CASE WHEN CAST('0x' || substr(md5('cdc:' || tk[i]), 1, 15) AS BIGINT) % 8 = 0
+                 THEN 1 ELSE 0 END AS brk
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM sq) u),
+        ch AS (
+          SELECT doc_id, p, term,
+            COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+          FROM tk),
+        fp AS (
+          SELECT doc_id, chunk, md5(string_agg(term, ' ' ORDER BY p)) AS f,
+            CAST(COUNT(*) AS BIGINT) AS ntok
+          FROM ch GROUP BY 1, 2),
+        dfc AS (SELECT f, COUNT(DISTINCT doc_id) AS d FROM fp GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          CAST(SUM(CASE WHEN d >= 2 THEN ntok ELSE 0 END) AS BIGINT) AS dup_tokens,
+          CAST(SUM(ntok) AS BIGINT) AS tot_tokens
+        FROM fp JOIN dfc USING (f) GROUP BY 1"""),
+      bench = true),
+
+    // Asymmetric CONTAINMENT pairs — the signal Jaccard structurally
+    // misses (Broder 1997 distinguishes resemblance from containment): a
+    // short doc pasted verbatim inside a long one scores near-zero
+    // Jaccard (union is large) but containment |A∩B|/|A| ≈ 1. Same
+    // df-capped trigram-shingle equi join as q33, but thresholded on
+    // max(containment_a, containment_b) ≥ 0.5 with BOTH directions
+    // reported as exact integer millionths — (1e6·common) DIV |side| —
+    // so quote-heavy and template relations surface with their
+    // directionality. No float; no all-pairs; the q34 cap posture.
+    QueryDef("q187_containment_pairs",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val sh = docs(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(array_distinct(
+            Exprs.shingles(col("toks"), 3))).as("sh"))
+        val hot = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > 64)
+        val cold = sh.join(hot.select(col("sh")), Seq("sh"), "left_anti")
+        val sizes = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        cold.as("x").join(cold.as("y"), Seq("sh"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("common"), col("sz_a"), col("sz_b"),
+            expr("(1000000 * common) div sz_a").as("cont_a_e6"),
+            expr("(1000000 * common) div sz_b").as("cont_b_e6"))
+          .filter(greatest(col("cont_a_e6"), col("cont_b_e6")) >= 500000L)
+      },
+      oracle = Some("""
+        WITH sq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM sq) g),
+        hot AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) h WHERE df > 64),
+        cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cold GROUP BY 1),
+        cm AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+          FROM cold x JOIN cold y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT * FROM (
+          SELECT cm.doc_a, cm.doc_b, cm.common, sa.sz AS sz_a, sb.sz AS sz_b,
+            (1000000 * cm.common) // sa.sz AS cont_a_e6,
+            (1000000 * cm.common) // sb.sz AS cont_b_e6
+          FROM cm JOIN sizes sa ON sa.doc_id = cm.doc_a
+                  JOIN sizes sb ON sb.doc_id = cm.doc_b) t
+        WHERE greatest(cont_a_e6, cont_b_e6) >= 500000"""),
       bench = true)
   )
 
