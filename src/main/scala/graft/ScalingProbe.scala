@@ -421,6 +421,10 @@ object ScalingProbe {
       // containment pairs: the q33 join shape with per-side divisions —
       // same cap-bounded regimes as q33
       "q187_containment_pairs",
+      // tokenizer eval: the three benched trainers + word-frame
+      // aggregates — the ratio tracks the trainer family's (near-flat
+      // id-shift, Heaps-bounded vocabgrow)
+      "q188_tokenizer_eval",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -480,7 +484,8 @@ object ScalingProbe {
       "q175_pretrain_pipeline", "q176_hashed_lr_filter",
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
       "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
-      "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs")
+      "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs",
+      "q188_tokenizer_eval")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

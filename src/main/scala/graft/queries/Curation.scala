@@ -3172,6 +3172,101 @@ object Curation {
           FROM cm JOIN sizes sa ON sa.doc_id = cm.doc_a
                   JOIN sizes sb ON sb.doc_id = cm.doc_b) t
         WHERE greatest(cont_a_e6, cont_b_e6) >= 500000"""),
+      bench = true),
+
+    // Tokenizer fertility evaluation — the "which tokenizer do we ship"
+    // data card: all THREE trained subword tokenizers (BPE q79, WordPiece
+    // q180, unigram-LM q142) plus the whitespace baseline, each scored on
+    // the same corpus for vocabulary size, total corpus tokens, fertility
+    // (tokens per word, 1e-6 fixed-point) and compression (chars per
+    // token) — the numbers that set context-window economics. Two-path
+    // verification at full width: Spark derives every tokenizer's stats
+    // by ENCODING the word table through the trained artifacts (merge
+    // tables / Viterbi model); the oracle reads the final TRAINING states
+    // of three composed CTE chains (bpeBody + wordPieceBody prefix-renamed
+    // into one WITH, unigramBody on a re-termed token source) — equal
+    // because encoding reproduces the training segmentation (the q80
+    // principle, now ×3 in one query). All ratios are integer DIV — no
+    // float. Unigram covers words of length ≤ 12 (its model's declared
+    // domain) — its n_occ column says so rather than hiding it.
+    QueryDef("q188_tokenizer_eval",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val words = graft.Caching.pin(docs(s, dir)
+          .select(explode(Exprs.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+        val bpeM = Bpe.train(docs(s, dir), col("text"), BpeMergeRounds)
+        val wpM = Bpe.trainWordPiece(docs(s, dir), col("text"), BpeMergeRounds)
+          .map(m => Bpe.Merge(m.rank, m.l, m.r))
+        def stats(name: String, frame: org.apache.spark.sql.DataFrame) = {
+          // frame: (word, cnt, ps: array<string>)
+          val a = frame.select(col("cnt"), explode(col("ps")).as("piece"))
+            .agg(sum(col("cnt")).as("corpus_tokens"),
+              countDistinct(col("piece")).as("vocab_pieces"))
+          val b = frame.agg(sum(col("cnt")).as("n_occ"),
+            sum(col("cnt") * length(col("word"))).as("n_chars"))
+          a.crossJoin(b).select(lit(name).as("tokenizer"), col("n_occ"),
+            col("corpus_tokens"), col("vocab_pieces"),
+            expr("(1000000 * corpus_tokens) div n_occ").as("tokens_per_word_e6"),
+            expr("(1000000 * n_chars) div corpus_tokens").as("chars_per_token_e6"))
+        }
+        val ws = stats("whitespace",
+          words.select(col("word"), col("cnt"), array(col("word")).as("ps")))
+        val bp = stats("bpe", words.select(col("word"), col("cnt"),
+          Bpe.encode(array(col("word")), bpeM).as("ps")))
+        val wp = stats("wordpiece", words.select(col("word"), col("cnt"),
+          Bpe.encode(array(col("word")), wpM).as("ps")))
+        val un = stats("unigram",
+          graft.operators.UnigramLm.segment(docs(s, dir), maxWordLen = 12,
+              maxPieceLen = 4, rounds = 2)
+            .select(col("word"), col("cnt"), split(col("seg"), " ").as("ps")))
+        ws.unionByName(bp).unionByName(wp).unionByName(un)
+      },
+      oracle = Some(s"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, t AS word FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              t -> t <> '')) AS t FROM documents)),
+        uterm AS (SELECT doc_id, word AS term FROM toks),
+        ${bpeBody(BpeMergeRounds, "bp")},
+        ${wordPieceBody(BpeMergeRounds, "wp")},
+        ${graft.queries.Text.unigramBody(rounds = 3, lastRoundSegOnly = true,
+          tokSource = "uterm")},
+        wsw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        wss AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_occ, CAST(SUM(cnt) AS BIGINT) AS corpus_tokens,
+            CAST(COUNT(*) AS BIGINT) AS vocab_pieces,
+            CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+          FROM wsw),
+        bps AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_occ,
+            CAST(SUM(cnt * len(syms)) AS BIGINT) AS corpus_tokens,
+            (SELECT COUNT(DISTINCT s) FROM (SELECT unnest(syms) AS s FROM bpr$BpeMergeRounds)) AS vocab_pieces,
+            CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+          FROM bpr$BpeMergeRounds),
+        wps AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_occ,
+            CAST(SUM(cnt * len(syms)) AS BIGINT) AS corpus_tokens,
+            (SELECT COUNT(DISTINCT s) FROM (SELECT unnest(syms) AS s FROM wpr$BpeMergeRounds)) AS vocab_pieces,
+            CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+          FROM wpr$BpeMergeRounds),
+        uns AS (
+          SELECT CAST(SUM(w.cnt) AS BIGINT) AS n_occ,
+            CAST(SUM(w.cnt * np.n_pieces) AS BIGINT) AS corpus_tokens,
+            (SELECT COUNT(DISTINCT piece) FROM seg3) AS vocab_pieces,
+            CAST(SUM(w.cnt * length(w.word)) AS BIGINT) AS n_chars
+          FROM words w JOIN (SELECT word, COUNT(*) AS n_pieces FROM seg3 GROUP BY 1) np
+            USING (word)),
+        allr AS (
+          SELECT 'whitespace' AS tokenizer, * FROM wss
+          UNION ALL SELECT 'bpe', * FROM bps
+          UNION ALL SELECT 'wordpiece', * FROM wps
+          UNION ALL SELECT 'unigram', * FROM uns)
+        SELECT tokenizer, n_occ, corpus_tokens, CAST(vocab_pieces AS BIGINT) AS vocab_pieces,
+          (1000000 * corpus_tokens) // n_occ AS tokens_per_word_e6,
+          (1000000 * n_chars) // corpus_tokens AS chars_per_token_e6
+        FROM allr"""),
       bench = true)
   )
 
@@ -3341,31 +3436,40 @@ object Curation {
     * LEFT JOIN ON TRUE keeps rounds past pair exhaustion as no-ops, which
     * matches the Spark loop's early stop. Ends with CTEs `toks`, `merges`,
     * and `r<n>` open for the caller's final SELECT. */
-  private def bpeTrainSql(rounds: Int): String = {
-    val base = """
+  private def bpeTrainSql(rounds: Int): String =
+    """
         WITH toks AS MATERIALIZED (
           SELECT doc_id, t AS word FROM (
             SELECT doc_id, unnest(list_filter(
               string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
               t -> t <> '')) AS t FROM documents)),
-        r0 AS MATERIALIZED (
+        """ + bpeBody(rounds)
+
+  /** [[bpeTrainSql]]'s CTE chain without the WITH/toks prelude — for
+    * composition into multi-tokenizer oracles (q188). `prefix` renames
+    * every round CTE (`${prefix}r0`…) so two trainer chains coexist in
+    * one WITH; `wordSource` names the (…, word) relation the seed counts
+    * read. Ends with `${prefix}merges` open. */
+  private def bpeBody(rounds: Int, prefix: String = "",
+                      wordSource: String = "toks"): String = {
+    val base = s"""${prefix}r0 AS MATERIALIZED (
           SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
-          FROM toks GROUP BY word)"""
+          FROM $wordSource GROUP BY word)"""
     val loop = (1 to rounds).map { i =>
       s"""
-        p$i AS MATERIALIZED (
+        ${prefix}p$i AS MATERIALIZED (
           SELECT syms[u.i] AS l, syms[u.i+1] AS r, SUM(cnt) AS c
-          FROM r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-        b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-        r$i AS MATERIALIZED (
+          FROM ${prefix}r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        ${prefix}b$i AS MATERIALIZED (SELECT l, r FROM ${prefix}p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        ${prefix}r$i AS MATERIALIZED (
           SELECT word, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
               WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(1) || b.l))
               THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS syms
-          FROM r${i - 1} LEFT JOIN b$i AS b ON TRUE)"""
+          FROM ${prefix}r${i - 1} LEFT JOIN ${prefix}b$i AS b ON TRUE)"""
     }.mkString(",", ",", "")
     val merges = (1 to rounds)
-      .map(i => s"SELECT $i AS rank, l, r FROM b$i")
-      .mkString(",\n        merges AS (", " UNION ALL ", ")")
+      .map(i => s"SELECT $i AS rank, l, r FROM ${prefix}b$i")
+      .mkString(s",\n        ${prefix}merges AS (", " UNION ALL ", ")")
     base + loop + merges
   }
 
@@ -3377,38 +3481,45 @@ object Curation {
     * the identical (score desc, l asc, r asc) tie-break. Merge application
     * is byte-for-byte bpeTrainSql's list_reduce fold. Ends with `merges
     * (rank, l, r, score)` open for the caller's final SELECT. */
-  private def wordPieceSql(rounds: Int): String = {
-    val base = """
+  private def wordPieceSql(rounds: Int): String =
+    """
         WITH toks AS MATERIALIZED (
           SELECT doc_id, t AS word FROM (
             SELECT doc_id, unnest(list_filter(
               string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
               t -> t <> '')) AS t FROM documents)),
-        r0 AS MATERIALIZED (
+        """ + wordPieceBody(rounds)
+
+  /** [[wordPieceSql]]'s CTE chain without the WITH/toks prelude — the
+    * [[bpeBody]] composition contract with the per-round symbol census
+    * and likelihood argmax. Ends with `${prefix}merges` open. */
+  private def wordPieceBody(rounds: Int, prefix: String = "",
+                            wordSource: String = "toks"): String = {
+    val base = s"""${prefix}r0 AS MATERIALIZED (
           SELECT word, COUNT(*) AS cnt, string_split(word, '') AS syms
-          FROM toks GROUP BY word)"""
+          FROM $wordSource GROUP BY word)"""
     val loop = (1 to rounds).map { i =>
       s"""
-        s$i AS MATERIALIZED (
+        ${prefix}s$i AS MATERIALIZED (
           SELECT s, CAST(SUM(cnt) AS BIGINT) AS cs
-          FROM (SELECT unnest(syms) AS s, cnt FROM r${i - 1}) u GROUP BY 1),
-        p$i AS MATERIALIZED (
+          FROM (SELECT unnest(syms) AS s, cnt FROM ${prefix}r${i - 1}) u GROUP BY 1),
+        ${prefix}p$i AS MATERIALIZED (
           SELECT syms[u.i] AS l, syms[u.i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
-          FROM r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-        b$i AS MATERIALIZED (
+          FROM ${prefix}r${i - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        ${prefix}b$i AS MATERIALIZED (
           SELECT p.l, p.r,
             round(CAST(p.c AS DOUBLE) / (CAST(sl.cs AS DOUBLE) * CAST(sr.cs AS DOUBLE)), 12) AS score
-          FROM p$i p JOIN s$i sl ON sl.s = p.l JOIN s$i sr ON sr.s = p.r
+          FROM ${prefix}p$i p JOIN ${prefix}s$i sl ON sl.s = p.l JOIN ${prefix}s$i sr ON sr.s = p.r
           ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1),
-        r$i AS MATERIALIZED (
+        ${prefix}r$i AS MATERIALIZED (
           SELECT word, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
               WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(1) || b.l))
               THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS syms
-          FROM r${i - 1} LEFT JOIN b$i AS b ON TRUE)"""
+          FROM ${prefix}r${i - 1} LEFT JOIN ${prefix}b$i AS b ON TRUE)"""
     }.mkString(",", ",", "")
     val merges = (1 to rounds)
-      .map(i => s"SELECT $i AS rank, l, r, score FROM b$i")
-      .mkString(",\n        merges AS (", " UNION ALL ", ")")
+      .map(i => s"SELECT $i AS rank, l, r, score FROM ${prefix}b$i")
+      .mkString(s",\n        ${prefix}merges AS (", " UNION ALL ", ")")
     base + loop + merges
   }
 

@@ -197,4 +197,34 @@ class CurationPlanSpec extends SparkSpec {
     assert(!phys.contains("SortMergeJoin"), phys.take(2000))
     assert(!phys.contains("CartesianProduct"), phys.take(2000))
   }
+
+  test("round-9 pair queries: band/block/gram equi joins only, no cartesian") {
+    // q177 bands, q181 blocking keys, q183 positional grams, q187 shingles:
+    // every candidate generator must stay an equi join — a cartesian here
+    // is the all-pairs regression each of these operators exists to avoid
+    for (q <- Seq("q177_image_ahash_dedup", "q181_entity_resolution",
+        "q183_shared_passages", "q185_source_leakage", "q187_containment_pairs")) {
+      val phys = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }
+      assert(!phys.contains("CartesianProduct"), s"$q\n" + phys.take(2000))
+    }
+  }
+
+  test("q182 manifest and q183 islands: windows are partitioned, never global") {
+    // both queries' windows must carry a partition spec — a global window
+    // (empty partitionBy) would serialize the corpus through one task
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q182_curriculum_order", "q183_shared_passages",
+        "q186_cdc_chunks")) {
+      // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+      // root whose collect() sees no children before execution
+      val ws = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.collect {
+          case w: WindowExec => w.partitionSpec
+        }
+      }
+      assert(ws.nonEmpty && ws.forall(_.nonEmpty), s"$q has a global window")
+    }
+  }
 }
