@@ -425,6 +425,10 @@ object ScalingProbe {
       // aggregates — the ratio tracks the trainer family's (near-flat
       // id-shift, Heaps-bounded vocabgrow)
       "q188_tokenizer_eval",
+      // incremental image probe + multimodal capstone: band joins + narrow
+      // per-partition decode/resize maps — text unused, id-shift only
+      // (the q177 reasoning)
+      "q189_incremental_image_dedup", "q190_multimodal_pipeline",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);

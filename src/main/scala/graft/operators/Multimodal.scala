@@ -715,6 +715,31 @@ object Multimodal {
     out
   }
 
+  /** Exact integer raster statistics: per-channel byte sums and the
+    * integer-luma sum over the decoded pixels — the all-integer feature
+    * form that lets a multimodal pipeline be hash-compared across engines
+    * (where [[extractFeatures]]'s normalized floats cannot be). Non-raster
+    * payloads are dropped. */
+  def rasterStats(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRaster(r.content).map { case (w, h, rgb) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+          val n = w * h
+          var i = 0
+          while (i < n) {
+            val cr = rgb(3 * i); val cg = rgb(3 * i + 1); val cb = rgb(3 * i + 2)
+            sr += cr; sg += cg; sb += cb
+            sl += (299 * cr + 587 * cg + 114 * cb) / 1000
+            i += 1
+          }
+          (r.media_id, w, h, sr, sg, sb, sl)
+        }
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b", "sum_luma")
+  }
+
   /** 64-bit average-hash (aHash) perceptual image fingerprint: decode the
     * raster, partition it into an 8×8 grid of pixel blocks (pixel x maps to
     * block bx = ⌊8x/w⌋, likewise y), and set bit

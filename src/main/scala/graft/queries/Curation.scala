@@ -3267,6 +3267,221 @@ object Curation {
           (1000000 * corpus_tokens) // n_occ AS tokens_per_word_e6,
           (1000000 * n_chars) // corpus_tokens AS chars_per_token_e6
         FROM allr"""),
+      bench = true),
+
+    // Incremental image-index probing — the q88 asymmetric-ingest posture
+    // on the q177 aHash family: images with doc_id % 10 = 7 are "today's
+    // batch", the rest the EXISTING index. Only band keys carrying a
+    // batch member generate candidates (batch×index and batch×batch;
+    // index×index is never re-paired — the whole point of an incremental
+    // posture), then the Hamming ≤ 10 gate and a pair_type label. This is
+    // the batch analogue of StreamingImageDedup's per-arrival emit, and
+    // the oracle replays the SAME banding with the candidate join
+    // restricted to batch-probing rows, so the asymmetry itself is what
+    // gets hash-checked.
+    QueryDef("q189_incremental_image_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+          val g = id / 5; val m = id % 5
+          val rgb: Int => Int = { i =>
+            val p = i / 3; val c = i % 3; val x = p % 16; val y = p / 16
+            val v0 = ((g * 37 + x * 13 + y * 29 + c * 71 +
+              g * (x + 2 * y + c)) % 256).toInt
+            if (m > 0 && (x + 16 * y) % 97 == m) (v0 + 128) % 256 else v0
+          }
+          Multimodal.MediaRecord(id, "bmp",
+            Multimodal.encodeBmp(16, 16, rgb), Map.empty)
+        }
+        val hv = Multimodal.imageAHash(media)
+        val bands = hv.select(col("media_id"), explode(array(
+            struct(lit(0L).as("t"), col("b0").as("bv")),
+            struct(lit(1L).as("t"), col("b1").as("bv")),
+            struct(lit(2L).as("t"), col("b2").as("bv")),
+            struct(lit(3L).as("t"), col("b3").as("bv")))).as("b"))
+          .select(col("media_id"), col("b.t").as("t"), col("b.bv").as("bv"))
+        val cand = bands.filter(col("media_id") % 10 === 7).as("ba")
+          .join(bands.as("bb"), Seq("t", "bv"))
+          .filter(col("ba.media_id") =!= col("bb.media_id"))
+          .select(least(col("ba.media_id"), col("bb.media_id")).as("doc_a"),
+            greatest(col("ba.media_id"), col("bb.media_id")).as("doc_b"))
+          .distinct()
+        cand
+          .join(hv.select(col("media_id").as("doc_a"),
+            col("h_hi").as("hi_a"), col("h_lo").as("lo_a")), "doc_a")
+          .join(hv.select(col("media_id").as("doc_b"),
+            col("h_hi").as("hi_b"), col("h_lo").as("lo_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+              .cast(org.apache.spark.sql.types.LongType).as("hamming"))
+          .filter(col("hamming") <= 10)
+          .withColumn("pair_type",
+            when(col("doc_a") % 10 === 7 && col("doc_b") % 10 === 7,
+              lit("batch_batch")).otherwise(lit("batch_index")))
+      },
+      oracle = Some("""
+        WITH ids AS (SELECT doc_id AS id, doc_id // 5 AS g, doc_id % 5 AS m FROM documents),
+        px AS (
+          SELECT id, g, m, p % 16 AS x, p // 16 AS y
+          FROM ids, UNNEST(range(256)) AS tp(p)),
+        lum AS (
+          SELECT id, (x // 2) + 8 * (y // 2) AS bp,
+            (299 * v0 + 587 * v1 + 114 * v2) // 1000 AS l
+          FROM (
+            SELECT id, x, y,
+              MAX(CASE WHEN c = 0 THEN v END) AS v0,
+              MAX(CASE WHEN c = 1 THEN v END) AS v1,
+              MAX(CASE WHEN c = 2 THEN v END) AS v2
+            FROM (
+              SELECT id, x, y, c,
+                CASE WHEN m > 0 AND (x + 16 * y) % 97 = m
+                  THEN ((g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 + 128) % 256
+                  ELSE (g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 END AS v
+              FROM px, UNNEST([0, 1, 2]) AS tc(c)) ch
+            GROUP BY id, x, y) pix),
+        blocks AS (SELECT id, bp, CAST(SUM(l) AS BIGINT) AS bsum FROM lum GROUP BY 1, 2),
+        tot AS (SELECT id, CAST(SUM(l) AS BIGINT) AS tsum FROM lum GROUP BY 1),
+        bits AS (
+          SELECT b.id, b.bp, CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS bit
+          FROM blocks b JOIN tot t ON b.id = t.id),
+        halves AS (
+          SELECT id,
+            CAST(SUM(CASE WHEN bp < 32 THEN bit * (1::BIGINT << bp) ELSE 0 END) AS BIGINT) AS h_lo,
+            CAST(SUM(CASE WHEN bp >= 32 THEN bit * (1::BIGINT << (bp - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+          FROM bits GROUP BY 1),
+        bands AS (
+          SELECT id, t, CASE t WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+            WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bv
+          FROM halves, UNNEST([0, 1, 2, 3]) AS tt(t)),
+        cand AS (
+          SELECT DISTINCT least(a.id, b.id) AS doc_a, greatest(a.id, b.id) AS doc_b
+          FROM bands a JOIN bands b ON a.t = b.t AND a.bv = b.bv AND a.id <> b.id
+          WHERE a.id % 10 = 7)
+        SELECT c.doc_a, c.doc_b,
+          CAST(bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming,
+          CASE WHEN c.doc_a % 10 = 7 AND c.doc_b % 10 = 7 THEN 'batch_batch'
+               ELSE 'batch_index' END AS pair_type
+        FROM cand c JOIN halves ha ON ha.id = c.doc_a JOIN halves hb ON hb.id = c.doc_b
+        WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 10""")),
+
+    // The MULTIMODAL pipeline capstone — q175's composed-stages stance on
+    // the image family, with TWO codec round trips oracle-gated: synth
+    // photos → real BMP encode → real BMP decode → aHash band dedup
+    // (q177) → keep-min purge (the q72 semantics on image pairs) → real
+    // nearest-neighbor RESIZE to 4×4 (which re-encodes survivors as P6
+    // PPM bytes) → real PPM decode → exact integer raster statistics
+    // (channel + integer-luma sums). The oracle replays only the PIXEL
+    // arithmetic (the resize is pure index arithmetic: output (x,y) reads
+    // source (4x, 4y)), so BMP writer, BMP parser, PPM writer, and PPM
+    // parser ALL sit inside the hash gate — a byte-level drift in any of
+    // the four flips the committed hash. Shapes: the dedup is q177's band
+    // join; the purge an anti join; resize + stats one narrow
+    // per-partition map — nothing pixel-sized ever shuffles.
+    QueryDef("q190_multimodal_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+          val g = id / 5; val m = id % 5
+          val rgb: Int => Int = { i =>
+            val p = i / 3; val c = i % 3; val x = p % 16; val y = p / 16
+            val v0 = ((g * 37 + x * 13 + y * 29 + c * 71 +
+              g * (x + 2 * y + c)) % 256).toInt
+            if (m > 0 && (x + 16 * y) % 97 == m) (v0 + 128) % 256 else v0
+          }
+          Multimodal.MediaRecord(id, "bmp",
+            Multimodal.encodeBmp(16, 16, rgb), Map.empty)
+        }
+        val hv = Multimodal.imageAHash(media)
+        val bands = hv.select(col("media_id"), explode(array(
+            struct(lit(0L).as("t"), col("b0").as("bv")),
+            struct(lit(1L).as("t"), col("b1").as("bv")),
+            struct(lit(2L).as("t"), col("b2").as("bv")),
+            struct(lit(3L).as("t"), col("b3").as("bv")))).as("b"))
+          .select(col("media_id"), col("b.t").as("t"), col("b.bv").as("bv"))
+        val purge = bands.as("ba").join(bands.as("bb"), Seq("t", "bv"))
+          .filter(col("ba.media_id") < col("bb.media_id"))
+          .select(col("ba.media_id").as("doc_a"), col("bb.media_id").as("doc_b"))
+          .distinct()
+          .join(hv.select(col("media_id").as("doc_a"),
+            col("h_hi").as("hi_a"), col("h_lo").as("lo_a")), "doc_a")
+          .join(hv.select(col("media_id").as("doc_b"),
+            col("h_hi").as("hi_b"), col("h_lo").as("lo_b")), "doc_b")
+          .filter(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= 10)
+          .select(col("doc_b").as("media_id")).distinct()
+        val survivors = media.toDF().join(purge, Seq("media_id"), "left_anti")
+          .as[Multimodal.MediaRecord]
+        val resized = Multimodal.resizeImages(survivors, 4, 4)
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, _, img) => Multimodal.MediaRecord(id, "ppm", img, Map.empty) }
+        Multimodal.rasterStats(resized)
+          .select(col("media_id").as("doc_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("sum_luma"))
+      },
+      oracle = Some("""
+        WITH ids AS (SELECT doc_id AS id, doc_id // 5 AS g, doc_id % 5 AS m FROM documents),
+        px AS (
+          SELECT id, g, m, p % 16 AS x, p // 16 AS y
+          FROM ids, UNNEST(range(256)) AS tp(p)),
+        lum AS (
+          SELECT id, (x // 2) + 8 * (y // 2) AS bp,
+            (299 * v0 + 587 * v1 + 114 * v2) // 1000 AS l
+          FROM (
+            SELECT id, x, y,
+              MAX(CASE WHEN c = 0 THEN v END) AS v0,
+              MAX(CASE WHEN c = 1 THEN v END) AS v1,
+              MAX(CASE WHEN c = 2 THEN v END) AS v2
+            FROM (
+              SELECT id, x, y, c,
+                CASE WHEN m > 0 AND (x + 16 * y) % 97 = m
+                  THEN ((g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 + 128) % 256
+                  ELSE (g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 END AS v
+              FROM px, UNNEST([0, 1, 2]) AS tc(c)) ch
+            GROUP BY id, x, y) pix),
+        blocks AS (SELECT id, bp, CAST(SUM(l) AS BIGINT) AS bsum FROM lum GROUP BY 1, 2),
+        tot AS (SELECT id, CAST(SUM(l) AS BIGINT) AS tsum FROM lum GROUP BY 1),
+        bits AS (
+          SELECT b.id, b.bp, CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS bit
+          FROM blocks b JOIN tot t ON b.id = t.id),
+        halves AS (
+          SELECT id,
+            CAST(SUM(CASE WHEN bp < 32 THEN bit * (1::BIGINT << bp) ELSE 0 END) AS BIGINT) AS h_lo,
+            CAST(SUM(CASE WHEN bp >= 32 THEN bit * (1::BIGINT << (bp - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+          FROM bits GROUP BY 1),
+        bands AS (
+          SELECT id, t, CASE t WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+            WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bv
+          FROM halves, UNNEST([0, 1, 2, 3]) AS tt(t)),
+        cand AS (
+          SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+          FROM bands a JOIN bands b ON a.t = b.t AND a.bv = b.bv AND a.id < b.id),
+        purge AS (
+          SELECT DISTINCT c.doc_b AS id
+          FROM cand c JOIN halves ha ON ha.id = c.doc_a JOIN halves hb ON hb.id = c.doc_b
+          WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo)) <= 10),
+        surv AS (SELECT id, g, m FROM ids ANTI JOIN purge USING (id)),
+        rpx AS (
+          SELECT id, g, m, 4 * (p % 4) AS x, 4 * (p // 4) AS y
+          FROM surv, UNNEST(range(16)) AS tp(p)),
+        rch AS (
+          SELECT id, x, y,
+            MAX(CASE WHEN c = 0 THEN v END) AS v0,
+            MAX(CASE WHEN c = 1 THEN v END) AS v1,
+            MAX(CASE WHEN c = 2 THEN v END) AS v2
+          FROM (
+            SELECT id, x, y, c,
+              CASE WHEN m > 0 AND (x + 16 * y) % 97 = m
+                THEN ((g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 + 128) % 256
+                ELSE (g*37 + x*13 + y*29 + c*71 + g*(x + 2*y + c)) % 256 END AS v
+            FROM rpx, UNNEST([0, 1, 2]) AS tc(c)) u
+          GROUP BY id, x, y)
+        SELECT id AS doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+          CAST(SUM(v0) AS BIGINT) AS sum_r, CAST(SUM(v1) AS BIGINT) AS sum_g,
+          CAST(SUM(v2) AS BIGINT) AS sum_b,
+          CAST(SUM((299 * v0 + 587 * v1 + 114 * v2) // 1000) AS BIGINT) AS sum_luma
+        FROM rch GROUP BY 1"""),
       bench = true)
   )
 

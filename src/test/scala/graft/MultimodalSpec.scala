@@ -489,6 +489,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("b2") == (hi & 0xffffL) && r.getAs[Long]("b3") == ((hi >> 16) & 0xffffL))
   }
 
+  test("rasterStats: exact integer channel/luma sums, survives a resize round trip") {
+    // 2x2 image with known channels: (10,20,30), (40,50,60), (70,80,90), (100,110,120)
+    val img: Int => Int = i => 10 * (i + 1)
+    val ds = Seq(MediaRecord(9L, "bmp", Multimodal.encodeBmp(2, 2, img),
+      Map.empty[String, String])).toDS()
+    val r = Multimodal.rasterStats(ds).collect().head
+    assert(r.getAs[Long]("sum_r") == 10L + 40 + 70 + 100)
+    assert(r.getAs[Long]("sum_g") == 20L + 50 + 80 + 110)
+    assert(r.getAs[Long]("sum_b") == 30L + 60 + 90 + 120)
+    val expLuma = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+      .map { case (a, b, c) => (299 * a + 587 * b + 114 * c) / 1000 }.sum
+    assert(r.getAs[Long]("sum_luma") == expLuma.toLong)
+    // resize 2x2 -> 1x1 keeps source pixel (0,0); stats of the re-encoded
+    // PPM bytes must be that single pixel's values (two codec round trips)
+    val resized = Multimodal.resizeImages(ds, 1, 1)
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, _, b) => MediaRecord(id, "ppm", b, Map.empty[String, String]) }
+    val r1 = Multimodal.rasterStats(resized).collect().head
+    assert((r1.getAs[Long]("sum_r"), r1.getAs[Long]("sum_g"), r1.getAs[Long]("sum_b")) ==
+      ((10L, 20L, 30L)))
+    // non-raster rows dropped
+    assert(Multimodal.rasterStats(Seq(
+      MediaRecord(1L, "junk", Array[Byte](1), Map.empty[String, String])).toDS()).count() == 0L)
+  }
+
   test("aHash: a few-pixel perturbation stays Hamming-near, distinct images far") {
     def hash(seed: Long, noise: Boolean): (Long, Long) = {
       val img: Int => Int = i => {
