@@ -429,6 +429,9 @@ object ScalingProbe {
       // per-partition decode/resize maps — text unused, id-shift only
       // (the q177 reasoning)
       "q189_incremental_image_dedup", "q190_multimodal_pipeline",
+      // soft dedup: q70's CC chain + one cluster-keyed count — ratios
+      // track q70's
+      "q191_soft_dedup_weights",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -489,7 +492,7 @@ object ScalingProbe {
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
       "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
       "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs",
-      "q188_tokenizer_eval")
+      "q188_tokenizer_eval", "q191_soft_dedup_weights")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -1429,6 +1429,31 @@ object Curation {
         SELECT doc_id, cluster_id FROM clusters"""),
       bench = true), // iterative CC in the headline run (VERDICT r5 Next #7)
 
+    // Soft dedup — duplication-aware LOSS WEIGHTS instead of deletion:
+    // every doc keeps its row but carries weight 1/|cluster| (integer
+    // millionths), so a near-dup cluster contributes ONE document's worth
+    // of gradient regardless of how many copies the crawl found — the
+    // down-weighting alternative to q72's purge that soft-dedup pipelines
+    // deploy when deletion is too blunt (boilerplate-heavy but unique-tail
+    // docs). Composes the q70 cluster assignment with one cluster-keyed
+    // size count; Σ weight_e6 ≈ 1e6 · (effective corpus size) falls out
+    // for free downstream. No new shuffle beyond q70's CC rounds.
+    QueryDef("q191_soft_dedup_weights",
+      (s, dir) => {
+        val cl = dupClusterAssignment(s, dir)
+        val cs = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        cl.join(cs, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            expr("1000000 div cluster_size").as("weight_e6"))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes,
+        cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM clusters GROUP BY 1)
+        SELECT c.doc_id, c.cluster_id, cs.cluster_size,
+          1000000 // cs.cluster_size AS weight_e6
+        FROM clusters c JOIN cs USING (cluster_id)"""),
+      bench = true),
+
     // Within-document repetition signals (the Gopher-style quality gates a
     // pretraining pipeline runs at scan speed): word-bigram duplicate
     // fraction and top-bigram concentration per doc. Array-native bigrams
