@@ -432,6 +432,9 @@ object ScalingProbe {
       // soft dedup: q70's CC chain + one cluster-keyed count — ratios
       // track q70's
       "q191_soft_dedup_weights",
+      // accuracy CI: the q31 NB chain + a 64x explosion of the
+      // eval-suite-sized scored frame — the ratio is the NB train ratio
+      "q192_accuracy_ci",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -492,7 +495,8 @@ object ScalingProbe {
       "q178_ols_normal_eq", "q179_hard_negatives", "q180_wordpiece_train",
       "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
       "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs",
-      "q188_tokenizer_eval", "q191_soft_dedup_weights")
+      "q188_tokenizer_eval", "q191_soft_dedup_weights",
+      "q192_accuracy_ci")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

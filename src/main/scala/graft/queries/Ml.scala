@@ -371,6 +371,69 @@ object Ml {
             - CAST(2 AS DOUBLE) * list_dot_product(a.cv, b.cv)
             + list_dot_product(b.cv, b.cv)), 8) AS dist
         FROM ca a JOIN ca b ON a.label < b.label"""),
-      bench = true)
+      bench = true),
+
+    // Deterministic resampling confidence interval for classifier
+    // accuracy — eval RIGOR as dataflow: a headline accuracy number with
+    // no spread is half a result, so 64 half-sample replicas (doc d joins
+    // replica b iff the portable md5-60 coin on "boot:b:d" is even — the
+    // hash-seeded subsampling bootstrap, reproducible in any engine,
+    // no RNG) each re-score the q31 NB predictions, and the 5th/95th
+    // percentile of the sorted replica accuracies bracket the point
+    // estimate. Everything integer: per-replica accuracy is
+    // (1e6·correct) DIV n, the CI picks ranks 4 and 61 of the 64-long
+    // sorted array, the mean is an integer DIV. Shape at scale: the
+    // replica explosion is ×64 of the SCORED frame (already
+    // eval-suite-sized, not corpus-sized) collapsing map-side to 64
+    // rows — the corpus is never touched ×64.
+    QueryDef("q192_accuracy_ci",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val (train, test) = nbParts(s, dir)
+        val model = NaiveBayes.train(train)
+        val truth = test.select(col("doc_id"), col("label").as("truth")).distinct()
+        val scored = NaiveBayes.predict(test.drop("label"), model)
+          .join(truth, "doc_id")
+          .select(col("doc_id"), (col("truth") === col("pred")).as("ok"))
+        val full = scored.agg(
+          expr("(1000000 * sum(case when ok then 1 else 0 end)) div count(1)")
+            .as("acc_full_e6"))
+        val reps = scored
+          .select(col("doc_id"), col("ok"), explode(sequence(lit(0), lit(63))).as("b"))
+          .filter(Exprs.h60(concat(lit("boot:"), col("b"), lit(":"), col("doc_id"))) % 2 === 0)
+          .groupBy(col("b"))
+          .agg(expr("(1000000 * sum(case when ok then 1 else 0 end)) div count(1)")
+            .as("acc_e6"))
+        val ci = reps.agg(sort_array(collect_list(col("acc_e6"))).as("accs"))
+          .select(size(col("accs")).cast(org.apache.spark.sql.types.LongType)
+              .as("n_replicas"),
+            expr("aggregate(accs, CAST(0 AS BIGINT), (a, x) -> a + x) div 64")
+              .as("acc_mean_e6"),
+            element_at(col("accs"), 4).as("acc_p05_e6"),
+            element_at(col("accs"), 61).as("acc_p95_e6"))
+        full.crossJoin(ci)
+          .select(col("n_replicas"), col("acc_full_e6"), col("acc_mean_e6"),
+            col("acc_p05_e6"), col("acc_p95_e6"))
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        truth AS (SELECT DISTINCT doc_id, lang FROM test_toks),
+        sc AS (SELECT p.doc_id, (p.pred = t.lang) AS ok
+               FROM nb_pred p JOIN truth t USING (doc_id)),
+        reps AS (
+          SELECT b,
+            (1000000 * SUM(CASE WHEN ok THEN 1 ELSE 0 END)) // COUNT(*) AS acc_e6
+          FROM sc, UNNEST(range(64)) AS tb(b)
+          WHERE CAST('0x' || substr(md5('boot:' || b || ':' || doc_id), 1, 15) AS BIGINT) % 2 = 0
+          GROUP BY 1),
+        arr AS (SELECT list_sort(list(acc_e6)) AS accs, COUNT(*) AS n FROM reps),
+        f AS (SELECT (1000000 * SUM(CASE WHEN ok THEN 1 ELSE 0 END)) // COUNT(*) AS acc_full_e6
+              FROM sc)
+        SELECT CAST(arr.n AS BIGINT) AS n_replicas,
+          CAST(f.acc_full_e6 AS BIGINT) AS acc_full_e6,
+          CAST(CAST(list_sum(arr.accs) AS BIGINT) // 64 AS BIGINT) AS acc_mean_e6,
+          CAST(arr.accs[4] AS BIGINT) AS acc_p05_e6,
+          CAST(arr.accs[61] AS BIGINT) AS acc_p95_e6
+        FROM arr, f"""))
   )
 }
