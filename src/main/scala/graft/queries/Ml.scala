@@ -434,6 +434,63 @@ object Ml {
           CAST(CAST(list_sum(arr.accs) AS BIGINT) // 64 AS BIGINT) AS acc_mean_e6,
           CAST(arr.accs[4] AS BIGINT) AS acc_p05_e6,
           CAST(arr.accs[61] AS BIGINT) AS acc_p95_e6
-        FROM arr, f"""))
+        FROM arr, f""")),
+
+    // Worst-group evaluation (the group-DRO report, Sagawa et al. ICLR
+    // 2020): a classifier's headline accuracy can hide a collapsed
+    // minority group, so the q31 predictions are re-scored PER TRUE CLASS
+    // and the report carries the worst and best group with the gap —
+    // the number a data-mixing loop (q98) actually optimizes against.
+    // Deterministic extremes via the sorted-struct array (ties break on
+    // group name — no min_by tie ambiguity); integer accuracies
+    // throughout. One grouped count + a |groups|-sized array fold.
+    QueryDef("q193_worst_group",
+      (s, dir) => {
+        val (train, test) = nbParts(s, dir)
+        val model = NaiveBayes.train(train)
+        val truth = test.select(col("doc_id"), col("label").as("truth")).distinct()
+        val scored = NaiveBayes.predict(test.drop("label"), model)
+          .join(truth, "doc_id")
+          .select(col("truth").as("grp"), (col("truth") === col("pred")).as("ok"))
+        val per = scored.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("nc"))
+          .select(col("grp"), col("n"), col("nc"),
+            expr("(1000000 * nc) div n").as("acc_e6"))
+        val overall = scored.agg(
+          expr("(1000000 * sum(case when ok then 1 else 0 end)) div count(1)")
+            .as("overall_e6"))
+        per.agg(count(lit(1)).as("n_groups"),
+            array_sort(collect_list(struct(col("acc_e6"), col("grp")))).as("a"))
+          .select(col("n_groups"),
+            element_at(col("a"), 1).getField("grp").as("worst_grp"),
+            element_at(col("a"), 1).getField("acc_e6").as("worst_acc_e6"),
+            element_at(col("a"), -1).getField("grp").as("best_grp"),
+            element_at(col("a"), -1).getField("acc_e6").as("best_acc_e6"))
+          .crossJoin(overall)
+          .select(col("n_groups"), col("overall_e6"), col("worst_grp"),
+            col("worst_acc_e6"), col("best_grp"), col("best_acc_e6"),
+            (col("best_acc_e6") - col("worst_acc_e6")).as("gap_e6"))
+      },
+      oracle = Some(s"""
+        WITH $nbCte,
+        truth AS (SELECT DISTINCT doc_id, lang FROM test_toks),
+        sc AS (SELECT t.lang AS grp, (p.pred = t.lang) AS ok
+               FROM nb_pred p JOIN truth t USING (doc_id)),
+        per AS (
+          SELECT grp, (1000000 * SUM(CASE WHEN ok THEN 1 ELSE 0 END)) // COUNT(*) AS acc_e6
+          FROM sc GROUP BY 1),
+        arr AS (
+          SELECT COUNT(*) AS n_groups,
+            list_sort(list({'acc_e6': acc_e6, 'grp': grp})) AS a
+          FROM per),
+        ov AS (SELECT (1000000 * SUM(CASE WHEN ok THEN 1 ELSE 0 END)) // COUNT(*) AS overall_e6
+               FROM sc)
+        SELECT CAST(arr.n_groups AS BIGINT) AS n_groups,
+          CAST(ov.overall_e6 AS BIGINT) AS overall_e6,
+          arr.a[1].grp AS worst_grp, CAST(arr.a[1].acc_e6 AS BIGINT) AS worst_acc_e6,
+          arr.a[-1].grp AS best_grp, CAST(arr.a[-1].acc_e6 AS BIGINT) AS best_acc_e6,
+          CAST(arr.a[-1].acc_e6 - arr.a[1].acc_e6 AS BIGINT) AS gap_e6
+        FROM arr, ov"""))
   )
 }
