@@ -120,11 +120,21 @@ object Bench {
     // restored again between prime and timed pass so the timed pass
     // measures the query's marginal factorization work, not a free hit on
     // its own prime.
+    // restoreMemoPruned: restoreMemoShared's safety (nothing ANY snapshot
+    // references is released) plus garbage collection of the components
+    // prime/timed runs extract after warm-up — no snapshot can resurrect
+    // those, and letting them accumulate across 124 rows × 3 slots × 2
+    // runs pressured the storage layer into multi-× per-run variance on
+    // the heavy factorization rows.
+    val lsaSnaps = () => memoSnaps.values.map(_._1)
+    val pcaSnaps = () => memoSnaps.values.map(_._2)
     for (_ <- 1 to 3; q <- queries if !failed(q.name)) guarded(q) {
       val (lsaSnap, pcaSnap) = memoSnaps(q.name)
-      ml.Lsa.restoreMemoShared(lsaSnap); ml.Pca.restoreMemoShared(pcaSnap)
+      ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
+      ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
       runOnce(q) // prime: pins + page cache for THIS slot only
-      ml.Lsa.restoreMemoShared(lsaSnap); ml.Pca.restoreMemoShared(pcaSnap)
+      ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
+      ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
       times(q.name) = runOnce(q) :: times(q.name)
     }
 

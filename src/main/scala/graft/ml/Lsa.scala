@@ -121,6 +121,23 @@ object Lsa {
     memo.putAll(restored)
   }
 
+  /** [[restoreMemoShared]] plus garbage collection: before restoring,
+    * release every component in the CURRENT memo that appears in NEITHER
+    * the restored snapshot NOR any snapshot in `allSnaps` — i.e. the
+    * components prime/timed runs extracted after the warm-up sweep, which
+    * no snapshot will ever resurrect. Keeps the interleaved-safety
+    * property (nothing any snapshot references is touched) WITHOUT the
+    * unbounded snapshots × passes block accumulation that pressured the
+    * storage layer over a 124-row interleaved run. */
+  def restoreMemoPruned(snap: AnyRef, allSnaps: Iterable[AnyRef]): Unit = {
+    val keep = new java.util.ArrayList[Vector[Comp]]()
+    allSnaps.foreach { s =>
+      keep.addAll(s.asInstanceOf[java.util.HashMap[Key, Vector[Comp]]].values())
+    }
+    releaseEvicted(keep)
+    restoreMemoShared(snap)
+  }
+
   /** cells: (doc_id, term, w), w ≥ 0. Returns (term, weight): the
     * unit-norm top right-singular vector, rounded to 8 dp. */
   def topSingular(cells: DataFrame, iterations: Int): DataFrame = {

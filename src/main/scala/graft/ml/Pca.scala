@@ -122,6 +122,27 @@ object Pca {
     covMemo.putAll(cv.asInstanceOf[java.util.HashMap[CovKey, Cov]])
   }
 
+  /** [[restoreMemoShared]] plus garbage collection (the Lsa twin): before
+    * restoring, release every Comp/Cov in the CURRENT memos referenced by
+    * NO snapshot in `allSnaps` — post-warm-up extractions no snapshot can
+    * resurrect. Identity membership, never key equality (Vector
+    * extensions share prefix Comps with their snapshots). */
+  def restoreMemoPruned(snap: AnyRef, allSnaps: Iterable[AnyRef]): Unit = {
+    val keepComp = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Comp, java.lang.Boolean]())
+    val keepCov = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Cov, java.lang.Boolean]())
+    allSnaps.foreach { s =>
+      val Array(cv, cm) = s.asInstanceOf[Array[AnyRef]]
+      cm.asInstanceOf[java.util.HashMap[CompKey, Vector[Comp]]]
+        .values.forEach(_.foreach(keepComp.add))
+      cv.asInstanceOf[java.util.HashMap[CovKey, Cov]].values.forEach(keepCov.add(_))
+    }
+    compMemo.values.forEach(_.foreach(c => if (!keepComp.contains(c)) c.release()))
+    covMemo.values.forEach(c => if (!keepCov.contains(c)) c.release())
+    restoreMemoShared(snap)
+  }
+
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
