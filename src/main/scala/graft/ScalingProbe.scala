@@ -437,6 +437,9 @@ object ScalingProbe {
       "q192_accuracy_ci",
       // worst-group report: the q31 chain + a |groups|-sized fold
       "q193_worst_group",
+      // per-source card: one tokenize scan, |sources|-row rollup —
+      // scan-shaped in both regimes
+      "q194_source_quality_card",
       // entity resolution: blocked pair join — id-shift deepens every
       // (nation, balance-bucket) cell ×factor, so the pair term is the
       // watched quantity (the q33 uncapped-block regime on records);
@@ -498,7 +501,7 @@ object ScalingProbe {
       "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
       "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs",
       "q188_tokenizer_eval", "q191_soft_dedup_weights",
-      "q192_accuracy_ci", "q193_worst_group")
+      "q192_accuracy_ci", "q193_worst_group", "q194_source_quality_card")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -3507,6 +3507,77 @@ object Curation {
           CAST(SUM(v2) AS BIGINT) AS sum_b,
           CAST(SUM((299 * v0 + 587 * v1 + 114 * v2) // 1000) AS BIGINT) AS sum_luma
         FROM rch GROUP BY 1"""),
+      bench = true),
+
+    // Per-source quality × dedup data card — the cross-family dashboard a
+    // feed owner reads before mixing: for every source, document count,
+    // q184-rule keep rate, exact-duplicate rate (md5 of the normalized
+    // token stream, df ≥ 2), and token volume — rates as integer
+    // millionths. One tokenize scan feeds all three signals (rule stats,
+    // dup fingerprints, token counts); everything rolls up to a
+    // |sources|-row frame map-side. The per-RULE failure attribution
+    // lives in q184; this is the per-SOURCE rollup that tells you WHICH
+    // feed to fix.
+    QueryDef("q194_source_quality_card",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), Exprs.tokens(col("text")).as("toks"))
+        val pc = base
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val keep = pc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndis"),
+            max(col("c")).as("topc"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(length(col("term")) * col("c")).as("sumlen"))
+          .select(col("doc_id"), col("n"),
+            (col("n") >= 30 &&
+              col("sumlen") >= lit(4L) * col("n") &&
+              col("sumlen") <= lit(5L) * col("n") &&
+              lit(100L) * col("topc") <= lit(15L) * col("n") &&
+              lit(5L) * col("hapax") >= col("ndis")).as("keep"))
+        val fp = base.select(col("doc_id"), col("source"),
+          md5(array_join(col("toks"), " ")).as("f"))
+        val dfc = fp.groupBy(col("f")).agg(count(lit(1)).as("d"))
+        fp.join(dfc, "f")
+          .join(keep, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_dup"),
+            sum(col("n")).as("n_tokens"))
+          .select(col("source"), col("n_docs"), col("n_keep"), col("n_dup"),
+            col("n_tokens"),
+            expr("(1000000 * n_keep) div n_docs").as("keep_rate_e6"),
+            expr("(1000000 * n_dup) div n_docs").as("dup_rate_e6"))
+      },
+      oracle = Some("""
+        WITH sq AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        pc AS (
+          SELECT doc_id, term, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(tk) AS term FROM sq) u GROUP BY 1, 2),
+        keepf AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+            (CAST(SUM(c) AS BIGINT) >= 30
+             AND CAST(SUM(LEN(term) * c) AS BIGINT) >= 4 * CAST(SUM(c) AS BIGINT)
+             AND CAST(SUM(LEN(term) * c) AS BIGINT) <= 5 * CAST(SUM(c) AS BIGINT)
+             AND 100 * CAST(MAX(c) AS BIGINT) <= 15 * CAST(SUM(c) AS BIGINT)
+             AND 5 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) >= COUNT(*)) AS keep
+          FROM pc GROUP BY 1),
+        fp AS (SELECT doc_id, source, md5(array_to_string(tk, ' ')) AS f FROM sq),
+        dfc AS (SELECT f, COUNT(*) AS d FROM fp GROUP BY 1)
+        SELECT fp.source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          CAST(SUM(CASE WHEN dfc.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          CAST(SUM(k.n) AS BIGINT) AS n_tokens,
+          (1000000 * CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS keep_rate_e6,
+          (1000000 * CAST(SUM(CASE WHEN dfc.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_rate_e6
+        FROM fp JOIN dfc USING (f) JOIN keepf k USING (doc_id)
+        GROUP BY 1"""),
       bench = true)
   )
 
