@@ -152,15 +152,28 @@ object Similarity {
     * anchors are the current training minibatch (corpus-independent size)
     * and the corpus side routes through the IVF/PQ index family
     * (q50/q164) instead of the broadcast — this operator is the exact
-    * baseline those approximations are measured against. */
-  def hardNegativeTopK(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * baseline those approximations are measured against.
+    *
+    * CONTRACT: the corpus side is broadcast only while it fits —
+    * `broadcastMaxRows` (default 1M rows ≈ a few hundred MB of doubles at
+    * d=64) caps it via one cheap pruned count; above the cap the join
+    * degrades to a partitioned crossJoin (still bounded-heap below the
+    * shuffle) instead of OOMing the driver. Callers at index scale should
+    * route the corpus through IVF/PQ rather than raising the cap. */
+  def hardNegativeTopK(anchors: DataFrame, corpus: DataFrame, k: Int,
+                       broadcastMaxRows: Long = 1000000L): DataFrame = {
     val spark = anchors.sparkSession
     import spark.implicits._
     val q = anchors.select(col("vec_id").as("q_id"), col("label").as("q_label"),
       col("embedding").cast("array<double>").as("q_vec"))
     val c = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"),
       col("embedding").cast("array<double>").as("n_vec"))
-    q.crossJoin(broadcast(c))
+    val limitN = math.min(broadcastMaxRows + 1, Int.MaxValue.toLong).toInt
+    val cSide =
+      if (corpus.select(col("vec_id")).limit(limitN).count() <= broadcastMaxRows)
+        broadcast(c)
+      else c
+    q.crossJoin(cSide)
       .filter(col("q_label") =!= col("n_label"))
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))

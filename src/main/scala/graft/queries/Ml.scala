@@ -404,13 +404,23 @@ object Ml {
           .groupBy(col("b"))
           .agg(expr("(1000000 * sum(case when ok then 1 else 0 end)) div count(1)")
             .as("acc_e6"))
+        // Ranks and the mean divisor derive from size(accs), not literal
+        // 64: a replica whose hash coin drew zero docs vanishes from the
+        // groupBy, and element_at on a hardcoded rank would throw under
+        // ANSI where DuckDB yields NULL. ceil(n*.05)=4 / ceil(n*.95)=61
+        // at n=64, so the full-replica case is value-identical.
         val ci = reps.agg(sort_array(collect_list(col("acc_e6"))).as("accs"))
           .select(size(col("accs")).cast(org.apache.spark.sql.types.LongType)
               .as("n_replicas"),
-            expr("aggregate(accs, CAST(0 AS BIGINT), (a, x) -> a + x) div 64")
+            expr("case when size(accs) = 0 then null else " +
+              "aggregate(accs, CAST(0 AS BIGINT), (a, x) -> a + x) div size(accs) end")
               .as("acc_mean_e6"),
-            element_at(col("accs"), 4).as("acc_p05_e6"),
-            element_at(col("accs"), 61).as("acc_p95_e6"))
+            expr("case when size(accs) = 0 then null else " +
+              "element_at(accs, greatest(1, cast(ceil(size(accs) * 0.05) as int))) end")
+              .as("acc_p05_e6"),
+            expr("case when size(accs) = 0 then null else " +
+              "element_at(accs, cast(ceil(size(accs) * 0.95) as int)) end")
+              .as("acc_p95_e6"))
         full.crossJoin(ci)
           .select(col("n_replicas"), col("acc_full_e6"), col("acc_mean_e6"),
             col("acc_p05_e6"), col("acc_p95_e6"))
@@ -431,9 +441,12 @@ object Ml {
               FROM sc)
         SELECT CAST(arr.n AS BIGINT) AS n_replicas,
           CAST(f.acc_full_e6 AS BIGINT) AS acc_full_e6,
-          CAST(CAST(list_sum(arr.accs) AS BIGINT) // 64 AS BIGINT) AS acc_mean_e6,
-          CAST(arr.accs[4] AS BIGINT) AS acc_p05_e6,
-          CAST(arr.accs[61] AS BIGINT) AS acc_p95_e6
+          CASE WHEN arr.n = 0 THEN NULL ELSE
+            CAST(CAST(list_sum(arr.accs) AS BIGINT) // arr.n AS BIGINT) END AS acc_mean_e6,
+          CASE WHEN arr.n = 0 THEN NULL ELSE
+            CAST(arr.accs[GREATEST(1, CAST(ceil(arr.n * 0.05) AS INT))] AS BIGINT) END AS acc_p05_e6,
+          CASE WHEN arr.n = 0 THEN NULL ELSE
+            CAST(arr.accs[CAST(ceil(arr.n * 0.95) AS INT)] AS BIGINT) END AS acc_p95_e6
         FROM arr, f""")),
 
     // Worst-group evaluation (the group-DRO report, Sagawa et al. ICLR

@@ -987,11 +987,16 @@ object Text {
             val n2 = bn * (b22 * by3 - by2 * b23) - b2 * (b2 * by3 - by2 * b3) +
               by * (b2 * b23 - b22 * b3)
             // sign-normalized truncating division: BigInt / truncates toward
-            // zero on nonneg operands, exactly DuckDB's // on abs values
-            def e6(num: BigInt): Long = {
-              val q = num.abs * 1000000 / det.abs
-              (if ((num.signum < 0) != (det.signum < 0)) -q else q).toLong
-            }
+            // zero on nonneg operands, exactly DuckDB's // on abs values.
+            // A singular Gram matrix (collinear features, e.g. every doc
+            // with ntok == ndis) yields det == 0: emit NULL coefficients —
+            // a defined degenerate row, not an ArithmeticException.
+            def e6(num: BigInt): Option[Long] =
+              if (det.signum == 0) None
+              else {
+                val q = num.abs * 1000000 / det.abs
+                Some((if ((num.signum < 0) != (det.signum < 0)) -q else q).toLong)
+              }
             (n, e6(n0), e6(n1), e6(n2))
           }
           .toDF("n", "b0_e6", "b1_e6", "b2_e6")
@@ -1020,11 +1025,14 @@ object Text {
             n*(s22*sy3 - sy2*s23) - s2*(s2*sy3 - sy2*s3) + sy*(s2*s23 - s22*s3) AS n2
           FROM s)
         SELECT CAST(n AS BIGINT) AS n,
-          CAST(CASE WHEN (n0 < 0) <> (det < 0) THEN -(abs(n0)*1000000 // abs(det))
+          CAST(CASE WHEN det = 0 THEN NULL
+               WHEN (n0 < 0) <> (det < 0) THEN -(abs(n0)*1000000 // abs(det))
                ELSE abs(n0)*1000000 // abs(det) END AS BIGINT) AS b0_e6,
-          CAST(CASE WHEN (n1 < 0) <> (det < 0) THEN -(abs(n1)*1000000 // abs(det))
+          CAST(CASE WHEN det = 0 THEN NULL
+               WHEN (n1 < 0) <> (det < 0) THEN -(abs(n1)*1000000 // abs(det))
                ELSE abs(n1)*1000000 // abs(det) END AS BIGINT) AS b1_e6,
-          CAST(CASE WHEN (n2 < 0) <> (det < 0) THEN -(abs(n2)*1000000 // abs(det))
+          CAST(CASE WHEN det = 0 THEN NULL
+               WHEN (n2 < 0) <> (det < 0) THEN -(abs(n2)*1000000 // abs(det))
                ELSE abs(n2)*1000000 // abs(det) END AS BIGINT) AS b2_e6
         FROM dets"""),
       bench = true)
