@@ -356,6 +356,78 @@ object Curation {
     (head +: rounds).mkString(",\n        ")
   }
 
+  /** Hashed-feature frame shared by q176 (full-batch) and q195 (sampled
+    * training): unigrams+bigrams hashed into B=256 buckets, per-doc counts
+    * normalized to ×256 frequencies, bias slot prepended — (id, x: 257-dim
+    * array<double>, y: 1.0 iff lang = en). One tokenize scan; the dense
+    * vector is built ROW-LOCALLY from the per-doc count map. */
+  private def hashedLrFeats(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val B = 256
+    val hb = graft.operators.Dsir.hashedFeatures(docs(s, dir), B)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    hb.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id").as("id"),
+        concat(array(lit(1.0d)),
+          transform(sequence(lit(0), lit(B - 1)),
+            b => round(lit(256.0d) *
+              coalesce(element_at(col("m"), b.cast("long")), lit(0L)).cast("double") /
+              col("n").cast("double"), 10))).as("x"),
+        when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"))
+  }
+
+  /** Full-corpus scoring report under trained `wts`: (id, score, pred, y,
+    * correct) — the evaluated-classifier output contract q176/q195 share. */
+  private def scoredLrReport(feats: org.apache.spark.sql.DataFrame,
+                             wts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ml.Logistic.score(feats, wts)
+      .join(feats.select(col("id"), col("y")), "id")
+      .select(col("id"), col("score"),
+        (col("score") >= lit(0.5d)).as("pred"),
+        col("y"),
+        ((col("score") >= lit(0.5d)) === (col("y") === lit(1.0d))).as("correct"))
+
+  /** DuckDB replay of [[hashedLrFeats]] — tokenize, unigram+bigram hashing
+    * into 256 buckets, ×256 frequency normalization, bias slot — ending in
+    * the `feat` CTE (id, x LIST<DOUBLE>[257], y). Shared by q176/q195. */
+  private val hashedFeatCtes = """hfs AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        hfr AS (
+          SELECT doc_id, UNNEST(list_concat(
+            list_transform(tk, w -> 'u:' || w),
+            list_transform(generate_series(1, len(tk) - 1), i -> 'b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+          FROM hfs WHERE len(tk) > 0),
+        hfh AS MATERIALIZED (
+          SELECT doc_id, CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 256 AS b
+          FROM hfr),
+        hb AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM hfh GROUP BY 1, 2),
+        hdense AS (
+          SELECT n.doc_id, gb.b,
+            round(256.0 * CAST(COALESCE(hb.c, 0) AS DOUBLE) / CAST(n.n AS DOUBLE), 10) AS v
+          FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hb GROUP BY 1) n
+          CROSS JOIN (SELECT UNNEST(range(0, 256)) AS b) gb
+          LEFT JOIN hb ON hb.doc_id = n.doc_id AND hb.b = gb.b),
+        feat AS MATERIALIZED (
+          SELECT hd.doc_id AS id,
+            [CAST(1.0 AS DOUBLE)] || list(v ORDER BY b) AS x,
+            CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM hdense hd JOIN documents d ON d.doc_id = hd.doc_id
+          GROUP BY hd.doc_id, d.lang)"""
+
+  /** Final SELECT of the q176/q195 oracles: full-corpus sigmoid scoring
+    * under the trained weight list `waf.wv`, mirroring [[scoredLrReport]]. */
+  private val lrScoreSelect = """SELECT id,
+          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS score,
+          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5 AS pred,
+          y,
+          (round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5) = (y = 1.0) AS correct
+        FROM feat, waf"""
+
   /** Merge rounds for the q79/q80 oracle pair: enough to learn multi-level
     * merges (round 6 already fuses a round-1 product: m+er), small enough
     * that the unrolled-CTE oracle stays tractable. Declared before [[defs]]
@@ -2657,62 +2729,47 @@ object Curation {
     // stance).
     QueryDef("q176_hashed_lr_filter",
       (s, dir) => {
-        val B = 256
-        val hb = graft.operators.Dsir.hashedFeatures(docs(s, dir), B)
-          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        val feats = hb.groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n"),
-            map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
-          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
-          .select(col("doc_id").as("id"),
-            concat(array(lit(1.0d)),
-              transform(sequence(lit(0), lit(B - 1)),
-                b => round(lit(256.0d) *
-                  coalesce(element_at(col("m"), b.cast("long")), lit(0L)).cast("double") /
-                  col("n").cast("double"), 10))).as("x"),
-            when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"))
+        val feats = hashedLrFeats(s, dir)
         val wts = graft.ml.Logistic.train(feats, lr = 0.1, iterations = 16)
-        graft.ml.Logistic.score(feats, wts)
-          .join(feats.select(col("id"), col("y")), "id")
-          .select(col("id"), col("score"),
-            (col("score") >= lit(0.5d)).as("pred"),
-            col("y"),
-            ((col("score") >= lit(0.5d)) === (col("y") === lit(1.0d))).as("correct"))
+        scoredLrReport(feats, wts)
       },
       oracle = Some(s"""
-        WITH hfs AS (
-          SELECT doc_id, lang,
-            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
-          FROM documents),
-        hfr AS (
-          SELECT doc_id, UNNEST(list_concat(
-            list_transform(tk, w -> 'u:' || w),
-            list_transform(generate_series(1, len(tk) - 1), i -> 'b:' || tk[i] || ' ' || tk[i + 1]))) AS f
-          FROM hfs WHERE len(tk) > 0),
-        hfh AS MATERIALIZED (
-          SELECT doc_id, CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 256 AS b
-          FROM hfr),
-        hb AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM hfh GROUP BY 1, 2),
-        hdense AS (
-          SELECT n.doc_id, gb.b,
-            round(256.0 * CAST(COALESCE(hb.c, 0) AS DOUBLE) / CAST(n.n AS DOUBLE), 10) AS v
-          FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hb GROUP BY 1) n
-          CROSS JOIN (SELECT UNNEST(range(0, 256)) AS b) gb
-          LEFT JOIN hb ON hb.doc_id = n.doc_id AND hb.b = gb.b),
-        feat AS MATERIALIZED (
-          SELECT hd.doc_id AS id,
-            [CAST(1.0 AS DOUBLE)] || list(v ORDER BY b) AS x,
-            CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-          FROM hdense hd JOIN documents d ON d.doc_id = hd.doc_id
-          GROUP BY hd.doc_id, d.lang),
+        WITH $hashedFeatCtes,
         ${lrRoundCtes("feat", 257, "0.1", 16)},
         waf AS (SELECT list(w ORDER BY pos) AS wv FROM w16)
-        SELECT id,
-          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) AS score,
-          round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5 AS pred,
-          y,
-          (round(1.0/(1.0 + exp(-round(list_dot_product(x, wv), 12))), 10) >= 0.5) = (y = 1.0) AS correct
-        FROM feat, waf"""),
+        $lrScoreSelect"""),
+      bench = true),
+
+    // Sampled-training variant of q176 — the PRODUCTION fastText posture
+    // (CCNet/RefinedWeb train the quality gate on a small sample, then
+    // score everything): the 16-round GD runs only on the docs whose
+    // deterministic hash coin (the q77 sampler, salt "lrs:") lands under
+    // 250/1000, and the trained head scores the FULL corpus. Same feature
+    // pipeline, same rounding ladder, same output contract as q176 — the
+    // difference is purely which rows enter the gradient. Shape at scale:
+    // the per-round shuffle shrinks from n·(B+1) to (n/4)·(B+1) here and
+    // to (sample/corpus)·n·(B+1) in production where the sample is fixed-
+    // size and the corpus is 100 TB — training cost becomes corpus-
+    // independent while scoring stays one broadcast pass. Contract: the
+    // sample rate (250000 ppm) is a plan-time constant; the coin is
+    // md5-portable so the training set is reproducible across engines,
+    // runs, and corpus growth (previously sampled docs stay sampled).
+    QueryDef("q195_sampled_lr_filter",
+      (s, dir) => {
+        val feats = hashedLrFeats(s, dir)
+        val train = feats.filter(
+          Exprs.h60(concat(lit("lrs:"), col("id"))) % 1000L < 250L)
+        val wts = graft.ml.Logistic.train(train, lr = 0.1, iterations = 16)
+        scoredLrReport(feats, wts)
+      },
+      oracle = Some(s"""
+        WITH $hashedFeatCtes,
+        feat_tr AS MATERIALIZED (
+          SELECT * FROM feat
+          WHERE CAST('0x' || substr(md5('lrs:' || id), 1, 15) AS BIGINT) % 1000 < 250),
+        ${lrRoundCtes("feat_tr", 257, "0.1", 16)},
+        waf AS (SELECT list(w ORDER BY pos) AS wv FROM w16)
+        $lrScoreSelect"""),
       bench = true),
 
     // Image perceptual-hash dedup — the multimodal twin of SimHash text
