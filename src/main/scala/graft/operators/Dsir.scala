@@ -66,12 +66,19 @@ object Dsir {
     val raw = f.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgtCnt = f.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val totals = raw.agg(sum(col("cr")).as("nr")).crossJoin(tgtCnt.agg(sum(col("ct")).as("nt")))
+    // ln rounded at 6 dp, not 10: JVM and libm ln differ in the last ulp,
+    // and a log value landing within that ulp of a rounding boundary tips
+    // the rounded λ across engines. The hazard scales with boundary
+    // density — at 10 dp the sf0.1 corpus hit it on 9 of 5000 docs (the
+    // round-10 finding); at 6 dp the per-value odds drop ~10^4×. λ at 6 dp
+    // keeps the 8-dp logw contract: the products below are bit-identical
+    // IEEE multiplies once λ agrees.
     val lam = raw.join(tgtCnt, Seq("b"), "left").crossJoin(totals)
       .select(col("b"),
         (round(log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast(DoubleType) /
-          (col("nt") + lit(buckets.toLong)).cast(DoubleType)), 10) -
+          (col("nt") + lit(buckets.toLong)).cast(DoubleType)), 6) -
           round(log((col("cr") + lit(1L)).cast(DoubleType) /
-            (col("nr") + lit(buckets.toLong)).cast(DoubleType)), 10)).as("lam"))
+            (col("nr") + lit(buckets.toLong)).cast(DoubleType)), 6)).as("lam"))
     val out = f.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nb"))
       .join(broadcast(lam), "b")
       .groupBy(col("doc_id"))

@@ -3783,8 +3783,8 @@ object Curation {
                    (SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS nt),
     lam AS MATERIALIZED (
       SELECT r.b,
-        round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 1024 AS DOUBLE)), 10) -
-          round(ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tot.nr + 1024 AS DOUBLE)), 10) AS lam
+        round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 1024 AS DOUBLE)), 6) -
+          round(ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tot.nr + 1024 AS DOUBLE)), 6) AS lam
       FROM raw r LEFT JOIN tc t ON r.b = t.b CROSS JOIN tot),
     db AS (SELECT doc_id, b, COUNT(*) AS nb FROM fh GROUP BY 1, 2),
     w AS MATERIALIZED (
