@@ -622,6 +622,80 @@ object ScalingProbe {
       val (lshX, ivfX, nX) = recallAt(outDir)
       println(f"""{"probe":"ann_recall","k":10,"base_n":$nB,"x${factor}_n":$nX,"lsh_recall_base":$lshB%.3f,"lsh_recall_x$factor":$lshX%.3f,"ivf_recall_base":$ivfB%.3f,"ivf_recall_x$factor":$ivfX%.3f}""")
     }
+    // AQE skew-join vs the manual salt (VERDICT r9 #5): measured evidence
+    // for WHEN Skew.saltedJoin is still required once AQE is on. A 90%-hot
+    // key is synthesized over the ×factor events replica (deterministic
+    // id-coin remap, no rand()), the tiny dim side's broadcast is disabled
+    // so the join is a real SortMergeJoin (the 100 TB regime where the
+    // probe side is too big to broadcast and the dim is a shuffled join),
+    // and the same plan runs (a) AQE skew-join OFF, (b) ON with thresholds
+    // scaled to the local data, (c) manually salted. The aggregation twin —
+    // a per-key DISTINCT count, whose (key, value) expansion partial
+    // aggregation can NOT collapse map-side — runs plain vs salted, the
+    // case AQE never touches (skew handling is join-only).
+    // Enabled via SPARK_GRAFT_PROBE_ONLY=skew_aqe.
+    if (only.exists(_.contains("skew_aqe"))) {
+      val ev = graft.sources.Tables(spark, outDir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("event_type",
+          when(pmod(xxhash64(col("event_id")), lit(10L)) < 9L, lit("view"))
+            .otherwise(col("event_type")))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      def joinBody(salted: Boolean): Unit = {
+        val joined =
+          if (salted) graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 8)
+          else ev.join(dim, "event_type")
+        joined.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def withConf(pairs: (String, String)*)(body: => Double): Double = {
+        val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      val noBroadcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      def timeJoin(skewOn: Boolean, salted: Boolean): Double = withConf(
+        noBroadcast,
+        "spark.sql.adaptive.skewJoin.enabled" -> skewOn.toString,
+        // local-scale thresholds: the defaults (256 MB) never fire on a
+        // test-sized partition; the RATIO contract (factor 2, median-based
+        // split) is what the probe exercises
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2") {
+        timed(joinBody(salted))
+      }
+      // the salted distinct-count salts BY VALUE (one value → one salt
+      // cell, cells disjoint), so the per-cell distincts sum exactly AND
+      // the hot key's rows spread over 8 reducers — value-equal to the
+      // plain form, unlike an id-derived salt which double-counts
+      def timeAgg(salted: Boolean): Double = timed {
+        val agg =
+          if (salted) ev
+            .withColumn("_salt", pmod(xxhash64(col("value")), lit(8L)))
+            .groupBy(col("event_type"), col("_salt"))
+            .agg(countDistinct(col("value")).as("d"))
+            .groupBy(col("event_type")).agg(sum(col("d")).as("n_distinct"))
+          else ev.groupBy(col("event_type"))
+            .agg(countDistinct(col("value")).as("n_distinct"))
+        agg.write.format("noop").mode("overwrite").save()
+      }
+      timeJoin(skewOn = false, salted = false) // warm-up
+      val jPlain = math.min(timeJoin(false, false), timeJoin(false, false))
+      val jAqe = math.min(timeJoin(true, false), timeJoin(true, false))
+      val jSalt = math.min(timeJoin(false, true), timeJoin(false, true))
+      timeAgg(salted = false) // warm-up
+      val aPlain = math.min(timeAgg(false), timeAgg(false))
+      val aSalt = math.min(timeAgg(true), timeAgg(true))
+      println(f"""{"probe":"skew_aqe","join_plain_sec":$jPlain%.2f,"join_aqe_sec":$jAqe%.2f,"join_salted_sec":$jSalt%.2f,"agg_plain_sec":$aPlain%.2f,"agg_salted_sec":$aSalt%.2f}""")
+    }
     // PQ search cost vs CORPUS size, the question the catalog rows can't
     // ask (their query set grows with the corpus): a FIXED 25-query set
     // from the base corpus searches the ×factor codes. ADC should scale

@@ -2110,6 +2110,52 @@ object Curation {
         GROUP BY r.source, r.n_docs, r.rate_ppm"""),
       bench = true),
 
+    // Temperature-based mixture sampling — the mC4/PaLM partial flatten
+    // between q98's two extremes (natural sampling keeps every source at
+    // rate 1; q98's equalize caps every source at the scarcest): target
+    // share p_s ∝ share_s^α, applied as keep-rates normalized so the
+    // scarcest source keeps everything — which at α = 1/2 collapses to
+    // rate_s = √(n_min/n_s), BETWEEN q98's n_min/n_s and 1. α = 1/2 is the
+    // deliberately portable temperature: IEEE-754 sqrt is CORRECTLY
+    // ROUNDED (unlike ln/pow, which cost q135 a 1e-8 drift at sf0.1), so
+    // the ppm rates are bit-identical across engines with no rounding
+    // ladder at all — integer counts → one exact divide → exact sqrt →
+    // exact ×1e6 → floor. Same shape as q98: source census (map-side
+    // collapse) + 1-row broadcast + per-row md5 coin (salt "tmix:").
+    QueryDef("q196_temperature_mix",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"), col("doc_id"))
+        val agg = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = agg.agg(min(col("n_docs")).as("min_docs"))
+        val rates = agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            floor(lit(1000000.0d) *
+              sqrt(col("min_docs").cast("double") / col("n_docs").cast("double")))
+              .cast(org.apache.spark.sql.types.LongType).as("rate_ppm"))
+        val sampled = d.join(broadcast(rates), "source")
+          .filter(Exprs.h60(concat(lit("tmix:"), col("doc_id"))) % 1000000L < col("rate_ppm"))
+        sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+          .join(rates, "source")
+          .select(col("source"), col("n_docs"), col("rate_ppm"),
+            col("n_sampled"), col("first_doc"))
+      },
+      oracle = Some("""
+        WITH agg AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        tot AS (SELECT MIN(n_docs) AS min_docs FROM agg),
+        rates AS (SELECT source, n_docs,
+            CAST(floor(1000000.0 * sqrt(CAST(min_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_ppm
+          FROM agg, tot),
+        sampled AS (
+          SELECT d.source, d.doc_id FROM documents d JOIN rates r ON d.source = r.source
+          WHERE CAST('0x' || substr(md5('tmix:' || doc_id), 1, 15) AS BIGINT) % 1000000
+                < r.rate_ppm)
+        SELECT r.source, r.n_docs, r.rate_ppm,
+          COUNT(*) AS n_sampled, MIN(s.doc_id) AS first_doc
+        FROM sampled s JOIN rates r ON s.source = r.source
+        GROUP BY r.source, r.n_docs, r.rate_ppm"""),
+      bench = true),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
