@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Par.ParOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,8 +55,8 @@ object Graphs {
     * same semantics; the long form keeps the hot aggregate in primitive
     * codegen instead of Decimal128 adds — the r3 verdict's q25 follow-up.) */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst"), col("w")).compacted.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).distinct().compacted.persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     var ranks = verts.withColumn("rank", lit(1.0d / n))
     for (i <- 1 to iterations) {
@@ -75,12 +76,12 @@ object Graphs {
       // Checkpointing every round was measured at 63% of the whole sf0.1
       // bench; every 4 keeps re-execution bounded while spending one fewer
       // eager job than the round-3 every-3 cadence.
-      if (i < iterations && i % 4 == 0) ranks = ranks.localCheckpoint(eager = true)
+      if (i < iterations && i % 4 == 0) ranks = ranks.compacted.localCheckpoint(eager = true)
     }
     // the result is vertex-sized: materialize it eagerly (cheap) so the pinned
     // edge/vertex caches can be released HERE instead of leaking for the rest
     // of the session (round-2 bench pollution)
-    ranks = ranks.localCheckpoint(eager = true)
+    ranks = ranks.compacted.localCheckpoint(eager = true)
     e.unpersist(blocking = false)
     verts.unpersist(blocking = false)
     ranks
@@ -112,12 +113,12 @@ object Graphs {
   def pageRankGeneral(edges: DataFrame, iterations: Int = 10,
                       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(eager = true)
+    val e = edges.select(col("src"), col("dst"), col("w")).compacted.localCheckpoint(eager = true)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compacted.localCheckpoint(eager = true)
     val n = verts.count()
     val dangling = verts.join(e.select(col("src").as("v")).distinct(),
-      Seq("v"), "left_anti").localCheckpoint(eager = true)
+      Seq("v"), "left_anti").compacted.localCheckpoint(eager = true)
     var ranks = verts.withColumn("rank", lit(1.0d / n))
     for (_ <- 1 to iterations) {
       // D_k as a 1-ROW FRAME cross-joined into the update, not a collect():
@@ -140,7 +141,7 @@ object Graphs {
           lit(damping) * (coalesce(col("inc"), lit(0.0d)) + dmTerm), 12).as("rank"))
         // eager checkpoint keeps the next round's two consumers (dm agg +
         // join) off a growing plan
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     ranks
   }
@@ -158,23 +159,23 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int = 10,
                            damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(eager = true)
+    val e = edges.select(col("src"), col("dst"), col("w")).compacted.localCheckpoint(eager = true)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compacted.localCheckpoint(eager = true)
     val sd = verts.join(seeds.select(col("v")), Seq("v"), "left_semi")
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     val nS = sd.count()
     require(nS > 0, "personalizedPageRank needs at least one seed present in the graph")
     val dangling = verts.join(e.select(col("src").as("v")).distinct(),
-      Seq("v"), "left_anti").localCheckpoint(eager = true)
+      Seq("v"), "left_anti").compacted.localCheckpoint(eager = true)
     // sm ∈ {0,1}: seed-membership as a multiplier (1·x = x and 0·x = 0
     // exactly, so the arithmetic matches the oracle's CASE form bit-for-bit)
     val seedMark = verts.join(sd.select(col("v"), lit(1.0d).as("sm")), Seq("v"), "left")
       .select(col("v"), coalesce(col("sm"), lit(0.0d)).as("sm"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var ranks = seedMark
       .select(col("v"), (col("sm") * lit(1.0d / nS)).as("rank"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       // plan-side D_k, as in [[pageRankGeneral]]: 1-row aggregate
       // cross-joined, no per-round driver action
@@ -193,7 +194,7 @@ object Graphs {
         .crossJoin(dmDf)
         .select(col("v"), round(col("sm") * seedShare +
           lit(damping) * coalesce(col("inc"), lit(0.0d)), 12).as("rank"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     ranks
   }
@@ -238,10 +239,10 @@ object Graphs {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     val verts = und.select(col("src").as("v")).distinct()
     // canonical big→small orientation; kept canonical by both phases
-    var e = und.filter(col("src") > col("dst")).localCheckpoint(eager = true)
+    var e = und.filter(col("src") > col("dst")).compacted.localCheckpoint(eager = true)
     var eCount = e.count()
     var rounds = 0
     var changed = eCount > 0 // empty input: skip the loop
@@ -264,7 +265,7 @@ object Graphs {
         .union(smin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       // fixpoint = exact set equality (stars with minimal centers are
       // fixed points of both phases). Both frames are distinct sets, so
       // |A| = |B| ∧ A\B = ∅ ⇒ A = B: a cheap count first, and the
@@ -302,7 +303,7 @@ object Graphs {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var labels = und.select(col("src").as("v")).distinct().withColumn("label", col("v"))
     var changed = 1L
     while (changed > 0) {
@@ -315,7 +316,7 @@ object Graphs {
           (col("nbl") < col("label")).as("chg"))
         // one eager materialization per round: the convergence count and the
         // next round's join both read it, and lineage stays flat
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
     }
@@ -329,7 +330,7 @@ object Graphs {
     * (max total *integer* edge weight, then smallest label — integer weights
     * keep the argmax engine-portable). Labels start as the vertex id. */
   def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("cnt")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst"), col("cnt")).compacted.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("v")).distinct().withColumn("label", col("v"))
     for (i <- 1 to iterations) {
       val byLabel = e.join(broadcast(labels), e("dst") === labels("v"))
@@ -341,7 +342,7 @@ object Graphs {
         .select(col("v2").as("v"), col("label"))
       // checkpoint every round INCLUDING the last: the final materialization
       // (vertex-sized, cheap) is what lets the edge cache release below
-      labels = labels.localCheckpoint(eager = true)
+      labels = labels.compacted.localCheckpoint(eager = true)
     }
     e.unpersist(blocking = false)
     labels
@@ -385,7 +386,7 @@ object Graphs {
         struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
         .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .compacted.persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at apex u, pair ordered by the SAME (deg, id) order — so the
     // closing edge {x, y}, if present, is oriented exactly x → y
     val e1 = oriented.as("e1")
@@ -427,7 +428,7 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var n = e.count()
     var rounds = 0
     var changed = n > 0
@@ -438,7 +439,7 @@ object Graphs {
       val e2 = e
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       val n2 = e2.count()
       changed = n2 != n
       if (changed) rounds += 1
@@ -473,7 +474,7 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .compacted.persist(StorageLevel.MEMORY_AND_DISK)
     val nbrs = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
     val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("degn"))
@@ -515,17 +516,17 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .distinct()
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var dist = seeds.select(col("v")).distinct()
       .select(col("v"), lit(0L).as("hop"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     for (r <- 1 to maxHops) {
       val frontier = dist.filter(col("hop") === (r - 1).toLong)
         .select(col("v").as("a"))
         .join(adj, "a")
         .select(col("b").as("v"), lit(r.toLong).as("hop"))
       dist = dist.union(frontier).groupBy(col("v")).agg(min(col("hop")).as("hop"))
-      if (r % 4 == 0 || r == maxHops) dist = dist.localCheckpoint(eager = true)
+      if (r % 4 == 0 || r == maxHops) dist = dist.compacted.localCheckpoint(eager = true)
     }
     dist.select(col("v"), col("hop").as("hops"))
   }
@@ -593,7 +594,7 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var n = e.count()
     var rounds = 0
     var changed = n > 0
@@ -602,7 +603,7 @@ object Graphs {
       val e2 = e.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       val n2 = e2.count()
       changed = n2 != n
       if (changed) rounds += 1
@@ -632,7 +633,7 @@ object Graphs {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compacted.localCheckpoint(eager = true)
     val la = labels.select(col("v").as("a"), col("label").as("la"))
     val lb = labels.select(col("v").as("b"), col("label").as("lb"))
     val intra = und.join(la, "a").join(lb, "b")
@@ -691,17 +692,17 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("cost")).as("cost"))
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b"), col("cost")))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var dist = seeds.select(col("v")).distinct()
       .select(col("v"), lit(0L).as("pk"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     for (r <- 1 to maxHops) {
       val relaxed = dist.select(col("v").as("a"), col("pk"))
         .join(adj, "a")
         .select(col("b").as("v"),
           expr(s"((pk div $K) + cost) * $K + (pk % $K + 1)").as("pk"))
       dist = dist.union(relaxed).groupBy(col("v")).agg(min(col("pk")).as("pk"))
-      if (r % 4 == 0 || r == maxHops) dist = dist.localCheckpoint(eager = true)
+      if (r % 4 == 0 || r == maxHops) dist = dist.compacted.localCheckpoint(eager = true)
     }
     dist.select(col("v"), expr(s"pk div $K").as("cost"), (col("pk") % K).as("hops"))
   }
@@ -727,9 +728,9 @@ object Graphs {
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compacted.localCheckpoint(eager = true)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compacted.localCheckpoint(eager = true)
     val n = verts.count()
     var hub = verts.withColumn("hub", round(lit(1.0d / n), 12))
     var auth = verts.withColumn("auth", lit(0.0d))
@@ -751,12 +752,12 @@ object Graphs {
         .groupBy(e("dst").as("v"))
         .agg(round(sum(floor(col("hub") * lit(1.0e18d) + lit(0.5d)).cast(LongType))
           .cast(DoubleType) / lit(1.0e18d), 12).as("raw"))
-      auth = renorm(aRaw, "auth").localCheckpoint(eager = true)
+      auth = renorm(aRaw, "auth").compacted.localCheckpoint(eager = true)
       val hRaw = e.join(auth, e("dst") === auth("v"))
         .groupBy(e("src").as("v"))
         .agg(round(sum(floor(col("auth") * lit(1.0e18d) + lit(0.5d)).cast(LongType))
           .cast(DoubleType) / lit(1.0e18d), 12).as("raw"))
-      hub = renorm(hRaw, "hub").localCheckpoint(eager = true)
+      hub = renorm(hRaw, "hub").compacted.localCheckpoint(eager = true)
     }
     auth.join(hub, "v")
   }

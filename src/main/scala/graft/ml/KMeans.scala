@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Par.ParOps
 import graft.functions.Exprs._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -23,7 +24,7 @@ object KMeans {
 
   /** emb: (vec_id, vec: array<double>). Returns (centroid_id, centroid). */
   def fit(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("vec")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = emb.select(col("vec_id"), col("vec")).compacted.persist(StorageLevel.MEMORY_AND_DISK)
     val idW = Window.orderBy(col("vec_id").asc)
     var centroids = e.orderBy(col("vec_id").asc).limit(k)
       .select(row_number().over(idW).cast(LongType).as("centroid_id"), col("vec").as("centroid"))
@@ -40,7 +41,7 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("entries"))
         .select(col("centroid_id"),
           transform(col("entries"), x => x.getField("m")).as("centroid"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     // centroids are checkpointed (k rows) — the cached input is dead: release
     e.unpersist(blocking = false)

@@ -40,15 +40,35 @@ object Logistic {
   def train(data: DataFrame, lr: Double, iterations: Int): DataFrame = {
     require(iterations >= 0, s"Logistic.train iterations must be >= 0, got $iterations")
     require(!lr.isNaN && !lr.isInfinite, s"Logistic.train lr must be finite, got $lr")
+    // coalesce to cluster width before persist: AQE partition coalescing
+    // is DISABLED for cached plans (canChangeCachedPlanOutputPartitioning
+    // defaults false), so a feature frame arriving through a
+    // spark.sql.shuffle.partitions-wide exchange would otherwise cache at
+    // that width — and every GD round then launches that many map tasks
+    // over it. At 2048 partitions the 16-round loop spent ~8× the 32-
+    // partition wall clock on task scheduling alone (round-10 probe).
+    // coalesce (narrow, no shuffle) caps the cached frame at the
+    // cluster's core count without losing scan parallelism.
     val e = data.select(col("id"), col("x"), col("y"))
+      .coalesce(data.sparkSession.sparkContext.defaultParallelism)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count().toDouble
     // d+1 zero weights, dimension read from the data (no driver-side schema
     // peek): one row's positions, zeroed. Eagerly checkpointed — it is the
     // loop seed and must not re-derive from e after e is unpersisted.
+    // The weight frame is (d+1)-row — corpus-independent — so it must NOT
+    // inherit spark.sql.shuffle.partitions: at cluster-scale partition
+    // counts (2048) each round's weight shuffle + localCheckpoint schedules
+    // thousands of near-empty tasks, and the 16-round loop multiplies that
+    // into the dominant cost (the round-10 partition-count probe measured
+    // q97 6.8× slower at 2048 than at 32 from exactly this). coalesce(1)
+    // pins the bounded frames to one task; the corpus-sized gradient
+    // shuffle keeps its map-side parallelism (the reduce side reads
+    // mappers × (d+1) map-combined partials).
     var weights = e.limit(1)
       .select(posexplode(col("x")))
       .select(col("pos"), lit(0.0d).as("w"))
+      .coalesce(1)
       .localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       // d-row frame → 1-row array, sorted by pos (the KMeans assembly idiom)
@@ -64,6 +84,7 @@ object Logistic {
           .agg((dsum(round((col("p") - col("y")) * col("xj"), 12), 12) / lit(n)).as("g")),
         "pos")
         .select(col("pos"), round(col("w") - lit(lr) * col("g"), 12).as("w"))
+        .coalesce(1)
         .localCheckpoint(eager = true)
     }
     e.unpersist(blocking = false)

@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Par.ParOps
 import graft.functions.Exprs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +54,7 @@ object Lsa {
   private final class Comp(val v: DataFrame, lamPlan: () => DataFrame) {
     private var lamCached: DataFrame = _
     def lam: DataFrame = synchronized {
-      if (lamCached == null) lamCached = lamPlan().localCheckpoint(eager = true)
+      if (lamCached == null) lamCached = lamPlan().compacted.localCheckpoint(eager = true)
       lamCached
     }
     def release(): Unit = synchronized {
@@ -190,7 +191,7 @@ object Lsa {
       var acc = if (existing == null) Vector.empty[Comp] else existing
       if (acc.size >= k) acc
       else {
-        val c = sel.persist(StorageLevel.MEMORY_AND_DISK)
+        val c = sel.compacted.persist(StorageLevel.MEMORY_AND_DISK)
         while (acc.size < k) {
           val v = iterate(c, iterations, acc)
           acc :+= new Comp(v, () =>
@@ -216,12 +217,12 @@ object Lsa {
     val defl = if (prev.isEmpty) None else Some((
       prev.zipWithIndex
         .map { case (p, j) => p.v.select(lit(j).as("comp"), col("term"), col("v").as("pv")) }
-        .reduce(_.union(_)).localCheckpoint(eager = true),
+        .reduce(_.union(_)).compacted.localCheckpoint(eager = true),
       prev.zipWithIndex
         .map { case (p, j) => p.lam.select(lit(j).as("comp"), col("lam")) }
-        .reduce(_.union(_)).localCheckpoint(eager = true)))
+        .reduce(_.union(_)).compacted.localCheckpoint(eager = true)))
     var v = c.select(col("term")).distinct()
-      .withColumn("v", lit(1.0d)).localCheckpoint(eager = true)
+      .withColumn("v", lit(1.0d)).compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       val u = c.join(v, "term")
         .groupBy(col("doc_id"))
@@ -245,11 +246,11 @@ object Lsa {
             .agg(round(dsum(round(col("coef") * col("pv"), 12), 12), 12).as("d"))
           raw.join(d, "term")
             .select(col("term"), round(col("vv") - col("d"), 12).as("vv"))
-      }).localCheckpoint(eager = true)
+      }).compacted.localCheckpoint(eager = true)
       val nm = vv.agg(round(sqrt(dsum(round(col("vv") * col("vv"), 12), 12)), 10).as("nm"))
       v = vv.crossJoin(broadcast(nm))
         .select(col("term"), round(col("vv") / col("nm"), 12).as("v"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     v
   }

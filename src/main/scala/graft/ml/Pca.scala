@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Par.ParOps
 import graft.functions.Exprs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,7 +49,7 @@ object Pca {
   private final class Comp(val v: DataFrame, lamPlan: () => DataFrame) {
     private var lamCached: DataFrame = _
     def lam: DataFrame = synchronized {
-      if (lamCached == null) lamCached = lamPlan().localCheckpoint(eager = true)
+      if (lamCached == null) lamCached = lamPlan().compacted.localCheckpoint(eager = true)
       lamCached
     }
     def release(): Unit = synchronized {
@@ -166,11 +167,11 @@ object Pca {
       // can't see is n·d², 4096× larger)
       val e = sel
         .repartition(sel.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .compacted.persist(StorageLevel.MEMORY_AND_DISK)
       val mu = e.select(posexplode(col("v")).as(Seq("p0", "x")))
         .groupBy((col("p0") + 1).cast(LongType).as("pos"))
         .agg(round(davg(round(col("x"), 12), 12), 12).as("mu"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       // array_sort(collect_list(struct)) — not collect_list-after-sort, whose
       // order aggregation does not guarantee (the KMeans pattern)
       val muArr = mu.agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("es"))
@@ -190,7 +191,7 @@ object Pca {
         .agg(round(dsum(col("p"), 12), 12).as("s"))
         .crossJoin(broadcast(n))
         .select(col("i"), col("j"), round(col("s") / col("n"), 12).as("c"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
       e.unpersist(blocking = false)
       new Cov(cells, mu)
     })
@@ -271,12 +272,12 @@ object Pca {
     val defl = if (prev.isEmpty) None else Some((
       prev.zipWithIndex
         .map { case (p, j) => p.v.select(lit(j).as("comp"), col("pos"), col("v").as("pv")) }
-        .reduce(_.union(_)).localCheckpoint(eager = true),
+        .reduce(_.union(_)).compacted.localCheckpoint(eager = true),
       prev.zipWithIndex
         .map { case (p, j) => p.lam.select(lit(j).as("comp"), col("lam")) }
-        .reduce(_.union(_)).localCheckpoint(eager = true)))
+        .reduce(_.union(_)).compacted.localCheckpoint(eager = true)))
     var v = cells.select(col("i").as("pos")).distinct()
-      .withColumn("v", lit(1.0d)).localCheckpoint(eager = true)
+      .withColumn("v", lit(1.0d)).compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       val raw = cells.join(v.select(col("pos").as("j"), col("v")), "j")
         .groupBy(col("i"))
@@ -294,11 +295,11 @@ object Pca {
             .agg(round(dsum(round(col("coef") * col("pv"), 12), 12), 12).as("d"))
           raw.join(d, raw("i") === d("pos"))
             .select(col("i"), round(col("u") - col("d"), 12).as("u"))
-      }).localCheckpoint(eager = true)
+      }).compacted.localCheckpoint(eager = true)
       val nm = u.agg(round(sqrt(dsum(round(col("u") * col("u"), 12), 12)), 10).as("nm"))
       v = u.crossJoin(broadcast(nm))
         .select(col("i").as("pos"), round(col("u") / col("nm"), 12).as("v"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     v
   }

@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Par.ParOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Pq {
     require(k >= 1, s"Pq k must be >= 1, got $k")
     require(iterations >= 0, s"Pq iterations must be >= 0, got $iterations")
     val sv = subSlices(emb.select(col("vec_id"), col("vec")), m)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .compacted.persist(StorageLevel.MEMORY_AND_DISK)
     // k·m seed rows through the per-sub rank window (the corpus never does)
     val seedW = Window.partitionBy(col("sub_id")).orderBy(col("vec_id").asc)
     var codebooks: DataFrame =
@@ -77,7 +78,7 @@ object Pq {
         .select(col("sub_id"),
           row_number().over(seedW).cast(LongType).as("centroid_id"),
           col("sv").as("centroid"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       codebooks = assignCodes(sv, codebooks)
         .select(col("sub_id"), col("centroid_id"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -88,7 +89,7 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("entries"))
         .select(col("sub_id"), col("centroid_id"),
           transform(col("entries"), x => x.getField("m")).as("centroid"))
-        .localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
     }
     sv.unpersist(blocking = false)
     codebooks
@@ -198,17 +199,17 @@ object Pq {
     val spark = queries.sparkSession
     import spark.implicits._
     val e = corpus.select(col("vec_id"), col("vec"))
-    val coarse = KMeans.fit(e, kCoarse, coarseIter).localCheckpoint(eager = true)
+    val coarse = KMeans.fit(e, kCoarse, coarseIter).compacted.localCheckpoint(eager = true)
     // residual corpus: one cell per vector, r = v − centroid(cell)
     val res = KMeans.assign(e, coarse)
       .join(broadcast(coarse), "centroid_id")
       .select(col("vec_id"), col("centroid_id").as("cell"),
         zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("vec"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     val codebooks = fit(res.select(col("vec_id"), col("vec")), m, kc, pqIter)
     val codes = encode(res.select(col("vec_id"), col("vec")), codebooks, m)
       .join(res.select(col("vec_id"), col("cell")), "vec_id")
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     // probe list: each query's nprobe nearest coarse cells + residual query
     val qd2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
       lit(0.0d), (acc, v) => acc + v)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par.ParOps
 import graft.functions.{BpeEncode, BpeMergeStep, Exprs}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ object Bpe {
     var syms = docs.select(explode(Exprs.tokens(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("word"), ""), c => c =!= "").as("syms"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var exhausted = false
@@ -63,7 +64,7 @@ object Bpe {
         merges += Merge(rank.toLong, l, r)
         syms = syms.withColumn("syms", BpeMergeStep(col("syms"), l, r))
         if (rank % 4 == 0 && rank < numMerges)
-          syms = syms.localCheckpoint(eager = true)
+          syms = syms.compacted.localCheckpoint(eager = true)
         rank += 1
       }
     }
@@ -99,7 +100,7 @@ object Bpe {
     var syms = docs.select(explode(Exprs.tokens(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("word"), ""), c => c =!= "").as("syms"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[ScoredMerge]
     var rank = 1
     var exhausted = false
@@ -126,7 +127,7 @@ object Bpe {
         merges += ScoredMerge(rank.toLong, l, r, best(0).getDouble(2))
         syms = syms.withColumn("syms", BpeMergeStep(col("syms"), l, r))
         if (rank % 4 == 0 && rank < numMerges)
-          syms = syms.localCheckpoint(eager = true)
+          syms = syms.compacted.localCheckpoint(eager = true)
         rank += 1
       }
     }

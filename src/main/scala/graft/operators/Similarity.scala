@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par.ParOps
 import graft.functions.Exprs._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -369,7 +370,7 @@ object Similarity {
     var remaining = bruteTopKAgg(queries, corpus, n)
       .select(col("q_id"), col("n_id"), col("sim").as("rel"))
       .join(vecs, "n_id")
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
     var selected: DataFrame = null
     for (r <- 1 to k) {
       val withSim =
@@ -389,10 +390,10 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("n_id"), lit(r.toLong).as("mmr_rank"), col("score").as("mmr_score"))
         .join(vecs, "n_id")
-        .localCheckpoint(eager = true)
-      selected = if (selected == null) pick else selected.union(pick).localCheckpoint(eager = true)
+        .compacted.localCheckpoint(eager = true)
+      selected = if (selected == null) pick else selected.union(pick).compacted.localCheckpoint(eager = true)
       remaining = remaining.join(pick.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id"), "left_anti").localCheckpoint(eager = true)
+        Seq("q_id", "n_id"), "left_anti").compacted.localCheckpoint(eager = true)
     }
     selected.select(col("q_id"), col("n_id"), col("mmr_rank"), col("mmr_score"))
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par.ParOps
 import graft.functions.Exprs.tokens
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -106,7 +107,7 @@ object UnigramLm {
             rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
     require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val subs = substrings(words, maxPieceLen).compacted.localCheckpoint(eager = true)
     trainOn(words, subs, rounds, minSeedCount)
   }
 
@@ -129,7 +130,7 @@ object UnigramLm {
     // frequency floor exists to remove.
     val seedPieces = c0
       .filter(col("c") >= lit(minSeedCount) || length(col("piece")) === 1)
-      .select(col("piece")).localCheckpoint(eager = true)
+      .select(col("piece")).compacted.localCheckpoint(eager = true)
     var model = withLogp(seedPieces, c0)
     for (_ <- 1 to rounds) {
       val seg = viterbi(words, subs, model)
@@ -150,7 +151,7 @@ object UnigramLm {
       .select(col("piece"), col("c"),
         round(log((col("c") + lit(1L)).cast(DoubleType) /
           (col("n") + col("v")).cast(DoubleType)), 10).as("logp"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
   }
 
   /** Forward–backward EXPECTED piece counts of every word under `model` —
@@ -216,12 +217,12 @@ object UnigramLm {
               rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val subs = substrings(words, maxPieceLen).compacted.localCheckpoint(eager = true)
     val c0 = subs.join(words, "word").groupBy(col("piece"))
       .agg(sum(col("cnt")).as("c"))
     val seedPieces = c0
       .filter(col("c") >= lit(minSeedCount) || length(col("piece")) === 1)
-      .select(col("piece")).localCheckpoint(eager = true)
+      .select(col("piece")).compacted.localCheckpoint(eager = true)
     var model = withLogp(seedPieces, c0)
     for (_ <- 1 to rounds) {
       val post = expected(words, subs, model)
@@ -249,7 +250,7 @@ object UnigramLm {
       .select(col("piece"), col("c"),
         round(log((col("c") + lit(1.0d)) /
           (col("n") + col("v")).cast(DoubleType)), 10).as("logp"))
-      .localCheckpoint(eager = true)
+      .compacted.localCheckpoint(eager = true)
   }
 
   /** The raw per-word Viterbi pieces under the trained model:
@@ -259,7 +260,7 @@ object UnigramLm {
                    rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
     require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val subs = substrings(words, maxPieceLen).compacted.localCheckpoint(eager = true)
     viterbi(words, subs, trainOn(words, subs, rounds, minSeedCount))
   }
 
@@ -272,7 +273,7 @@ object UnigramLm {
               rounds: Int = 2, minSeedCount: Long = 2L): DataFrame = {
     require(maxWordLen >= 1 && maxPieceLen >= 1, "length bounds must be positive")
     val words = graft.Caching.pin(wordCounts(docs, maxWordLen))
-    val subs = substrings(words, maxPieceLen).localCheckpoint(eager = true)
+    val subs = substrings(words, maxPieceLen).compacted.localCheckpoint(eager = true)
     viterbi(words, subs, trainOn(words, subs, rounds, minSeedCount))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_pieces"),
