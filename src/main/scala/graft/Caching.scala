@@ -45,10 +45,25 @@ object Caching {
   // concurrent caller's release() can never unpin another query's frames
   private val threadScope = new ThreadLocal[java.util.ArrayDeque[(DataFrame, PlanKey)]]()
 
-  /** Persist `df` at MEMORY_AND_DISK and register it — with the enclosing
-    * [[scoped]] block if one is open on this thread, else with the global
-    * registry for the next [[release]]. Returns `df` for chaining. */
-  def pin(df: DataFrame): DataFrame = {
+  /** A pinned frame is by definition re-read by several downstream jobs, and
+    * AQE cannot re-coalesce cached plans (canChangeCachedPlanOutputPartitioning
+    * defaults false) — so a frame that arrives through an exchange would cache
+    * at the full spark.sql.shuffle.partitions width and charge every consumer
+    * that many tasks. Cap it at cluster parallelism before persisting (the
+    * [[Par.compact]] rationale; at a cluster-shape 2048 partitions the probe
+    * measured pin-heavy queries 3-4× slower without this). `coalesce` is
+    * narrow: the producing exchange keeps its width, only the materialized
+    * partition count changes. */
+  private def compact(df: DataFrame): DataFrame =
+    df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Persist `df` (compacted — see [[compact]]) at MEMORY_AND_DISK and
+    * register it — with the enclosing [[scoped]] block if one is open on this
+    * thread, else with the global registry for the next [[release]]. Returns
+    * the pinned frame for chaining; consumers MUST read the returned frame,
+    * not the argument, or they miss the cache entry. */
+  def pin(rawDf: DataFrame): DataFrame = {
+    val df = compact(rawDf)
     val key = df.queryExecution.analyzed.canonicalized
     // persist INSIDE the remapping function: ConcurrentHashMap runs it under
     // the key's bin lock, so the count increment and the CacheManager persist
@@ -122,9 +137,10 @@ object Caching {
     * holder pins a plan-identical frame. Unlike [[liveRefKeys]] this is
     * stable under concurrent pinning of UNRELATED plans (tests that run in
     * parallel with other suites must assert on their own keys, not on the
-    * global registry). */
+    * global registry). Accepts the RAW (pre-pin) frame: the same [[compact]]
+    * step [[pin]] applies is applied here before keying. */
   private[graft] def refCountOf(df: DataFrame): Int = {
-    val v = refCounts.get(df.queryExecution.analyzed.canonicalized)
+    val v = refCounts.get(compact(df).queryExecution.analyzed.canonicalized)
     if (v == null) 0 else v.intValue()
   }
 }
