@@ -635,21 +635,65 @@ object ScalingProbe {
     // case AQE never touches (skew handling is join-only).
     // Enabled via SPARK_GRAFT_PROBE_ONLY=skew_aqe.
     if (only.exists(_.contains("skew_aqe"))) {
+      // ×32 deterministic row amplification (explode, not more files): the
+      // ×10 replica's 1M rows put only ~900k on the hot key — well inside
+      // one task's comfort zone, so neither AQE nor the salt had anything
+      // to fix (first run of this probe measured all three variants within
+      // 0.2 s). At 32M rows / ~29M on the hot key, the unsalted plain join
+      // genuinely bottlenecks on the one hot reduce task — the regime the
+      // probe exists to measure.
       val ev = graft.sources.Tables(spark, outDir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rep", explode(sequence(lit(0L), lit(31L))))
+        .select((col("event_id") * 32L + col("rep")).as("event_id"),
+          col("event_type"), col("value"))
         .withColumn("event_type",
           when(pmod(xxhash64(col("event_id")), lit(10L)) < 9L, lit("view"))
             .otherwise(col("event_type")))
       val dim = ev.groupBy(col("event_type"))
         .agg(avg(col("value")).as("type_avg"))
-      def joinBody(salted: Boolean): Unit = {
+      // two downstream shapes, because they exercise DIFFERENT AQE paths:
+      //   - sameKeyAgg = true: the join feeds a groupBy on the JOIN KEY.
+      //     OptimizeSkewedJoin declines to split here — splitting breaks
+      //     the hash partitioning the downstream agg wants to reuse, and
+      //     AQE won't trade a split for an extra exchange unless
+      //     forceOptimizeSkewedJoin overrides it. This is the shape where
+      //     the manual salt stays mandatory.
+      //   - sameKeyAgg = false: the join output is consumed with no
+      //     partitioning requirement (a per-row derivation + global sum) —
+      //     the textbook case AQE's skew split handles on its own.
+      // the dim side MATERIALIZED (checkpoint cuts the in-plan aggregate out
+      // of the join's physical children): OptimizeSkewedJoin pattern-matches
+      // ONLY SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — with the dim
+      // aggregate sitting between its shuffle and the join, the whole join
+      // is disqualified from skew handling, which is the first finding this
+      // probe surfaces (see the printed results). Rebuilt per timed call:
+      // timed()'s inter-run cleanup unpersists every RDD, and a truncated
+      // checkpoint cannot recompute.
+      def dimMat() = dim.coalesce(1).localCheckpoint(eager = true)
+      def joinBody(salted: Boolean, sameKeyAgg: Boolean,
+                   matDim: Option[DataFrame] = None): Unit = {
+        val d = matDim.getOrElse(dim)
         val joined =
-          if (salted) graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 8)
-          else ev.join(dim, "event_type")
-        joined.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
-          .write.format("noop").mode("overwrite").save()
+          if (salted) graft.operators.Skew.saltedJoin(ev, d, "event_type", salts = 8)
+          else ev.join(d, "event_type")
+        val out =
+          if (sameKeyAgg) joined.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
+          else joined
+            .select(when(col("value") > col("type_avg"), 1L).otherwise(0L).as("above"))
+            .agg(sum(col("above")).as("n_above"))
+        if (sys.env.contains("SPARK_GRAFT_PROBE_PLAN")) {
+          // execute THIS QueryExecution (write.save spawns its own), so the
+          // printed adaptive plan is the final one with skew decisions made
+          val qe = out.queryExecution
+          qe.toRdd.foreachPartition(_ => ())
+          println(s"=== PLAN salted=$salted sameKeyAgg=$sameKeyAgg matDim=${matDim.isDefined} " +
+            s"skewJoin=${spark.conf.get("spark.sql.adaptive.skewJoin.enabled")} " +
+            s"forced=${spark.conf.getOption("spark.sql.adaptive.forceOptimizeSkewedJoin")}")
+          println(qe.executedPlan.toString.take(3000))
+        } else out.write.format("noop").mode("overwrite").save()
       }
       def withConf(pairs: (String, String)*)(body: => Double): Double = {
         val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -661,16 +705,20 @@ object ScalingProbe {
         }
       }
       val noBroadcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
-      def timeJoin(skewOn: Boolean, salted: Boolean): Double = withConf(
+      def timeJoin(skewOn: Boolean, salted: Boolean, sameKeyAgg: Boolean,
+                   forced: Boolean = false, matDim: Boolean = false): Double = withConf(
         noBroadcast,
         "spark.sql.adaptive.skewJoin.enabled" -> skewOn.toString,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> forced.toString,
         // local-scale thresholds: the defaults (256 MB) never fire on a
         // test-sized partition; the RATIO contract (factor 2, median-based
         // split) is what the probe exercises
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2") {
-        timed(joinBody(salted))
+        // checkpoint setup OUTSIDE the timed body — the probe times the join
+        val d = if (matDim) Some(dimMat()) else None
+        timed(joinBody(salted, sameKeyAgg, d))
       }
       // the salted distinct-count salts BY VALUE (one value → one salt
       // cell, cells disjoint), so the per-cell distincts sum exactly AND
@@ -687,14 +735,26 @@ object ScalingProbe {
             .agg(countDistinct(col("value")).as("n_distinct"))
         agg.write.format("noop").mode("overwrite").save()
       }
-      timeJoin(skewOn = false, salted = false) // warm-up
-      val jPlain = math.min(timeJoin(false, false), timeJoin(false, false))
-      val jAqe = math.min(timeJoin(true, false), timeJoin(true, false))
-      val jSalt = math.min(timeJoin(false, true), timeJoin(false, true))
+      timeJoin(skewOn = false, salted = false, sameKeyAgg = true) // warm-up
+      def best2(body: => Double): Double = math.min(body, body)
+      // shape A: skewed join feeding a same-join-key aggregation
+      val jPlain = best2(timeJoin(false, false, sameKeyAgg = true))
+      val jAqe = best2(timeJoin(true, false, sameKeyAgg = true))
+      val jForced = best2(timeJoin(true, false, sameKeyAgg = true, forced = true))
+      val jSalt = best2(timeJoin(false, true, sameKeyAgg = true))
+      // shape B: skewed join with no downstream partitioning requirement
+      val bPlain = best2(timeJoin(false, false, sameKeyAgg = false))
+      val bAqe = best2(timeJoin(true, false, sameKeyAgg = false))
+      val bSalt = best2(timeJoin(false, true, sameKeyAgg = false))
+      // shape C: dim side pre-materialized — both SMJ children are bare
+      // shuffle reads, the ONLY shape OptimizeSkewedJoin pattern-matches
+      val cPlain = best2(timeJoin(false, false, sameKeyAgg = false, matDim = true))
+      val cAqe = best2(timeJoin(true, false, sameKeyAgg = false, matDim = true))
+      val cSalt = best2(timeJoin(false, true, sameKeyAgg = false, matDim = true))
       timeAgg(salted = false) // warm-up
-      val aPlain = math.min(timeAgg(false), timeAgg(false))
-      val aSalt = math.min(timeAgg(true), timeAgg(true))
-      println(f"""{"probe":"skew_aqe","join_plain_sec":$jPlain%.2f,"join_aqe_sec":$jAqe%.2f,"join_salted_sec":$jSalt%.2f,"agg_plain_sec":$aPlain%.2f,"agg_salted_sec":$aSalt%.2f}""")
+      val aPlain = best2(timeAgg(false))
+      val aSalt = best2(timeAgg(true))
+      println(f"""{"probe":"skew_aqe","samekey_plain_sec":$jPlain%.2f,"samekey_aqe_sec":$jAqe%.2f,"samekey_aqe_forced_sec":$jForced%.2f,"samekey_salted_sec":$jSalt%.2f,"bare_plain_sec":$bPlain%.2f,"bare_aqe_sec":$bAqe%.2f,"bare_salted_sec":$bSalt%.2f,"matdim_plain_sec":$cPlain%.2f,"matdim_aqe_sec":$cAqe%.2f,"matdim_salted_sec":$cSalt%.2f,"agg_plain_sec":$aPlain%.2f,"agg_salted_sec":$aSalt%.2f}""")
     }
     // PQ search cost vs CORPUS size, the question the catalog rows can't
     // ask (their query set grows with the corpus): a FIXED 25-query set
