@@ -117,6 +117,53 @@ object Curation {
       FROM sims) s
     WHERE rk <= 10"""
 
+  /** The full sign-LSH top-k replay ([[graft.operators.Similarity.lshTopK]]
+    * with k=10, planes=8, reps=4, Hamming-1 multi-probing) as a CTE chain
+    * ending in `lsh_topk(q_id, n_id, sim, rk)` — shared by the q38 result
+    * row and the q197 retrieval-eval card (which joins it against
+    * exhaustive ground truth). Buckets are exact integer arithmetic over
+    * 1e6-quantized vectors with md5-derived ±1 planes, so the chain is
+    * bit-portable end to end. */
+  private val lshTopkCtes: String = """
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        qv AS (SELECT vec_id, e,
+                 list_transform(e, x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS q
+               FROM emb),
+        dots AS (
+          SELECT vec_id, r, p,
+            list_sum(list_transform(range(0, CAST(len(q) AS BIGINT)), d ->
+              q[CAST(d AS INT) + 1] *
+              (CASE WHEN CAST('0x' || substr(md5(r || ':' || p || ':' || d),1,15) AS BIGINT) & 1 = 1
+                    THEN 1 ELSE -1 END))) AS dot
+          FROM qv,
+               (SELECT unnest(range(0,4)) AS r) reps,
+               (SELECT unnest(range(0,8)) AS p) planes),
+        buckets AS (
+          SELECT vec_id, r,
+            CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b0
+          FROM dots GROUP BY 1, 2),
+        probed AS (
+          SELECT vec_id, r, CAST(xor(b0, m) + r*256 AS BIGINT) AS bucket
+          FROM buckets,
+               (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128] AS BIGINT[])) AS m) masks),
+        exact AS (SELECT vec_id, r, CAST(b0 + r*256 AS BIGINT) AS bucket FROM buckets),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+          FROM probed a JOIN exact b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        sims AS (
+          SELECT c.q_id, c.n_id,
+            round(CASE WHEN sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qa.e,qb.e) /
+                   (sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e))) END, 6) AS sim
+          FROM cand c JOIN emb qa ON qa.vec_id = c.q_id JOIN emb qb ON qb.vec_id = c.n_id),
+        lsh_topk AS (
+          SELECT q_id, n_id, sim, rk FROM (
+            SELECT q_id, n_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+            FROM sims) s
+          WHERE rk <= 10)"""
+
   /** Unrolled DuckDB replay of the deterministic k-means chain
     * ([[graft.ml.KMeans.fit]] + a final [[graft.ml.KMeans.assign]]), for the
     * q95 oracle: `c0` = the k lowest-vec_id vectors with 1-based rank ids;
@@ -641,45 +688,76 @@ object Curation {
     // stays exact, the classifyLsh asymmetry) — full hash match.
     QueryDef("q38_ann_lsh_topk",
       (s, dir) => Similarity.lshTopK(Tables(s, dir, "embeddings"), k = 10),
-      oracle = Some("""
-        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        qv AS (SELECT vec_id, e,
-                 list_transform(e, x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS q
-               FROM emb),
-        dots AS (
-          SELECT vec_id, r, p,
-            list_sum(list_transform(range(0, CAST(len(q) AS BIGINT)), d ->
-              q[CAST(d AS INT) + 1] *
-              (CASE WHEN CAST('0x' || substr(md5(r || ':' || p || ':' || d),1,15) AS BIGINT) & 1 = 1
-                    THEN 1 ELSE -1 END))) AS dot
-          FROM qv,
-               (SELECT unnest(range(0,4)) AS r) reps,
-               (SELECT unnest(range(0,8)) AS p) planes),
-        buckets AS (
-          SELECT vec_id, r,
-            CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b0
-          FROM dots GROUP BY 1, 2),
-        probed AS (
-          SELECT vec_id, r, CAST(xor(b0, m) + r*256 AS BIGINT) AS bucket
-          FROM buckets,
-               (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128] AS BIGINT[])) AS m) masks),
-        exact AS (SELECT vec_id, r, CAST(b0 + r*256 AS BIGINT) AS bucket FROM buckets),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
-          FROM probed a JOIN exact b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        sims AS (
-          SELECT c.q_id, c.n_id,
-            round(CASE WHEN sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e)) = 0
-              THEN 0.0
-              ELSE list_dot_product(qa.e,qb.e) /
-                   (sqrt(list_dot_product(qa.e,qa.e))*sqrt(list_dot_product(qb.e,qb.e))) END, 6) AS sim
-          FROM cand c JOIN emb qa ON qa.vec_id = c.q_id JOIN emb qb ON qb.vec_id = c.n_id)
-        SELECT q_id, n_id, sim, rk FROM (
-          SELECT q_id, n_id, sim,
-            CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
-          FROM sims) s
-        WHERE rk <= 10""")),
+      oracle = Some(lshTopkCtes + """
+        SELECT q_id, n_id, sim, rk FROM lsh_topk""")),
 
+    // Retrieval-quality evaluation card (the eval every ANN deployment
+    // ships with): the sign-LSH system ranking (q38's exact chain) scored
+    // against exhaustive cosine top-10 ground truth — recall@10, MRR@10
+    // of the true nearest neighbor, and hit@1, all as integer millionths
+    // (1e6 DIV — no float ratio touches the ladder). The ground-truth
+    // side is brute force BY DESIGN: retrieval eval runs on a fixed query
+    // sample at any corpus scale (the q37/q179 posture), and the system
+    // side is the production LSH path under test. Both rankings break
+    // ties identically (sim DESC at 6 dp, then n_id ASC), so the card is
+    // bit-portable.
+    QueryDef("q197_retrieval_eval",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val sys = Similarity.lshTopK(e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("srk"))
+        val truth = Similarity.bruteTopKAgg(e, e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("trk"))
+        val nq = truth.select(col("q_id")).distinct()
+          .agg(count(lit(1)).as("n_queries"))
+        val hits = sys.join(truth, Seq("q_id", "n_id"))
+        val nHits = hits.agg(count(lit(1)).as("n_hits"))
+        // reciprocal rank of the TRUE top-1 inside the system list (0 when
+        // the system misses it entirely)
+        val rr = truth.filter(col("trk") === 1L)
+          .join(sys, Seq("q_id", "n_id"), "left")
+          .agg(sum(coalesce(expr("1000000 DIV srk"), lit(0L))).as("rr_sum"))
+        val hit1 = hits.filter(col("trk") === 1L && col("srk") === 1L)
+          .agg(count(lit(1)).as("n_hit1"))
+        nq.crossJoin(nHits).crossJoin(rr).crossJoin(hit1)
+          .select(lit("lsh_vs_exact").as("system"),
+            col("n_queries"), col("n_hits"),
+            expr("(1000000 * n_hits) DIV (n_queries * 10)").as("recall_ppm"),
+            expr("rr_sum DIV n_queries").as("mrr_ppm"),
+            col("n_hit1"),
+            expr("(1000000 * n_hit1) DIV n_queries").as("hit1_ppm"))
+      },
+      oracle = Some(lshTopkCtes + """,
+        tsims AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.e,b.e) /
+                   (sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e))) END, 6) AS sim
+          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+        truth AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+            FROM tsims) t
+          WHERE rk <= 10),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth),
+        hits AS (
+          SELECT s.q_id, s.n_id, s.rk AS srk, t.rk AS trk
+          FROM lsh_topk s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+        nhits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits),
+        rr AS (
+          SELECT CAST(COALESCE(SUM(COALESCE(1000000 // s.rk, 0)), 0) AS BIGINT) AS rr_sum
+          FROM truth t LEFT JOIN lsh_topk s ON s.q_id = t.q_id AND s.n_id = t.n_id
+          WHERE t.rk = 1),
+        h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits WHERE trk = 1 AND srk = 1)
+        SELECT 'lsh_vs_exact' AS system, n_queries, n_hits,
+          (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
+          rr_sum // n_queries AS mrr_ppm,
+          n_hit1,
+          (1000000 * n_hit1) // n_queries AS hit1_ppm
+        FROM nq, nhits, rr, h1"""),
+      bench = true),
     // IVF top-k quality gate: k-means float iterations aren't portably
     // mirrorable in SQL (summation-order–dependent centroids), so the row is
     // an oracle-checked INVARIANT instead: Spark genuinely computes recall of
@@ -2154,6 +2232,190 @@ object Curation {
           COUNT(*) AS n_sampled, MIN(s.doc_id) AS first_doc
         FROM sampled s JOIN rates r ON s.source = r.source
         GROUP BY r.source, r.n_docs, r.rate_ppm"""),
+      bench = true),
+
+    // Data-budget / epoch-accounting card (Muennighoff et al., NeurIPS
+    // 2023 "Scaling Data-Constrained Language Models"): given the q196
+    // temperature keep-rates and a token budget of 2× the corpus, how many
+    // epochs over the sampled mix does training take, how many times is
+    // each source's unique data repeated, and which sources blow through
+    // the paper's ~4-epoch diminishing-returns bound. One tokenize scan +
+    // a |sources|-row rollup; every ratio is integer-millionth DIV
+    // arithmetic (the q135 ln-ulp lesson: no float ratio in the ladder —
+    // the one sqrt is IEEE-correctly-rounded, the q196 contract). At 100
+    // TB this is a metadata-only query: the census is one map-side-
+    // combined count, everything after is a broadcast-sized frame.
+    QueryDef("q198_data_budget",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val perSrcTok = graft.operators.TextPipeline
+          .tokenize(d, keep = Seq("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+        val base = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(perSrcTok, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+        val minD = base.agg(min(col("n_docs")).as("min_docs"))
+        val rated = base.crossJoin(broadcast(minD))
+          .select(col("source"), col("n_docs"), col("n_tok"),
+            floor(lit(1000000.0d) *
+              sqrt(col("min_docs").cast("double") / col("n_docs").cast("double")))
+              .cast(org.apache.spark.sql.types.LongType).as("rate_ppm"))
+          .withColumn("tok_per_epoch", expr("(rate_ppm * n_tok) DIV 1000000"))
+        val tot = rated.agg(sum(col("tok_per_epoch")).as("w_total"),
+          sum(col("n_tok")).as("tok_total"))
+        rated.crossJoin(broadcast(tot))
+          .withColumn("epochs", expr("(2 * tok_total + w_total - 1) DIV w_total"))
+          .withColumn("tokens_seen", expr("epochs * tok_per_epoch"))
+          .withColumn("rep_ppm", expr("(1000000 * tokens_seen) DIV n_tok"))
+          .withColumn("over_4epoch", col("rep_ppm") > lit(4000000L))
+          .select(col("source"), col("n_docs"), col("n_tok"), col("rate_ppm"),
+            col("tok_per_epoch"), col("epochs"), col("tokens_seen"),
+            col("rep_ppm"), col("over_4epoch"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        tc AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+        base AS (
+          SELECT d.source, COUNT(*) AS n_docs,
+            CAST(SUM(COALESCE(tc.nt, 0)) AS BIGINT) AS n_tok
+          FROM documents d LEFT JOIN tc USING (doc_id) GROUP BY 1),
+        mind AS (SELECT MIN(n_docs) AS min_docs FROM base),
+        rated AS (
+          SELECT source, n_docs, n_tok,
+            CAST(floor(1000000.0 * sqrt(CAST(min_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_ppm
+          FROM base, mind),
+        r2 AS (SELECT source, n_docs, n_tok, rate_ppm,
+            (rate_ppm * n_tok) // 1000000 AS tok_per_epoch FROM rated),
+        tot AS (SELECT CAST(SUM(tok_per_epoch) AS BIGINT) AS w_total,
+            CAST(SUM(n_tok) AS BIGINT) AS tok_total FROM r2),
+        r3 AS (SELECT r2.*, (2 * tok_total + w_total - 1) // w_total AS epochs
+          FROM r2, tot)
+        SELECT source, n_docs, n_tok, rate_ppm, tok_per_epoch, epochs,
+          epochs * tok_per_epoch AS tokens_seen,
+          (1000000 * epochs * tok_per_epoch) // n_tok AS rep_ppm,
+          (1000000 * epochs * tok_per_epoch) // n_tok > 4000000 AS over_4epoch
+        FROM r3"""),
+      bench = true),
+
+    // Exact n-gram decontamination with per-benchmark ATTRIBUTION (the
+    // GPT-3 appendix-C posture: a training doc is contaminated if ANY
+    // exact n-gram — 13 there, 8 here on shorter synthetic docs — also
+    // appears in an eval set; Brown et al. 2020). q73 gates on fractional
+    // 3-shingle overlap; this row answers the different production
+    // question "WHICH benchmark leaked into which doc, and how much":
+    // per contaminated doc the distinct matching grams, the distinct
+    // benchmark docs hit, and the first one. The corpus has no natural
+    // 8-gram cross-doc repeats (probed: zero), so two eval sentences are
+    // planted deterministically (doc_id % 13 / % 7 — the q74/q100
+    // synthetic-enrichment pattern), putting them in BOTH the benchmark
+    // slice (doc_id % 97 = 0; doc 0 always, 1261/2522/3783 and the % 679
+    // ladder at sf0.1) and ~7-14 % of training docs. The benchmark gram
+    // table is fixed-size at any corpus scale → broadcast (the q73
+    // contract); the probe side is one scan.
+    QueryDef("q199_exact_ngram_decontam",
+      (s, dir) => {
+        val e1 = " held out benchmark question answer pairs must never leak into training"
+        val e2 = " the standardized test prompt appears verbatim in this document for evaluation"
+        val d2 = docs(s, dir).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0, lit(e1)).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(e2)).otherwise(lit(""))))
+        val sh = graft.Caching.pin(
+          Dedup.shingleSet(d2, 8).select(col("doc_id"), col("shingle")))
+        val benchGrams = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("shingle"), col("doc_id").as("bench_doc"))
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(benchGrams), "shingle")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_hit_grams"),
+            countDistinct(col("bench_doc")).as("n_bench_docs"),
+            min(col("bench_doc")).as("first_bench_doc"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(
+              text ||
+              CASE WHEN doc_id % 13 = 0 THEN ' held out benchmark question answer pairs must never leak into training' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' the standardized test prompt appears verbatim in this document for evaluation' ELSE '' END
+            ), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS shingle
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        bg AS (SELECT shingle, doc_id AS bench_doc FROM g8 WHERE doc_id % 97 = 0),
+        h AS (
+          SELECT t.doc_id, t.shingle, bg.bench_doc
+          FROM g8 t JOIN bg USING (shingle) WHERE t.doc_id % 97 <> 0)
+        SELECT doc_id, COUNT(DISTINCT shingle) AS n_hit_grams,
+          COUNT(DISTINCT bench_doc) AS n_bench_docs,
+          MIN(bench_doc) AS first_bench_doc
+        FROM h GROUP BY 1"""),
+      bench = true),
+
+    // Contrastive triplet construction (the SBERT/DPR/SimCSE training-data
+    // step): for every anchor of a fixed minibatch sample (vec_id % 50),
+    // positive = its most-similar vector in the SAME k-means cell (the
+    // SemDeDup blocking — semantic neighbors co-cluster), hard negative =
+    // its most-similar vector in a DIFFERENT cell (the near-miss across
+    // the decision boundary, the q179 signal), plus the triplet margin.
+    // The kernel is |minibatch|·n with anchors broadcast — the q179
+    // bounded-anchor posture; at 100 TB the corpus side routes through
+    // the IVF/PQ index exactly as q164 evidences. Oracle replays the full
+    // deterministic k-means (q95's unrolled CTEs) + both argmaxes.
+    QueryDef("q200_triplet_mining",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cents = graft.ml.KMeans.fit(e, k = 8, iterations = 3)
+        val asg = graft.Caching.pin(graft.ml.KMeans.assign(e, cents))
+        val anchors = asg.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+            col("centroid_id").as("q_cid"))
+        val cand = asg.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
+          col("centroid_id").as("n_cid"))
+        val sims = graft.Caching.pin(cand
+          .join(broadcast(anchors), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("q_cid"), col("n_id"), col("n_cid"),
+            round(Exprs.cosine(col("q_vec"), col("n_vec")), 6).as("sim")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        val pos = sims.filter(col("q_cid") === col("n_cid"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("q_id"), col("n_id").as("pos_id"), col("sim").as("pos_sim"))
+        val neg = sims.filter(col("q_cid") =!= col("n_cid"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("q_id"), col("n_id").as("neg_id"), col("sim").as("neg_sim"))
+        pos.join(neg, "q_id")
+          .select(col("q_id"), col("pos_id"), col("pos_sim"),
+            col("neg_id"), col("neg_sim"),
+            round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${kmeansCtes(8, 3)},
+        anch AS (SELECT vec_id, v, cid FROM af WHERE vec_id % 50 = 0),
+        tsims AS (
+          SELECT a.vec_id AS q_id, a.cid AS q_cid, b.vec_id AS n_id, b.cid AS n_cid,
+            round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END, 6) AS sim
+          FROM anch a JOIN af b ON a.vec_id <> b.vec_id),
+        pos AS (SELECT q_id, n_id AS pos_id, sim AS pos_sim FROM (
+            SELECT q_id, n_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+            FROM tsims WHERE q_cid = n_cid) p WHERE rk = 1),
+        neg AS (SELECT q_id, n_id AS neg_id, sim AS neg_sim FROM (
+            SELECT q_id, n_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+            FROM tsims WHERE q_cid <> n_cid) p WHERE rk = 1)
+        SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim,
+          round(pos_sim - neg_sim, 6) AS margin
+        FROM pos p JOIN neg n ON p.q_id = n.q_id"""),
       bench = true),
 
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
