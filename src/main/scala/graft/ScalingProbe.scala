@@ -452,7 +452,17 @@ object ScalingProbe {
       // bounded-heap TopK — the catalog anchor set grows with the corpus
       // (the q37 caveat); at 100 TB anchors are a fixed minibatch and the
       // corpus routes through IVF/PQ
-      "q179_hard_negatives")
+      "q179_hard_negatives",
+      // round-10 additions. q197 retrieval eval: the brute-truth kernel is
+      // quadratic-in-corpus by design (every vector is a query — the q37
+      // caveat at full strength); at 100 TB the eval runs on a fixed query
+      // sample. q198: one tokenize scan + a |sources|-row rollup — the
+      // ratio is the scan ratio. q199: broadcast benchmark-gram probe —
+      // scan-scales; vocabgrow multiplies the gram space. q200: bounded
+      // anchors (2 %) × corpus broadcast kernel — anchors grow with the
+      // corpus in catalog form (the q179 caveat), minibatch-fixed at scale
+      "q197_retrieval_eval", "q198_data_budget",
+      "q199_exact_ngram_decontam", "q200_triplet_mining")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -501,7 +511,10 @@ object ScalingProbe {
       "q182_curriculum_order", "q183_shared_passages", "q184_quality_rules",
       "q185_source_leakage", "q186_cdc_chunks", "q187_containment_pairs",
       "q188_tokenizer_eval", "q191_soft_dedup_weights",
-      "q192_accuracy_ci", "q193_worst_group", "q194_source_quality_card")
+      "q192_accuracy_ci", "q193_worst_group", "q194_source_quality_card",
+      // round-10 documents-based rows ride the vocabgrow replica; q197 and
+      // q200 are embeddings-based (id-shift/translated only, the q177 rule)
+      "q198_data_budget", "q199_exact_ngram_decontam")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
