@@ -462,7 +462,10 @@ object ScalingProbe {
       // anchors (2 %) × corpus broadcast kernel — anchors grow with the
       // corpus in catalog form (the q179 caveat), minibatch-fixed at scale
       "q197_retrieval_eval", "q198_data_budget",
-      "q199_exact_ngram_decontam", "q200_triplet_mining")
+      "q199_exact_ngram_decontam", "q200_triplet_mining",
+      // q201: one tokenize scan + hash-keyed dedup window — scan-scales;
+      // q202: one scan + (lang, shard)-partitioned window — scan-scales
+      "q201_attrition_funnel", "q202_packing_efficiency")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -514,7 +517,8 @@ object ScalingProbe {
       "q192_accuracy_ci", "q193_worst_group", "q194_source_quality_card",
       // round-10 documents-based rows ride the vocabgrow replica; q197 and
       // q200 are embeddings-based (id-shift/translated only, the q177 rule)
-      "q198_data_budget", "q199_exact_ngram_decontam")
+      "q198_data_budget", "q199_exact_ngram_decontam",
+      "q201_attrition_funnel", "q202_packing_efficiency")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -2418,6 +2418,192 @@ object Curation {
         FROM pos p JOIN neg n ON p.q_id = n.q_id"""),
       bench = true),
 
+    // Filter-attrition funnel (the table every curation paper publishes —
+    // FineWeb fig. 1, RefinedWeb tab. 2): the q184 Gopher rules + a lang
+    // gate + keep-first exact dedup applied SEQUENTIALLY, reporting per
+    // stage how many docs enter, how many each stage removes, and the
+    // removal rate — the ops view that tells you which filter is doing
+    // the work. Each doc is assigned its FIRST failing stage in one pass
+    // (the rules are per-doc integer flags; dedup ranks only among docs
+    // surviving stages 1-5, true sequential semantics), so the funnel is
+    // a 6-row rollup over one tokenize scan — no per-stage re-filtering.
+    // removed_ppm is integer DIV with an n_in > 0 guard on BOTH engines
+    // (DuckDB // 0 errors where Spark DIV yields null — parity trap).
+    QueryDef("q201_attrition_funnel",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("lang"), Exprs.tokens(col("text")).as("toks"))
+        val pc = base.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val st = pc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndis"),
+            max(col("c")).as("topc"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(length(col("term")) * col("c")).as("sumlen"))
+        val perDoc = base
+          .select(col("doc_id"), col("lang"),
+            md5(array_join(col("toks"), " ")).as("h"))
+          .join(st, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("ndis"), lit(0L)).as("ndis"),
+            coalesce(col("topc"), lit(0L)).as("topc"),
+            coalesce(col("hapax"), lit(0L)).as("hapax"),
+            coalesce(col("sumlen"), lit(0L)).as("sumlen"))
+          .withColumn("fail_pre",
+            when(col("lang") =!= "en", 1L)
+              .when(col("n") < 30, 2L)
+              .when(col("sumlen") < lit(4L) * col("n") ||
+                col("sumlen") > lit(5L) * col("n"), 3L)
+              .when(lit(100L) * col("topc") > lit(15L) * col("n"), 4L)
+              .when(lit(5L) * col("hapax") < col("ndis"), 5L))
+        val dupW = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+        val staged = perDoc.filter(col("fail_pre").isNull)
+          .withColumn("rn", row_number().over(dupW))
+          .select(col("doc_id"), when(col("rn") > 1, 6L).as("fail"))
+          .unionByName(perDoc.filter(col("fail_pre").isNotNull)
+            .select(col("doc_id"), col("fail_pre").as("fail")))
+        val removed = staged.filter(col("fail").isNotNull)
+          .groupBy(col("fail").as("stage")).agg(count(lit(1)).as("rm"))
+        val total = staged.agg(count(lit(1)).as("n_total"))
+        val names = array(lit("1_lang_en"), lit("2_min_tokens"),
+          lit("3_mean_word_len"), lit("4_top_term_share"),
+          lit("5_hapax_ratio"), lit("6_exact_dedup"))
+        val s6 = docs(s, dir).sparkSession.range(1, 7)
+          .select(col("id").as("stage"), element_at(names, col("id").cast("int")).as("stage_name"))
+        val cumW = Window.orderBy(col("stage").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        s6.join(removed, Seq("stage"), "left")
+          .select(col("stage"), col("stage_name"),
+            coalesce(col("rm"), lit(0L)).as("n_removed"))
+          .crossJoin(broadcast(total))
+          .withColumn("n_in",
+            col("n_total") - coalesce(sum(col("n_removed")).over(cumW), lit(0L)))
+          .withColumn("n_out", col("n_in") - col("n_removed"))
+          .withColumn("removed_ppm",
+            when(col("n_in") > 0, expr("(1000000 * n_removed) DIV n_in"))
+              .otherwise(lit(0L)))
+          .select(col("stage"), col("stage_name"), col("n_in"),
+            col("n_removed"), col("n_out"), col("removed_ppm"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        pc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ndis,
+            CAST(MAX(c) AS BIGINT) AS topc,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+            CAST(SUM(LEN(term) * c) AS BIGINT) AS sumlen
+          FROM pc GROUP BY 1),
+        perdoc AS (
+          SELECT d.doc_id, d.lang,
+            md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+            COALESCE(st.n, 0) AS n, COALESCE(st.ndis, 0) AS ndis,
+            COALESCE(st.topc, 0) AS topc, COALESCE(st.hapax, 0) AS hapax,
+            COALESCE(st.sumlen, 0) AS sumlen
+          FROM documents d LEFT JOIN st USING (doc_id)),
+        pre AS (
+          SELECT doc_id, h,
+            CASE WHEN lang <> 'en' THEN 1
+                 WHEN n < 30 THEN 2
+                 WHEN sumlen < 4 * n OR sumlen > 5 * n THEN 3
+                 WHEN 100 * topc > 15 * n THEN 4
+                 WHEN 5 * hapax < ndis THEN 5 END AS fail_pre
+          FROM perdoc),
+        staged AS (
+          SELECT doc_id, CAST(fail_pre AS BIGINT) AS fail FROM pre WHERE fail_pre IS NOT NULL
+          UNION ALL
+          SELECT doc_id,
+            CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) > 1
+                 THEN CAST(6 AS BIGINT) END AS fail
+          FROM pre WHERE fail_pre IS NULL),
+        removed AS (SELECT fail AS stage, CAST(COUNT(*) AS BIGINT) AS rm
+          FROM staged WHERE fail IS NOT NULL GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM staged),
+        s6 AS (SELECT CAST(g AS BIGINT) AS stage,
+            CASE g WHEN 1 THEN '1_lang_en' WHEN 2 THEN '2_min_tokens'
+                   WHEN 3 THEN '3_mean_word_len' WHEN 4 THEN '4_top_term_share'
+                   WHEN 5 THEN '5_hapax_ratio' ELSE '6_exact_dedup' END AS stage_name
+          FROM unnest(generate_series(1, 6)) AS t(g)),
+        fun AS (
+          SELECT s6.stage, s6.stage_name, COALESCE(removed.rm, 0) AS n_removed, n_total
+          FROM s6 LEFT JOIN removed ON removed.stage = s6.stage, tot),
+        f2 AS (
+          SELECT stage, stage_name, n_removed,
+            CAST(n_total - COALESCE(SUM(n_removed) OVER (ORDER BY stage ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in
+          FROM fun)
+        SELECT stage, stage_name, n_in, n_removed, n_in - n_removed AS n_out,
+          CASE WHEN n_in > 0 THEN (1000000 * n_removed) // n_in ELSE 0 END AS removed_ppm
+        FROM f2"""),
+      bench = true),
+
+    // Sequence-packing efficiency card: the q175 stage-6 greedy 256-token
+    // binning applied to the raw corpus, rolled up per language into the
+    // numbers a training team actually budgets — bins produced, padding
+    // tokens wasted in underfull bins (ppm of slot capacity), and the
+    // bins/tokens that OVERFLOW the context (a doc longer than 256 keeps
+    // its bin, the q175 greedy-window contract). Packing waste is a
+    // direct multiplier on training cost, which is why FIM/packed-
+    // pretraining papers report exactly this table. One tokenize scan +
+    // one (lang, shard)-partitioned window — no global sort; all ratios
+    // integer DIV.
+    QueryDef("q202_packing_efficiency",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nd = graft.operators.TextPipeline.tokenize(d)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pd = d.select(col("doc_id"), col("lang"),
+            floor(col("doc_id") / 64).cast(org.apache.spark.sql.types.LongType).as("shard"))
+          .join(nd, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("shard"),
+            coalesce(col("n"), lit(0L)).cast(org.apache.spark.sql.types.LongType).as("n_tok"))
+        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = pd.withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 256.0)
+              .cast(org.apache.spark.sql.types.LongType))
+          .groupBy(col("lang"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("bt"))
+        bins.groupBy(col("lang"))
+          .agg(sum(col("nd")).as("n_docs"), sum(col("bt")).as("n_tokens"),
+            count(lit(1)).as("n_bins"),
+            sum(greatest(lit(0L), lit(256L) - col("bt"))).as("n_pad"),
+            sum(when(col("bt") > 256L, 1L).otherwise(0L)).as("n_overflow_bins"),
+            sum(greatest(lit(0L), col("bt") - lit(256L))).as("overflow_tokens"))
+          .withColumn("pad_ppm", expr("(1000000 * n_pad) DIV (256 * n_bins)"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bins"),
+            col("n_pad"), col("pad_ppm"), col("n_overflow_bins"),
+            col("overflow_tokens"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        tc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        pd AS (
+          SELECT d.doc_id, d.lang, CAST(floor(d.doc_id / 64) AS BIGINT) AS shard,
+            CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_tok
+          FROM documents d LEFT JOIN tc USING (doc_id)),
+        binned AS (
+          SELECT lang, shard,
+            CAST(floor((SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 256.0) AS BIGINT) AS bin,
+            n_tok
+          FROM pd),
+        bins AS (
+          SELECT lang, shard, bin, CAST(COUNT(*) AS BIGINT) AS nd,
+            CAST(SUM(n_tok) AS BIGINT) AS bt
+          FROM binned GROUP BY 1, 2, 3)
+        SELECT lang, CAST(SUM(nd) AS BIGINT) AS n_docs,
+          CAST(SUM(bt) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_bins,
+          CAST(SUM(GREATEST(0, 256 - bt)) AS BIGINT) AS n_pad,
+          (1000000 * CAST(SUM(GREATEST(0, 256 - bt)) AS BIGINT)) // (256 * COUNT(*)) AS pad_ppm,
+          CAST(SUM(CASE WHEN bt > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+          CAST(SUM(GREATEST(0, bt - 256)) AS BIGINT) AS overflow_tokens
+        FROM bins GROUP BY 1"""),
+      bench = true),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
