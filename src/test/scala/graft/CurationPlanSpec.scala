@@ -227,4 +227,42 @@ class CurationPlanSpec extends SparkSpec {
       assert(ws.nonEmpty && ws.forall(_.nonEmpty), s"$q has a global window")
     }
   }
+
+  test("q199 probes the benchmark gram table by broadcast, never sort-merge") {
+    // the benchmark slice is fixed-size at any corpus scale (the q73
+    // contract): a SortMergeJoin regression would shuffle the whole
+    // training-side gram frame on `shingle`
+    val phys = Caching.scoped {
+      SparkEntry.queries("q199_exact_ngram_decontam")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+    assert(!phys.contains("SortMergeJoin"), phys.take(2000))
+  }
+
+  test("q201 funnel: corpus windows are hash-partitioned, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the dedup keep-first window must partition by the content hash; the
+    // only permitted global window is the 6-row stage rollup (bounded)
+    val plan = Caching.scoped {
+      SparkEntry.queries("q201_attrition_funnel")(spark, dir)
+        .queryExecution.sparkPlan
+    }
+    val specs = plan.collect { case w: WindowExec => w.partitionSpec }
+    assert(specs.exists(_.nonEmpty), "q201 lost its partitioned dedup window")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(2000))
+  }
+
+  test("q197/q200 broadcast kernels: no shuffled join of the quadratic side") {
+    // both rows score a bounded set (all-queries eval / minibatch anchors)
+    // against the corpus through a BROADCAST nested-loop or hash kernel —
+    // a SortMergeJoin on the similarity side would shuffle the full
+    // pair-expansion (the regression these kernels' shapes exist to avoid)
+    for (q <- Seq("q197_retrieval_eval", "q200_triplet_mining")) {
+      val phys = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }
+      assert(phys.contains("Broadcast"), s"$q\n" + phys.take(2000))
+    }
+  }
 }
