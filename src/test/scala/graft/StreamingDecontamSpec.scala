@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.StreamingDecontam
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 10-token eval sentence shared verbatim (3 clean 8-grams inside it)
+  private val eval1 = "held out benchmark question answer pairs must never leak out"
+  // a second suite entry, 9 tokens (2 clean 8-grams)
+  private val eval2 = "the standardized test prompt appears verbatim in evaluation"
+
+  private val benchDocs = Seq(
+    (100L, s"intro words then $eval1 and trailing text"),
+    (101L, s"$eval2 padded with more benchmark only words"),
+    (102L, s"another copy $eval1 in a second benchmark doc"))
+
+  private val trainDocs = Seq(
+    (1L, s"training text containing $eval1 wholesale"), // hits 100 AND 102
+    (2L, s"clean document with no overlap at all whatsoever in eight grams"),
+    (3L, s"$eval2 leaked into this one"), // hits 101
+    (4L, "short doc")) // under 8 tokens: no grams at all
+
+  test("streamed decontamination equals the batch twin across waves") {
+    implicit val ctx = spark.sqlContext
+    val bench = StreamingDecontam.benchmarkGrams(
+      benchDocs.toDF("doc_id", "text"))
+    // every eval sentence contributed grams from BOTH its benchmark docs
+    assert(bench.values.exists(_ == Seq(100L, 102L)))
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.flag(ms.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam").outputMode("append")
+      .start()
+    try {
+      trainDocs.grouped(2).foreach { wave =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("decontam")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = StreamingDecontam.flag(trainDocs.toDF("doc_id", "text"), bench)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // doc 1 carries the full eval1 sentence -> its in-sentence grams hit
+      // benchmark docs 100 and 102; first attribution is 100
+      val d1 = streamed.find(_._1 == 1L).get
+      assert(d1._3 == 2L && d1._4 == 100L && d1._2 >= 3L)
+      // doc 3 hits only benchmark doc 101
+      val d3 = streamed.find(_._1 == 3L).get
+      assert(d3._3 == 1L && d3._4 == 101L)
+      // docs 2 and 4 never emit
+      assert(!streamed.exists(r => r._1 == 2L || r._1 == 4L))
+    } finally q.stop()
+  }
+
+  test("the streaming plan is stateless: no aggregation or join state") {
+    implicit val ctx = spark.sqlContext
+    val bench = StreamingDecontam.benchmarkGrams(benchDocs.toDF("doc_id", "text"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.flag(ms.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam_plan").outputMode("append")
+      .start()
+    try {
+      ms.addData((1L, s"carrier of $eval1 here"))
+      q.processAllAvailable()
+      val plan = q.lastProgress.sources.length +
+        q.lastProgress.stateOperators.length
+      // one source, ZERO stateful operators — the whole gate is per-row
+      assert(q.lastProgress.stateOperators.isEmpty, s"unexpected state: $plan")
+    } finally q.stop()
+  }
+}
