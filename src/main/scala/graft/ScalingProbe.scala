@@ -465,7 +465,10 @@ object ScalingProbe {
       "q199_exact_ngram_decontam", "q200_triplet_mining",
       // q201: one tokenize scan + hash-keyed dedup window — scan-scales;
       // q202: one scan + (lang, shard)-partitioned window — scan-scales
-      "q201_attrition_funnel", "q202_packing_efficiency")
+      "q201_attrition_funnel", "q202_packing_efficiency",
+      // q203: the q90 trigram chain + a census-sized window; q204: the
+      // same chain + one 2x2 rollup — both should track q90's scan ratio
+      "q203_signal_auc", "q204_gate_agreement")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -518,7 +521,8 @@ object ScalingProbe {
       // round-10 documents-based rows ride the vocabgrow replica; q197 and
       // q200 are embeddings-based (id-shift/translated only, the q177 rule)
       "q198_data_budget", "q199_exact_ngram_decontam",
-      "q201_attrition_funnel", "q202_packing_efficiency")
+      "q201_attrition_funnel", "q202_packing_efficiency",
+      "q203_signal_auc", "q204_gate_agreement")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

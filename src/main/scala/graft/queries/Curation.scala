@@ -2604,6 +2604,198 @@ object Curation {
         FROM bins GROUP BY 1"""),
       bench = true),
 
+    // Quality-signal ranking power: exact AUC (Mann–Whitney U) of the
+    // char-LM perplexity as a detector of Gopher-rule failures — the
+    // measurement that tells you whether the cheap model-based signal
+    // RANKS bad docs above good ones before you pick its gate threshold.
+    // Exact rank statistic with average-rank tie handling, kept integral
+    // by the ×2 trick: U2 = Σ_values np·(2·nn_below + nn_at); AUC =
+    // U2 / (2·np·nn), emitted as integer millionths. The one ordered
+    // window runs over the DISTINCT-score census (value-bounded, the q48
+    // exact-order-stat posture), never the corpus.
+    QueryDef("q203_signal_auc",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val d = docs(s, dir)
+        val ppl = TextStats.charLmPerplexity(d).select(col("doc_id"), col("ppl"))
+        val pc = d.select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val keep = pc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndis"),
+            max(col("c")).as("topc"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(length(col("term")) * col("c")).as("sumlen"))
+          .select(col("doc_id"),
+            (col("n") >= 30 &&
+              col("sumlen") >= lit(4L) * col("n") &&
+              col("sumlen") <= lit(5L) * col("n") &&
+              lit(100L) * col("topc") <= lit(15L) * col("n") &&
+              lit(5L) * col("hapax") >= col("ndis")).as("keep"))
+        val scored = ppl.join(keep, "doc_id")
+          .select(col("ppl"), when(!col("keep"), 1L).otherwise(0L).as("y"))
+        val cen = scored.groupBy(col("ppl"))
+          .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+        val w = Window.orderBy(col("ppl").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cen.withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .agg(sum(expr("np * (2 * nn_below + nn)")).as("u2"),
+            sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+          .select(lit("ppl_vs_gopher").as("signal"),
+            col("n_pos"), col("n_neg"), col("u2"),
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              expr("(1000000 * u2) DIV (2 * n_pos * n_neg)"))
+              .otherwise(lit(0L)).as("auc_ppm"))
+      },
+      oracle = Some(s"""
+        WITH cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        model AS (SELECT lang, tg, COUNT(*) AS cnt FROM tris GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM model GROUP BY 1),
+        probs AS (
+          SELECT m.lang, m.tg,
+            round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM model m JOIN tot USING (lang)),
+        sc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) AS s
+          FROM tris t JOIN probs p ON p.lang = t.lang AND p.tg = t.tg
+          GROUP BY 1),
+        pplv AS (SELECT doc_id, round(exp(-s/n_tri), 6) AS ppl FROM sc),
+        ${Text.toksCte},
+        pc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ndis,
+            CAST(MAX(c) AS BIGINT) AS topc,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+            CAST(SUM(LEN(term) * c) AS BIGINT) AS sumlen
+          FROM pc GROUP BY 1),
+        kp AS (
+          SELECT doc_id,
+            (n >= 30 AND sumlen >= 4 * n AND sumlen <= 5 * n AND
+             100 * topc <= 15 * n AND 5 * hapax >= ndis) AS keep
+          FROM st),
+        scored AS (
+          SELECT p.ppl, CASE WHEN NOT k.keep THEN 1 ELSE 0 END AS y
+          FROM pplv p JOIN kp k USING (doc_id)),
+        cen AS (
+          SELECT ppl, CAST(SUM(y) AS BIGINT) AS np,
+            CAST(SUM(1 - y) AS BIGINT) AS nn
+          FROM scored GROUP BY 1),
+        cum AS (
+          SELECT np, nn,
+            CAST(COALESCE(SUM(nn) OVER (ORDER BY ppl ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nn_below
+          FROM cen),
+        agg AS (
+          SELECT CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2,
+            CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg
+          FROM cum)
+        SELECT 'ppl_vs_gopher' AS signal, n_pos, n_neg, u2,
+          CASE WHEN n_pos > 0 AND n_neg > 0
+               THEN (1000000 * u2) // (2 * n_pos * n_neg) ELSE 0 END AS auc_ppm
+        FROM agg"""),
+      bench = true),
+
+    // Inter-gate agreement (Cohen's kappa): do the rule-based Gopher gate
+    // and the model-based perplexity gate (q175's ppl ≤ 213) agree beyond
+    // chance? The data-ops number that says whether a second gate adds
+    // information or just re-labels the first. Exact integer form:
+    // κ = (n·agree − pe_num) / (n² − pe_num) with
+    // pe_num = A1·B1 + (n−A1)·(n−B1), emitted as millionths with the
+    // degenerate-marginal guard (pe = 1 ⇒ κ := 0) on BOTH engines.
+    QueryDef("q204_gate_agreement",
+      (s, dir) => {
+        import graft.functions.Exprs
+        val d = docs(s, dir)
+        val ppl = TextStats.charLmPerplexity(d)
+          .select(col("doc_id"), (col("ppl") <= lit(213.0d)).as("gate_b"))
+        val pc = d.select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val keep = pc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndis"),
+            max(col("c")).as("topc"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(length(col("term")) * col("c")).as("sumlen"))
+          .select(col("doc_id"),
+            (col("n") >= 30 &&
+              col("sumlen") >= lit(4L) * col("n") &&
+              col("sumlen") <= lit(5L) * col("n") &&
+              lit(100L) * col("topc") <= lit(15L) * col("n") &&
+              lit(5L) * col("hapax") >= col("ndis")).as("gate_a"))
+        ppl.join(keep, "doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("gate_a") && col("gate_b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("gate_a") && !col("gate_b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("gate_a") && col("gate_b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("gate_a") && !col("gate_b"), 1L).otherwise(0L)).as("n00"))
+          .withColumn("pe_num",
+            expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("(1000000 * (n11 + n00)) DIV n").as("po_ppm"),
+            expr("(1000000 * pe_num) DIV (n * n)").as("pe_ppm"),
+            when(expr("n * n - pe_num") > 0,
+              expr("(1000000 * (n * (n11 + n00) - pe_num)) DIV (n * n - pe_num)"))
+              .otherwise(lit(0L)).as("kappa_ppm"))
+      },
+      oracle = Some(s"""
+        WITH cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        model AS (SELECT lang, tg, COUNT(*) AS cnt FROM tris GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM model GROUP BY 1),
+        probs AS (
+          SELECT m.lang, m.tg,
+            round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM model m JOIN tot USING (lang)),
+        sc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) AS s
+          FROM tris t JOIN probs p ON p.lang = t.lang AND p.tg = t.tg
+          GROUP BY 1),
+        gb AS (SELECT doc_id, round(exp(-s/n_tri), 6) <= 213.0 AS gate_b FROM sc),
+        ${Text.toksCte},
+        pc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ndis,
+            CAST(MAX(c) AS BIGINT) AS topc,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+            CAST(SUM(LEN(term) * c) AS BIGINT) AS sumlen
+          FROM pc GROUP BY 1),
+        ga AS (
+          SELECT doc_id,
+            (n >= 30 AND sumlen >= 4 * n AND sumlen <= 5 * n AND
+             100 * topc <= 15 * n AND 5 * hapax >= ndis) AS gate_a
+          FROM st),
+        cells AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN gate_a AND gate_b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN gate_a AND NOT gate_b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN NOT gate_a AND gate_b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN NOT gate_a AND NOT gate_b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM gb JOIN ga USING (doc_id)),
+        k AS (
+          SELECT *, (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+          FROM cells)
+        SELECT n, n11, n10, n01, n00,
+          (1000000 * (n11 + n00)) // n AS po_ppm,
+          (1000000 * pe_num) // (n * n) AS pe_ppm,
+          CASE WHEN n * n - pe_num > 0
+               THEN (1000000 * (n * (n11 + n00) - pe_num)) // (n * n - pe_num)
+               ELSE 0 END AS kappa_ppm
+        FROM k"""),
+      bench = true),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
