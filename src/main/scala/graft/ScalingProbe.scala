@@ -468,7 +468,10 @@ object ScalingProbe {
       "q201_attrition_funnel", "q202_packing_efficiency",
       // q203: the q90 trigram chain + a census-sized window; q204: the
       // same chain + one 2x2 rollup — both should track q90's scan ratio
-      "q203_signal_auc", "q204_gate_agreement")
+      "q203_signal_auc", "q204_gate_agreement",
+      // q205: one tokenize scan + census-grid windows (sources × distinct
+      // token counts — value-bounded)
+      "q205_ks_drift")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -522,7 +525,7 @@ object ScalingProbe {
       // q200 are embeddings-based (id-shift/translated only, the q177 rule)
       "q198_data_budget", "q199_exact_ngram_decontam",
       "q201_attrition_funnel", "q202_packing_efficiency",
-      "q203_signal_auc", "q204_gate_agreement")
+      "q203_signal_auc", "q204_gate_agreement", "q205_ks_drift")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

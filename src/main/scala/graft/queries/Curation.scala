@@ -2796,6 +2796,107 @@ object Curation {
         FROM k"""),
       bench = true),
 
+    // Per-source distribution drift by EXACT two-sample Kolmogorov–Smirnov
+    // (the non-binned companion to q154's PSI): each source's token-count
+    // distribution against the rest of the corpus — D = max |F_s − F_rest|
+    // evaluated on the full step grid, entirely in integer
+    // cross-multiplication (|cum_s·n_rest − cum_rest·n_s| over the shared
+    // denominator n_s·n_rest), reported as millionths with the argmax
+    // step value. The grid is sources × distinct token counts — census-
+    // bounded — and the cumulative windows are per-source-partitioned
+    // (plus one census-sized global cum for the corpus CDF, the q203
+    // posture). The card that catches a feed whose length profile shifted
+    // even when its PSI buckets stayed flat.
+    QueryDef("q205_ks_drift",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nd = graft.operators.TextPipeline.tokenize(d)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val docTok = d.select(col("doc_id"), col("source"))
+          .join(nd, Seq("doc_id"), "left")
+          .select(col("source"), coalesce(col("n"), lit(0L)).as("v"))
+        val cen = docTok.groupBy(col("source"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val values = cen.select(col("v")).distinct()
+        val srcN = cen.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+        val nAll = srcN.agg(sum(col("n_s")).as("n_all"))
+        // corpus-wide cumulative counts on the census grid (global window
+        // over distinct values — value-bounded, the q203 posture)
+        val allCum = cen.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+          .withColumn("cum_all", sum(col("c_all"))
+            .over(Window.orderBy(col("v").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("v"), col("cum_all"))
+        // full grid: every source at every step value
+        val grid = srcN.crossJoin(values)
+          .join(cen, Seq("source", "v"), "left")
+          .select(col("source"), col("n_s"), col("v"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val perSrcCum = grid.withColumn("cum_s", sum(col("c"))
+            .over(Window.partitionBy(col("source")).orderBy(col("v").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(allCum, "v")
+          .crossJoin(broadcast(nAll))
+          .select(col("source"), col("n_s"), col("v"),
+            abs(col("cum_s") * (col("n_all") - col("n_s")) -
+              (col("cum_all") - col("cum_s")) * col("n_s")).as("diff"))
+        val best = perSrcCum.groupBy(col("source"), col("n_s"))
+          .agg(max(col("diff")).as("max_diff"))
+        val at = perSrcCum
+          .select(col("source").as("src_a"), col("v"), col("diff"))
+          .join(best.select(col("source").as("src_b"), col("max_diff")),
+            col("src_a") === col("src_b") && col("diff") === col("max_diff"))
+          .groupBy(col("src_a")).agg(min(col("v")).as("at_value"))
+          .withColumnRenamed("src_a", "source")
+        best.join(at, "source")
+          .crossJoin(broadcast(nAll))
+          .select(col("source"), col("n_s").as("n_docs"),
+            when(col("n_s") > 0 && col("n_all") > col("n_s"),
+              expr("(1000000 * max_diff) DIV (n_s * (n_all - n_s))"))
+              .otherwise(lit(0L)).as("ks_ppm"),
+            col("at_value"))
+      },
+      oracle = Some(s"""
+        WITH ${Text.toksCte},
+        tc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        dt AS (
+          SELECT d.source, CAST(COALESCE(tc.n, 0) AS BIGINT) AS v
+          FROM documents d LEFT JOIN tc USING (doc_id)),
+        cen AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT v FROM cen),
+        srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cen GROUP BY 1),
+        nall AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM srcn),
+        allcum AS (
+          SELECT v, CAST(SUM(SUM(c)) OVER (ORDER BY v ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+          FROM cen GROUP BY v),
+        grid AS (
+          SELECT s.source, s.n_s, vl.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+          FROM srcn s CROSS JOIN vals vl
+          LEFT JOIN cen c ON c.source = s.source AND c.v = vl.v),
+        pc AS (
+          SELECT g.source, g.n_s, g.v,
+            CAST(SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+          FROM grid g),
+        diffs AS (
+          SELECT p.source, p.n_s, p.v,
+            abs(p.cum_s * (n_all - p.n_s) - (a.cum_all - p.cum_s) * p.n_s) AS diff
+          FROM pc p JOIN allcum a USING (v), nall),
+        best AS (SELECT source, n_s, CAST(MAX(diff) AS BIGINT) AS max_diff
+          FROM diffs GROUP BY 1, 2),
+        at AS (
+          SELECT d.source, MIN(d.v) AS at_value
+          FROM diffs d JOIN best b ON b.source = d.source AND d.diff = b.max_diff
+          GROUP BY 1)
+        SELECT b.source, b.n_s AS n_docs,
+          CASE WHEN b.n_s > 0 AND n_all > b.n_s
+               THEN (1000000 * b.max_diff) // (b.n_s * (n_all - b.n_s))
+               ELSE 0 END AS ks_ppm,
+          at_value
+        FROM best b JOIN at USING (source), nall"""),
+      bench = true),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
