@@ -470,8 +470,9 @@ object ScalingProbe {
       // same chain + one 2x2 rollup — both should track q90's scan ratio
       "q203_signal_auc", "q204_gate_agreement",
       // q205: one tokenize scan + census-grid windows (sources × distinct
-      // token counts — value-bounded)
-      "q205_ks_drift")
+      // token counts — value-bounded); q206: one coin scan + a
+      // |splits|·|sources| rollup — the ratio IS the scan ratio
+      "q205_ks_drift", "q206_split_manifest")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -525,7 +526,8 @@ object ScalingProbe {
       // q200 are embeddings-based (id-shift/translated only, the q177 rule)
       "q198_data_budget", "q199_exact_ngram_decontam",
       "q201_attrition_funnel", "q202_packing_efficiency",
-      "q203_signal_auc", "q204_gate_agreement", "q205_ks_drift")
+      "q203_signal_auc", "q204_gate_agreement", "q205_ks_drift",
+      "q206_split_manifest")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -2897,6 +2897,59 @@ object Curation {
         FROM best b JOIN at USING (source), nall"""),
       bench = true),
 
+    // Deterministic train/val/test split manifest + stratification card:
+    // the hash-coin split every data release ships (md5 coin on the doc
+    // id, salt "split:", 98/1/1 by ppm thresholds — reproducible with no
+    // rand() and stable under re-runs, the q77 coin discipline), audited
+    // per (split, source): is each split's source mix within tolerance of
+    // the corpus mix? abs_dev_ppm is the number a release checklist
+    // thresholds. One scan + a |splits|·|sources|-row rollup; all shares
+    // integer DIV.
+    QueryDef("q206_split_manifest",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"))
+          .withColumn("coin", Exprs.h60(concat(lit("split:"), col("doc_id"))) % 1000000L)
+          .withColumn("split",
+            when(col("coin") < 980000L, "train")
+              .when(col("coin") < 990000L, "val")
+              .otherwise("test"))
+        val corpus = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        val total = d.agg(count(lit(1)).as("n_all"))
+        val splitTot = d.groupBy(col("split")).agg(count(lit(1)).as("n_split"))
+        d.groupBy(col("split"), col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(splitTot, "split")
+          .join(corpus, "source")
+          .crossJoin(broadcast(total))
+          .select(col("split"), col("source"), col("n_docs"),
+            expr("(1000000 * n_docs) DIV n_split").as("share_ppm"),
+            expr("(1000000 * n_src) DIV n_all").as("corpus_share_ppm"),
+            abs(expr("(1000000 * n_docs) DIV n_split") -
+              expr("(1000000 * n_src) DIV n_all")).as("abs_dev_ppm"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 1000000 AS coin
+          FROM documents),
+        sp AS (
+          SELECT source,
+            CASE WHEN coin < 980000 THEN 'train'
+                 WHEN coin < 990000 THEN 'val' ELSE 'test' END AS split
+          FROM d),
+        corpus AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM sp GROUP BY 1),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sp),
+        st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split FROM sp GROUP BY 1),
+        cells AS (SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM sp GROUP BY 1, 2)
+        SELECT c.split, c.source, c.n_docs,
+          (1000000 * c.n_docs) // st.n_split AS share_ppm,
+          (1000000 * corpus.n_src) // total.n_all AS corpus_share_ppm,
+          abs((1000000 * c.n_docs) // st.n_split -
+              (1000000 * corpus.n_src) // total.n_all) AS abs_dev_ppm
+        FROM cells c
+        JOIN st USING (split) JOIN corpus USING (source), total"""),
+      bench = true),
+
     // Trainable BPE tokenizer (VERDICT r5 Next #2): merge training as the
     // distributed pair-count loop, encoding as a per-row expression over
     // the learned merge table. The oracle replays the SAME deterministic
