@@ -26,6 +26,26 @@ import org.apache.spark.sql.SparkSession
   * semantics every prior round's committed artifact used — while at most
   * one query's pins are ever live (the round-2 accumulated-pins lesson).
   *
+  * HEAVY rows run in a DEDICATED FINAL SWEEP inside a FRESH SparkSession
+  * (VERDICT r9 #2, r10 #1): across a ~137-row session the JVM accumulates
+  * state (hundreds of compiled plans, codegen cache, heap fragmentation
+  * feeding GC pauses into multi-job loops) that inflates late multi-second
+  * rows ~3× over their idle-box cost — round 9 committed q116 at 8.77 s vs
+  * 2.85 s solo; round 10 fixed that with a final sweep but hardcoded its
+  * membership to the LSA/PCA family, so the driver then committed q197
+  * (added the same round) at 37.7 s vs 10.4 s solo. Membership is now
+  * COST-BASED: any row whose warm-up pass exceeds [[Bench.lateThresholdSec]]
+  * joins the final sweep automatically (warm-up runs early-session, before
+  * the tax builds, so it is an honest cost signal — JIT-cold, hence
+  * conservative: it over-includes, never under-includes), unioned with the
+  * LSA/PCA factorization family whose memo discipline needs the dedicated
+  * context regardless of cost. The final sweep then runs in a brand-new
+  * SparkSession (old context stopped, factorization memos cleared, its own
+  * warm-up retaking memo snapshots) — the "fresh JVM-ish" reset that the
+  * 21-heavy-context probes showed restores every row to its solo cost —
+  * while keeping the same interleaved 3-pass anti-stall discipline within
+  * the sweep.
+  *
   * Execution materializes every output column through the noop sink, so
   * projections can't be cheated away by a count-only plan. The JSON line is
   * ALSO written to bench.json next to the working directory — round 8's
@@ -34,22 +54,41 @@ import org.apache.spark.sql.SparkSession
   * Verify/failed.json lesson applied to the bench).
   */
 object Bench {
+
+  /** Warm-up-pass cost above which a row is measured in the dedicated final
+    * sweep. ~5 s solo steady-state is where the late-session tax becomes
+    * visible (VERDICT r10 #1); warm-up time runs 1.5–2× steady state
+    * (JIT-cold), so thresholding the warm-up at the same 5 s pulls in rows
+    * from ~2.5 s steady — deliberately conservative. */
+  val lateThresholdSec = 5.0
+
+  /** The factorization family always takes the final sweep: its session
+    * memo discipline (snapshot/restore of shared components) wants the
+    * dedicated context, and its rows were the original late-tax victims. */
+  val lateAlways = Set("q103_lsa_component", "q105_lsa_second",
+    "q109_lsa_topk", "q119_lsa_doc_scores", "q116_pca_component",
+    "q117_pca_scores", "q123_pca_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_SHUFFLE_PARTITIONS: cluster-shape probe knob (SCALING.md
     // partition-count section) — the driver's runs keep the default 32.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // NB: driver heap can't be set here (the JVM is already running in
-      // local mode) — pass -J-Xmx/JAVA_OPTS at launch instead
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // NB: driver heap can't be set here (the JVM is already running in
+        // local mode) — pass -J-Xmx/JAVA_OPTS at launch instead
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     def runOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
@@ -62,6 +101,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
+
+    // A rename of any lateAlways query must fail loudly, not silently drop
+    // the row back into the main sweep and invalidate the late-sweep
+    // methodology (ADVICE r10). Checked against the full catalog so subset
+    // runs catch it too.
+    locally {
+      val catalog = SparkEntry.all.map(_.name).toSet
+      val unresolved = lateAlways.filterNot(catalog)
+      require(unresolved.isEmpty,
+        s"Bench.lateAlways names not in the catalog (renamed?): ${unresolved.mkString(", ")}")
+    }
 
     // LSA/PCA factorization memos are session-scoped product behavior: a
     // query needing components 1..k reuses whatever earlier queries
@@ -94,56 +144,6 @@ object Bench {
         spark.catalog.clearCache()
       }
 
-    // Warm-up sweep: JIT, codegen cache, OS page cache.
-    queries.foreach { q =>
-      memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
-      guarded(q) { runOnce(q) }
-    }
-    // Three timed sweeps, round-robin: pass k of every query before pass
-    // k+1 of any. Median per query.
-    // Each slot runs a PRIMING pass then the timed pass. The priming pass
-    // repopulates the query's own Caching.pin entries (and OS page cache)
-    // that the previous slot's cleanup dropped, so the timed pass measures
-    // the warm-cache steady state — the protocol every prior round's
-    // committed numbers used (the sequential bench's three passes rode the
-    // warm-up's pins, since cleanup only ran between queries). Without the
-    // prime, interleaving silently switched the whole artifact to
-    // cold-cache semantics: the round-9 first cut read q34 at 2.6 s where
-    // the round-8 binary measures 0.9 s on the same box — pin-heavy dedup
-    // queries were recomputing their pinned shingle frames inside every
-    // timed pass. Priming inside the slot (rather than letting pins
-    // accumulate across the sweep) keeps the round-2 lesson intact: at
-    // most ONE query's pins are live at any moment.
-    // restoreMemoShared, NOT restoreMemo: with every query's snapshot
-    // live across the whole interleaved run, a releasing restore would
-    // unpersist checkpoint blocks other snapshots still reference
-    // (q105/q109/q119 died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when
-    // the interleaving first landed). Evicted components stay persisted
-    // until spark.stop() — bounded by snapshots × passes. The memo is
-    // restored again between prime and timed pass so the timed pass
-    // measures the query's marginal factorization work, not a free hit on
-    // its own prime.
-    // restoreMemoPruned: restoreMemoShared's safety (nothing ANY snapshot
-    // references is released) plus garbage collection of the components
-    // prime/timed runs extract after warm-up — no snapshot can resurrect
-    // those, and letting them accumulate across 124 rows × 3 slots × 2
-    // runs pressured the storage layer into multi-× per-run variance on
-    // the heavy factorization rows.
-    // The heavy-factorization family is measured in a DEDICATED final
-    // sweep, after the main interleaved sweeps (VERDICT r9 #2): in the
-    // full 125-row run, q116's committed medians ran ~3× its idle-box cost
-    // (8.77 s vs 2.85 s judge-solo) while the SAME binary in a 21-heavy-
-    // query context or the family-only context measures 2.45-2.50 s — the
-    // tax is late-session accumulated state (hundreds of compiled plans,
-    // codegen cache, heap fragmentation feeding GC pauses into the one
-    // multi-job factorization loop), not the operator or even concurrent
-    // cache pressure. Isolating the family restores the number every
-    // other context reproduces; the family keeps its own interleaved
-    // 3-pass discipline so the anti-stall protocol is intact within it.
-    val finalSweep = Set("q103_lsa_component", "q105_lsa_second",
-      "q109_lsa_topk", "q119_lsa_doc_scores", "q116_pca_component",
-      "q117_pca_scores", "q123_pca_topk")
-    val (lateQs, mainQs) = queries.partition(q => finalSweep(q.name))
     val diag = sys.env.contains("SPARK_GRAFT_BENCH_DIAG")
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
@@ -152,6 +152,30 @@ object Bench {
     }
     val lsaSnaps = () => memoSnaps.values.map(_._1)
     val pcaSnaps = () => memoSnaps.values.map(_._2)
+
+    // Timed sweeps, round-robin: pass k of every query before pass k+1 of
+    // any. Median per query. Each slot runs a PRIMING pass then the timed
+    // pass. The priming pass repopulates the query's own Caching.pin
+    // entries (and OS page cache) that the previous slot's cleanup dropped,
+    // so the timed pass measures the warm-cache steady state — the protocol
+    // every prior round's committed numbers used (the sequential bench's
+    // three passes rode the warm-up's pins, since cleanup only ran between
+    // queries). Without the prime, interleaving silently switched the whole
+    // artifact to cold-cache semantics: the round-9 first cut read q34 at
+    // 2.6 s where the round-8 binary measures 0.9 s on the same box —
+    // pin-heavy dedup queries were recomputing their pinned shingle frames
+    // inside every timed pass. Priming inside the slot (rather than letting
+    // pins accumulate across the sweep) keeps the round-2 lesson intact: at
+    // most ONE query's pins are live at any moment.
+    // restoreMemoPruned (not restoreMemo): with every query's snapshot live
+    // across the whole interleaved run, a releasing restore would unpersist
+    // checkpoint blocks other snapshots still reference
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, round 9), while letting evicted
+    // components accumulate pressured the storage layer into multi-× per-run
+    // variance — pruned restore releases only components no snapshot can
+    // resurrect. The memo is restored again between prime and timed pass so
+    // the timed pass measures the query's marginal factorization work, not a
+    // free hit on its own prime.
     def timedSweeps(qs: Seq[QueryDef]): Unit =
       for (_ <- 1 to 3; q <- qs if !failed(q.name)) guarded(q) {
         val (lsaSnap, pcaSnap) = memoSnaps(q.name)
@@ -167,8 +191,53 @@ object Bench {
             s"persistedRdds=${spark.sparkContext.getPersistentRDDs.size}")
         times(q.name) = t :: times(q.name)
       }
+
+    // ---- Session 1: warm-up (cost probe) + main sweep ----
+    // The lateAlways family skips session 1 entirely — it warms up inside
+    // its own fresh session below, where its memo snapshots are valid.
+    val candidates = queries.filterNot(q => lateAlways(q.name))
+    // Sacrificial init pass: the FIRST query otherwise pays the one-time
+    // session costs (codegen framework bootstrap, parquet reader classes,
+    // noop sink registration — ~5 s) inside its warm-up and gets
+    // misclassified as heavy (q01 steady 0.27 s read >5 s warm in the
+    // protocol smoke test).
+    try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] init pass: ${e.getMessage}") }
+    val warmSecs = scala.collection.mutable.Map.empty[String, Double]
+    candidates.foreach { q =>
+      memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+      guarded(q) {
+        val w = runOnce(q)
+        // A first-of-its-family warm-up pays that family's JIT/codegen on
+        // top of the query's real cost (q34 steady 0.7 s read >5 s warm in
+        // the smoke test). For would-be-late rows only, measure once more —
+        // JIT now paid — and classify on the cheaper pass.
+        warmSecs(q.name) = if (w <= lateThresholdSec) w else math.min(w, runOnce(q))
+      }
+    }
+    val mainQs = candidates.filter(q => warmSecs.getOrElse(q.name, 0.0) <= lateThresholdSec)
+    val lateQs = queries.filter(q =>
+      lateAlways(q.name) || warmSecs.getOrElse(q.name, 0.0) > lateThresholdSec)
+    if (lateQs.nonEmpty) System.err.println(
+      s"[bench] final sweep (${lateQs.size} rows): ${lateQs.map(_.name).mkString(", ")}")
     timedSweeps(mainQs)
-    timedSweeps(lateQs)
+
+    // ---- Session 2: fresh context for the heavy rows ----
+    if (lateQs.nonEmpty) {
+      Caching.release()
+      spark.catalog.clearCache()
+      spark.stop()
+      // memos hold persisted RDDs of the dead context — clear before reuse
+      ml.Lsa.clearMemo(); ml.Pca.clearMemo()
+      memoSnaps.clear()
+      spark = newSession()
+      lateQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
+        memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+        guarded(q) { runOnce(q) }
+      }
+      timedSweeps(lateQs)
+    }
 
     val results = queries.map { q =>
       val ts = times(q.name).sorted

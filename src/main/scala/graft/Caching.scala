@@ -53,9 +53,21 @@ object Caching {
     * [[Par.compact]] rationale; at a cluster-shape 2048 partitions the probe
     * measured pin-heavy queries 3-4× slower without this). `coalesce` is
     * narrow: the producing exchange keeps its width, only the materialized
-    * partition count changes. */
-  private def compact(df: DataFrame): DataFrame =
-    df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+    * partition count changes.
+    *
+    * Idempotent on [[pin]]'s own output (ADVICE r10): re-pinning a returned
+    * frame must not stack a second coalesce — that canonicalizes to a
+    * DIFFERENT plan key, double-caching the frame and splitting its
+    * refcount. A frame already topped by coalesce(defaultParallelism) is
+    * returned as-is. */
+  private def compact(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.queryExecution.logical match {
+      case Repartition(`n`, false, _) => df
+      case _ => df.coalesce(n)
+    }
+  }
 
   /** Persist `df` (compacted — see [[compact]]) at MEMORY_AND_DISK and
     * register it — with the enclosing [[scoped]] block if one is open on this

@@ -2264,10 +2264,15 @@ object Curation {
           .withColumn("tok_per_epoch", expr("(rate_ppm * n_tok) DIV 1000000"))
         val tot = rated.agg(sum(col("tok_per_epoch")).as("w_total"),
           sum(col("n_tok")).as("tok_total"))
+        // n_tok/w_total CAN be zero (a source whose docs all tokenize empty):
+        // DuckDB's // raises division-by-zero where Spark DIV yields NULL —
+        // the q201 engine-parity guard, applied on BOTH sides (ADVICE r10).
         rated.crossJoin(broadcast(tot))
-          .withColumn("epochs", expr("(2 * tok_total + w_total - 1) DIV w_total"))
+          .withColumn("epochs", expr(
+            "CASE WHEN w_total > 0 THEN (2 * tok_total + w_total - 1) DIV w_total ELSE 0 END"))
           .withColumn("tokens_seen", expr("epochs * tok_per_epoch"))
-          .withColumn("rep_ppm", expr("(1000000 * tokens_seen) DIV n_tok"))
+          .withColumn("rep_ppm", expr(
+            "CASE WHEN n_tok > 0 THEN (1000000 * tokens_seen) DIV n_tok ELSE 0 END"))
           .withColumn("over_4epoch", col("rep_ppm") > lit(4000000L))
           .select(col("source"), col("n_docs"), col("n_tok"), col("rate_ppm"),
             col("tok_per_epoch"), col("epochs"), col("tokens_seen"),
@@ -2289,12 +2294,16 @@ object Curation {
             (rate_ppm * n_tok) // 1000000 AS tok_per_epoch FROM rated),
         tot AS (SELECT CAST(SUM(tok_per_epoch) AS BIGINT) AS w_total,
             CAST(SUM(n_tok) AS BIGINT) AS tok_total FROM r2),
-        r3 AS (SELECT r2.*, (2 * tok_total + w_total - 1) // w_total AS epochs
+        r3 AS (SELECT r2.*,
+          CASE WHEN w_total > 0 THEN (2 * tok_total + w_total - 1) // w_total
+               ELSE 0 END AS epochs
           FROM r2, tot)
         SELECT source, n_docs, n_tok, rate_ppm, tok_per_epoch, epochs,
           epochs * tok_per_epoch AS tokens_seen,
-          (1000000 * epochs * tok_per_epoch) // n_tok AS rep_ppm,
-          (1000000 * epochs * tok_per_epoch) // n_tok > 4000000 AS over_4epoch
+          CASE WHEN n_tok > 0 THEN (1000000 * epochs * tok_per_epoch) // n_tok
+               ELSE 0 END AS rep_ppm,
+          CASE WHEN n_tok > 0 THEN (1000000 * epochs * tok_per_epoch) // n_tok
+               ELSE 0 END > 4000000 AS over_4epoch
         FROM r3"""),
       bench = true),
 
@@ -4600,8 +4609,9 @@ object Curation {
 
   /** Shared DSIR oracle chain (q135/q136): mirrors [[graft.operators.Dsir]]
     * — row-local hashed unigram+bigram features (empty-token docs dropped,
-    * the operator's filter), both add-one bucket models, the 10-dp λ
-    * re-sync, and the exact DECIMAL per-doc fold. MATERIALIZED where a
+    * the operator's filter), both add-one bucket models, the 6-dp λ
+    * re-sync (10 dp until round 10's ln-ulp fix), and the exact DECIMAL
+    * per-doc fold. MATERIALIZED where a
     * frame is read twice (the q81 lesson). */
   private def dsirCtes: String = """seq AS (
       SELECT doc_id, lang,

@@ -60,4 +60,23 @@ class CachingSpec extends SparkSpec {
     }
     assert(Caching.refCountOf(outerPlan) == 0 && Caching.refCountOf(innerPlan) == 0)
   }
+
+  test("pin is idempotent on its own output (no stacked coalesce, shared refcount)") {
+    // Re-pinning a RETURNED frame must key to the same canonicalized plan —
+    // round 10's compact() stacked a second coalesce on it, double-caching
+    // the frame and splitting the refcount so the outer release leaked the
+    // inner entry (ADVICE r10).
+    val raw = spark.range(3131).toDF("id").withColumn("z", col("id") % 7)
+    Caching.scoped {
+      val once = Caching.pin(raw)
+      val twice = Caching.pin(once)
+      // same key: both pins are counted on ONE entry
+      assert(Caching.refCountOf(raw) == 2)
+      // no plan growth: the second pin added no operator on top of the first
+      assert(twice.queryExecution.analyzed.canonicalized ==
+        once.queryExecution.analyzed.canonicalized)
+      assert(twice.count() == 3131)
+    }
+    assert(Caching.refCountOf(raw) == 0)
+  }
 }

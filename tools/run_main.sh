@@ -4,7 +4,12 @@
 # Env passthrough identical to `sbt runMain` (fork=true javaOptions).
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-SCALA_LIB="$(find /root/.cache/coursier -name 'scala-library-2.13.17.jar' | head -1)"
+# Glob the patch version (a Scala bump must not silently break the classpath)
+SCALA_LIB="$(find /root/.cache/coursier -name 'scala-library-2.13.*.jar' | sort -V | tail -1)"
+if [ -z "$SCALA_LIB" ]; then
+  echo "run_main.sh: no scala-library-2.13.*.jar in /root/.cache/coursier" >&2
+  exit 1
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
