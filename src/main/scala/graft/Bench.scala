@@ -39,9 +39,9 @@ import org.apache.spark.sql.SparkSession
   * the tax builds, so it is an honest cost signal — JIT-cold, hence
   * conservative: it over-includes, never under-includes), unioned with the
   * LSA/PCA factorization family whose memo discipline needs the dedicated
-  * context regardless of cost. The final sweep then runs in a brand-new
-  * SparkSession (old context stopped, factorization memos cleared, its own
-  * warm-up retaking memo snapshots) — the "fresh JVM-ish" reset that the
+  * context regardless of cost. The final sweep then runs in a fresh
+  * SparkSession on the SAME context (session state dropped, factorization
+  * memos cleared, its own warm-up retaking memo snapshots) — the reset the
   * 21-heavy-context probes showed restores every row to its solo cost —
   * while keeping the same interleaved 3-pass anti-stall discipline within
   * the sweep.
@@ -60,7 +60,8 @@ object Bench {
     * visible (VERDICT r10 #1); warm-up time runs 1.5–2× steady state
     * (JIT-cold), so thresholding the warm-up at the same 5 s pulls in rows
     * from ~2.5 s steady — deliberately conservative. */
-  val lateThresholdSec = 5.0
+  val lateThresholdSec: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_LATE_SEC").map(_.toDouble).getOrElse(5.0)
 
   /** The factorization family always takes the final sweep: its session
     * memo discipline (snapshot/restore of shared components) wants the
@@ -223,15 +224,22 @@ object Bench {
       s"[bench] final sweep (${lateQs.size} rows): ${lateQs.map(_.name).mkString(", ")}")
     timedSweeps(mainQs)
 
-    // ---- Session 2: fresh context for the heavy rows ----
+    // ---- Final sweep: fresh SESSION (same context) for the heavy rows ----
+    // newSession(), not stop()+new context: the round-11 protocol A/B
+    // found NO measurable benefit in a full context restart (all observed
+    // deltas were host band variance — PLANS.md round-11 notes), and the
+    // late-session tax is already cured by late ORDERING plus
+    // session-STATE reset (round 10's q116 fix). newSession() is the
+    // cheaper reset: it drops accumulated session state (SQL conf,
+    // catalog, temp views) and the sweep clears the factorization memos
+    // and cache; executors, block manager, and JIT state carry over —
+    // exactly the part that should stay warm.
     if (lateQs.nonEmpty) {
       Caching.release()
       spark.catalog.clearCache()
-      spark.stop()
-      // memos hold persisted RDDs of the dead context — clear before reuse
       ml.Lsa.clearMemo(); ml.Pca.clearMemo()
       memoSnaps.clear()
-      spark = newSession()
+      spark = spark.newSession()
       lateQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
         guarded(q) { runOnce(q) }

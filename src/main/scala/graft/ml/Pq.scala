@@ -148,6 +148,33 @@ object Pq {
         (col("i") + 1).cast(LongType).as("rk"))
   }
 
+  /** Exact squared-L2 top-k — the ground-truth side of the IVF-PQ
+    * retrieval-eval card (q207): queries broadcast against the streaming
+    * corpus, distances fold through the bounded heap so ≤ k·|queries| rows
+    * reach the shuffle, never |queries|·n. The |queries|·n distance term is
+    * quadratic BY DESIGN (the q37/q197 eval posture: ground truth runs on a
+    * fixed query sample at any corpus scale — here the q164 1 % sample).
+    * Tie-break (d2 asc at 6 dp, n_id asc) — identical to [[ivfPqTopK]] and
+    * [[adcTopK]], so recall/MRR cards comparing the two are bit-portable. */
+  def bruteL2TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(l2, 6).as("d2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, -r._3))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), round(-col("s.score"), 6).as("d2"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   /** ADC + exact re-rank (the paper's IVFADC+R refinement, §VII): the code
     * table prunes the corpus to a `shortlist`-size candidate set per query,
     * then TRUE squared-L2 distances re-rank just those candidates to the

@@ -267,7 +267,7 @@ object Similarity {
     * delta vs exact top-k is recorded in LshRecallSpec (probing on vs off at
     * sf0.001); probing OFF reproduces the round-3 behavior bit-for-bit. */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, reps: Int = 4,
-              probe: Boolean = true): DataFrame = {
+              probe: Boolean = true, queryPred: Option[Column] = None): DataFrame = {
     require(reps >= 1 && k >= 1, s"reps=$reps, k=$k")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     // plan-time constant: embedding dimensionality (one-row peek, not a scan).
@@ -302,7 +302,14 @@ object Similarity {
           .select(col("vec_id"), col("b0").bitwiseXOR(col("m")).as("b"))
       b.select(col("vec_id"), (col("b") + lit(r.toLong << planes)).as("bucket"))
     }.reduce(_ unionByName _)
-    val cand = bucketed(probing = probe).as("a").join(bucketed(probing = false).as("b"),
+    // queryPred (on vec_id) restricts the QUERY side only — the fixed-
+    // query-sample eval posture (q208): the corpus/index side stays full,
+    // candidate volume and the rank window shrink to the sample. Each
+    // query's ranking is independent, so the restricted run returns
+    // exactly the full run's rows for the sampled q_ids.
+    val qSide = queryPred.fold(bucketed(probing = probe))(p =>
+      bucketed(probing = probe).filter(p))
+    val cand = qSide.as("a").join(bucketed(probing = false).as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()

@@ -437,6 +437,71 @@ object Curation {
         col("y"),
         ((col("score") >= lit(0.5d)) === (col("y") === lit(1.0d))).as("correct"))
 
+  /** Contrastive triplet construction shared by q200 (fixed minibatch,
+    * vec_id % 50) and q209 (md5-coin anchor sample — the corpus-growth-
+    * stable deployment form): for every anchor, positive = most-similar
+    * vector in the SAME k-means cell, hard negative = most-similar vector
+    * in a DIFFERENT cell, plus the triplet margin. |anchors|·n with the
+    * anchors broadcast — the q179 bounded-anchor posture; at 100 TB the
+    * corpus side routes through the IVF/PQ index exactly as q164 evidences. */
+  private def tripletMining(s: org.apache.spark.sql.SparkSession, dir: String,
+                            anchorPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val cents = graft.ml.KMeans.fit(e, k = 8, iterations = 3)
+    val asg = graft.Caching.pin(graft.ml.KMeans.assign(e, cents))
+    val anchors = asg.filter(anchorPred)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("centroid_id").as("q_cid"))
+    val cand = asg.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
+      col("centroid_id").as("n_cid"))
+    val sims = graft.Caching.pin(cand
+      .join(broadcast(anchors), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_cid"), col("n_id"), col("n_cid"),
+        round(Exprs.cosine(col("q_vec"), col("n_vec")), 6).as("sim")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val pos = sims.filter(col("q_cid") === col("n_cid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = sims.filter(col("q_cid") =!= col("n_cid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+  }
+
+  /** Shared retrieval-quality card (q197/q207): a system ranking
+    * (q_id, n_id, srk) scored against exhaustive ground truth
+    * (q_id, n_id, trk) — recall@k, MRR of the true top-1 inside the system
+    * list, and hit@1, all as integer millionths (1e6 DIV — no float ratio
+    * touches the ladder). Both rankings must share the tie-break discipline
+    * (metric at 6 dp, then n_id ASC) for the card to be bit-portable. */
+  private def retrievalEvalCard(sys: org.apache.spark.sql.DataFrame,
+                                truth: org.apache.spark.sql.DataFrame,
+                                label: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val nq = truth.select(col("q_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = sys.join(truth, Seq("q_id", "n_id"))
+    val nHits = hits.agg(count(lit(1)).as("n_hits"))
+    // reciprocal rank of the TRUE top-1 inside the system list (0 when the
+    // system misses it entirely; outer coalesce for the zero-truth corpus)
+    val rr = truth.filter(col("trk") === 1L)
+      .join(sys, Seq("q_id", "n_id"), "left")
+      .agg(coalesce(sum(coalesce(expr("1000000 DIV srk"), lit(0L))), lit(0L)).as("rr_sum"))
+    val hit1 = hits.filter(col("trk") === 1L && col("srk") === 1L)
+      .agg(count(lit(1)).as("n_hit1"))
+    nq.crossJoin(nHits).crossJoin(rr).crossJoin(hit1)
+      .select(lit(label).as("system"),
+        col("n_queries"), col("n_hits"),
+        expr(s"(1000000 * n_hits) DIV (n_queries * $k)").as("recall_ppm"),
+        expr("rr_sum DIV n_queries").as("mrr_ppm"),
+        col("n_hit1"),
+        expr("(1000000 * n_hit1) DIV n_queries").as("hit1_ppm"))
+  }
+
   /** DuckDB replay of [[hashedLrFeats]] — tokenize, unigram+bigram hashing
     * into 256 buckets, ×256 frequency normalization, bias slot — ending in
     * the `feat` CTE (id, x LIST<DOUBLE>[257], y). Shared by q176/q195. */
@@ -708,24 +773,7 @@ object Curation {
           .select(col("q_id"), col("n_id"), col("rk").as("srk"))
         val truth = Similarity.bruteTopKAgg(e, e, k = 10)
           .select(col("q_id"), col("n_id"), col("rk").as("trk"))
-        val nq = truth.select(col("q_id")).distinct()
-          .agg(count(lit(1)).as("n_queries"))
-        val hits = sys.join(truth, Seq("q_id", "n_id"))
-        val nHits = hits.agg(count(lit(1)).as("n_hits"))
-        // reciprocal rank of the TRUE top-1 inside the system list (0 when
-        // the system misses it entirely)
-        val rr = truth.filter(col("trk") === 1L)
-          .join(sys, Seq("q_id", "n_id"), "left")
-          .agg(sum(coalesce(expr("1000000 DIV srk"), lit(0L))).as("rr_sum"))
-        val hit1 = hits.filter(col("trk") === 1L && col("srk") === 1L)
-          .agg(count(lit(1)).as("n_hit1"))
-        nq.crossJoin(nHits).crossJoin(rr).crossJoin(hit1)
-          .select(lit("lsh_vs_exact").as("system"),
-            col("n_queries"), col("n_hits"),
-            expr("(1000000 * n_hits) DIV (n_queries * 10)").as("recall_ppm"),
-            expr("rr_sum DIV n_queries").as("mrr_ppm"),
-            col("n_hit1"),
-            expr("(1000000 * n_hit1) DIV n_queries").as("hit1_ppm"))
+        retrievalEvalCard(sys, truth, "lsh_vs_exact", k = 10)
       },
       oracle = Some(lshTopkCtes + """,
         tsims AS (
@@ -752,6 +800,65 @@ object Curation {
           WHERE t.rk = 1),
         h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits WHERE trk = 1 AND srk = 1)
         SELECT 'lsh_vs_exact' AS system, n_queries, n_hits,
+          (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
+          rr_sum // n_queries AS mrr_ppm,
+          n_hit1,
+          (1000000 * n_hit1) // n_queries AS hit1_ppm
+        FROM nq, nhits, rr, h1"""),
+      bench = true),
+
+    // The q197 card in its 100 TB deployment shape (VERDICT r10 #5 — the
+    // q195 lesson applied to eval): retrieval eval never runs ground truth
+    // over EVERY corpus vector; the queries are a FIXED deterministic
+    // sample and only the system under test touches the full corpus. The
+    // md5-coin (q77 discipline, salt "rq:", 100/1000) picks ~10 % of
+    // vectors as queries; the brute-cosine truth kernel shrinks from n²
+    // to |sample|·n (near-linear at ×10 where q197's honest probe row
+    // reads 12.0×), and the LSH system side restricts its QUERY side only
+    // — the index is still built over the whole corpus, exactly what a
+    // deployment evals. Per-query rankings are independent, so the card
+    // replays bit-exactly against the full-chain oracle filtered to the
+    // sampled q_ids.
+    QueryDef("q208_retrieval_eval_sampled",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val coin = Exprs.h60(concat(lit("rq:"), col("vec_id"))) % 1000L < 100L
+        val sys = Similarity.lshTopK(e, k = 10, queryPred = Some(coin))
+          .select(col("q_id"), col("n_id"), col("rk").as("srk"))
+        val truth = Similarity.bruteTopKAgg(e.filter(coin), e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("trk"))
+        retrievalEvalCard(sys, truth, "lsh_vs_exact_sampled", k = 10)
+      },
+      oracle = Some(lshTopkCtes + """,
+        sq AS (SELECT vec_id FROM emb
+          WHERE CAST('0x' || substr(md5('rq:' || vec_id), 1, 15) AS BIGINT) % 1000 < 100),
+        sys AS (SELECT q_id, n_id, rk FROM lsh_topk
+          WHERE q_id IN (SELECT vec_id FROM sq)),
+        tsims AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            round(CASE WHEN sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.e,b.e) /
+                   (sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e))) END, 6) AS sim
+          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM sq)),
+        truth AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+            FROM tsims) t
+          WHERE rk <= 10),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth),
+        hits AS (
+          SELECT s.q_id, s.n_id, s.rk AS srk, t.rk AS trk
+          FROM sys s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+        nhits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits),
+        rr AS (
+          SELECT CAST(COALESCE(SUM(COALESCE(1000000 // s.rk, 0)), 0) AS BIGINT) AS rr_sum
+          FROM truth t LEFT JOIN sys s ON s.q_id = t.q_id AND s.n_id = t.n_id
+          WHERE t.rk = 1),
+        h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits WHERE trk = 1 AND srk = 1)
+        SELECT 'lsh_vs_exact_sampled' AS system, n_queries, n_hits,
           (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
           rr_sum // n_queries AS mrr_ppm,
           n_hit1,
@@ -2376,37 +2483,47 @@ object Curation {
     // the IVF/PQ index exactly as q164 evidences. Oracle replays the full
     // deterministic k-means (q95's unrolled CTEs) + both argmaxes.
     QueryDef("q200_triplet_mining",
-      (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-        val cents = graft.ml.KMeans.fit(e, k = 8, iterations = 3)
-        val asg = graft.Caching.pin(graft.ml.KMeans.assign(e, cents))
-        val anchors = asg.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-            col("centroid_id").as("q_cid"))
-        val cand = asg.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
-          col("centroid_id").as("n_cid"))
-        val sims = graft.Caching.pin(cand
-          .join(broadcast(anchors), col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("q_cid"), col("n_id"), col("n_cid"),
-            round(Exprs.cosine(col("q_vec"), col("n_vec")), 6).as("sim")))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        val pos = sims.filter(col("q_cid") === col("n_cid"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .select(col("q_id"), col("n_id").as("pos_id"), col("sim").as("pos_sim"))
-        val neg = sims.filter(col("q_cid") =!= col("n_cid"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .select(col("q_id"), col("n_id").as("neg_id"), col("sim").as("neg_sim"))
-        pos.join(neg, "q_id")
-          .select(col("q_id"), col("pos_id"), col("pos_sim"),
-            col("neg_id"), col("neg_sim"),
-            round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
-      },
+      (s, dir) => tripletMining(s, dir, col("vec_id") % 50 === 0),
       oracle = Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         ${kmeansCtes(8, 3)},
         anch AS (SELECT vec_id, v, cid FROM af WHERE vec_id % 50 = 0),
+        tsims AS (
+          SELECT a.vec_id AS q_id, a.cid AS q_cid, b.vec_id AS n_id, b.cid AS n_cid,
+            round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END, 6) AS sim
+          FROM anch a JOIN af b ON a.vec_id <> b.vec_id),
+        pos AS (SELECT q_id, n_id AS pos_id, sim AS pos_sim FROM (
+            SELECT q_id, n_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+            FROM tsims WHERE q_cid = n_cid) p WHERE rk = 1),
+        neg AS (SELECT q_id, n_id AS neg_id, sim AS neg_sim FROM (
+            SELECT q_id, n_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+            FROM tsims WHERE q_cid <> n_cid) p WHERE rk = 1)
+        SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim,
+          round(pos_sim - neg_sim, 6) AS margin
+        FROM pos p JOIN neg n ON p.q_id = n.q_id"""),
+      bench = true),
+
+    // q200 in its deployment sampling form (VERDICT r10 #5): the anchor
+    // minibatch picked by the md5 coin (q77 discipline, salt "ta:",
+    // 100/1000) instead of a vec_id residue — rate-tunable, not aliased
+    // with any other %-based split in the catalog, and corpus-growth-
+    // stable (previously sampled anchors stay sampled as the corpus
+    // grows, so successive mining rounds extend rather than reshuffle
+    // the training set). Same k-means blocking, same argmaxes, same
+    // |anchors|·n broadcast kernel.
+    QueryDef("q209_triplet_mining_sampled",
+      (s, dir) => tripletMining(s, dir,
+        Exprs.h60(concat(lit("ta:"), col("vec_id"))) % 1000L < 100L),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${kmeansCtes(8, 3)},
+        anch AS (SELECT vec_id, v, cid FROM af
+          WHERE CAST('0x' || substr(md5('ta:' || vec_id), 1, 15) AS BIGINT) % 1000 < 100),
         tsims AS (
           SELECT a.vec_id AS q_id, a.cid AS q_cid, b.vec_id AS n_id, b.cid AS n_cid,
             round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
@@ -3250,6 +3367,64 @@ object Curation {
             CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
           FROM tr) z
         WHERE rk <= 10""")),
+      bench = true),
+
+    // Retrieval-eval card for the IVF-PQ system (VERDICT r10 #4): q197
+    // grades the sign-LSH ranking, but the 100 TB ANN story routes through
+    // IVF-PQ (q164/q166) — a deployment evals THAT system. Same card
+    // (recall@10 / MRR / hit@1, integer millionths), system side the exact
+    // q164 chain, ground truth exact squared-L2 over the same fixed 1 %
+    // query sample through the bounded heap. Both rankings tie-break
+    // (d2 at 6 dp ASC, n_id ASC), so the card replays bit-exactly; its
+    // recall_ppm is the standing IVF-PQ regression gate. At 100 TB the
+    // truth kernel stays |sample|·n by design — the q37/q197 eval posture.
+    QueryDef("q207_ivfpq_retrieval_eval",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val sys = graft.ml.Pq.ivfPqTopK(q, e, kCoarse = 8, coarseIter = 2,
+            m = 4, kc = 8, pqIter = 2, nprobe = 2, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("srk"))
+        val truth = graft.ml.Pq.bruteL2TopK(q, e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("trk"))
+        retrievalEvalCard(sys, truth, "ivfpq_vs_exact", k = 10)
+      },
+      oracle = Some(ivfpqSql(kCoarse = 8, cIter = 2, m = 4, sub = 16, kc = 8,
+        pIter = 2, nprobe = 2, k = 10, fin = """,
+        sys AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM dist) z
+          WHERE rk <= 10),
+        tdist AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+            round(list_reduce(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM q JOIN e ON e.vec_id <> q.vec_id),
+        truth AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM tdist) t
+          WHERE rk <= 10),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth),
+        hits AS (
+          SELECT s.q_id, s.n_id, s.rk AS srk, t.rk AS trk
+          FROM sys s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+        nhits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits),
+        rr AS (
+          SELECT CAST(COALESCE(SUM(COALESCE(1000000 // s.rk, 0)), 0) AS BIGINT) AS rr_sum
+          FROM truth t LEFT JOIN sys s ON s.q_id = t.q_id AND s.n_id = t.n_id
+          WHERE t.rk = 1),
+        h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits WHERE trk = 1 AND srk = 1)
+        SELECT 'ivfpq_vs_exact' AS system, n_queries, n_hits,
+          (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
+          rr_sum // n_queries AS mrr_ppm,
+          n_hit1,
+          (1000000 * n_hit1) // n_queries AS hit1_ppm
+        FROM nq, nhits, rr, h1""")),
       bench = true),
 
     // Per-source data card — the corpus-audit summary a curation run
