@@ -463,6 +463,17 @@ object ScalingProbe {
       // corpus in catalog form (the q179 caveat), minibatch-fixed at scale
       "q197_retrieval_eval", "q198_data_budget",
       "q199_exact_ngram_decontam", "q200_triplet_mining",
+      // round-11 additions (all embeddings-based — id-shift replica only,
+      // the q177/q197 rule). q207: IVF-PQ system side probes ~nprobe/kCoarse
+      // of the index per query, but its truth side is |sample|·n and the
+      // catalog query sample (%100) grows with the corpus — expect the q164
+      // shape plus a linear truth term. q208: THE fixed-panel counterpoint
+      // to q197 — 64 bottom-by-hash queries at ANY corpus size, so the
+      // truth kernel is 64·n and the ratio should read near-linear where
+      // q197's honest row reads ~12×. q209: q200's kernel with the fixed
+      // 64-anchor panel — 64·n vs q200's growing %-residue anchors
+      "q207_ivfpq_retrieval_eval", "q208_retrieval_eval_sampled",
+      "q209_triplet_mining_sampled",
       // q201: one tokenize scan + hash-keyed dedup window — scan-scales;
       // q202: one scan + (lang, shard)-partitioned window — scan-scales
       "q201_attrition_funnel", "q202_packing_efficiency",

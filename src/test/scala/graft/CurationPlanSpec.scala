@@ -265,4 +265,32 @@ class CurationPlanSpec extends SparkSpec {
       assert(phys.contains("Broadcast"), s"$q\n" + phys.take(2000))
     }
   }
+
+  test("q207-q209 fixed-panel kernels: broadcast truth side, no cartesian") {
+    // the eval/mining truth kernels score a bounded query panel against
+    // the corpus: the panel/anchor side must BROADCAST (a SortMergeJoin
+    // there would shuffle the |panel|·n expansion), and nothing may
+    // degenerate to an unbroadcast CartesianProduct
+    for (q <- Seq("q207_ivfpq_retrieval_eval", "q208_retrieval_eval_sampled",
+        "q209_triplet_mining_sampled")) {
+      val phys = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }
+      assert(phys.contains("Broadcast"), s"$q\n" + phys.take(2000))
+      assert(!phys.contains("CartesianProduct"), s"$q\n" + phys.take(2000))
+    }
+  }
+
+  test("q208/q209 panel selection plans as TakeOrderedAndProject, not a global sort") {
+    // bottom-64-by-hash must fuse orderBy+limit into TakeOrderedAndProject
+    // (per-partition top-k, 64-row merge) — a global Sort before the limit
+    // would shuffle every vector's hash to one ordering
+    import graft.functions.Exprs
+    import org.apache.spark.sql.functions._
+    val e = sources.Tables(spark, dir, "embeddings")
+    val sel = e.select(col("vec_id"))
+      .orderBy(Exprs.h60(concat(lit("rq:"), col("vec_id"))).asc, col("vec_id").asc)
+      .limit(64)
+    assert(sel.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
