@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     Each model is exactly B rows — corpus-size-INDEPENDENT — so scoring
   *     broadcasts the per-bucket log-ratio λ(b) = ln p_t(b) − ln p_r(b).
   *   - Per-doc log-weight: Σ_b n_b(doc)·λ(b) through the exact DECIMAL
-  *     accumulator (order-independent), after λ's 10-dp re-sync.
+  *     accumulator (order-independent), after λ's 6-dp re-sync (6 dp, not
+  *     the usual 10: the round-10 ln-ulp finding — see the note at the
+  *     rounding site below).
   *   - Resampling: Gumbel-top-k (the paper's sampling-without-replacement
   *     step): key = log w(doc) + g(doc) with g = −ln(−ln(u)) and u a
   *     deterministic 48-bit md5 coin — the Efraimidis–Spirakis shape of

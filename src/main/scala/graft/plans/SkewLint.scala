@@ -45,7 +45,9 @@ case class SkewFinding(key: String, message: String)
 object SkewLint {
 
   /** Lint `df`'s plan for joins on `skewKeys` (column names, case
-    * sensitive) that AQE skew handling cannot fix. Empty result = every
+    * sensitive; an equi pair is hot when EITHER side's attribute name is
+    * annotated, so `fact.user_id = dim.uid` is caught by annotating either
+    * `user_id` or `uid`) that AQE skew handling cannot fix. Empty result = every
     * annotated join is either broadcastable, skew-splittable (bare
     * shuffle children), or deliberately exchange-reusing (same-key
     * downstream aggregate). */
@@ -69,10 +71,15 @@ object SkewLint {
     def broadcastable(p: LogicalPlan, hinted: Boolean): Boolean =
       hinted || (threshold > 0 && p.stats.sizeInBytes <= threshold)
 
-    def equiKeys(cond: Option[Expression]): Set[String] =
+    // every equi pair, BOTH side names kept: a hot join on differently-named
+    // columns (fact.user_id = dim.uid) must still be flagged when EITHER
+    // side's name is annotated, and the same-key-downstream suppression must
+    // recognize a downstream groupBy on either alias of the join key
+    // (ADVICE r11)
+    def equiKeyPairs(cond: Option[Expression]): Seq[(String, String)] =
       cond.toSeq.flatMap(_.collect {
-        case EqualTo(l: AttributeReference, r: AttributeReference) if l.name == r.name => l.name
-      }).toSet
+        case EqualTo(l: AttributeReference, r: AttributeReference) => (l.name, r.name)
+      })
 
     def hasBroadcastHint(h: HintInfo): Boolean =
       h.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
@@ -80,8 +87,12 @@ object SkewLint {
     def visit(node: LogicalPlan, aggAbove: Set[String]): Unit = {
       node match {
         case j: Join =>
-          val hot = equiKeys(j.condition).intersect(skewKeys)
-          for (k <- hot if !aggAbove.contains(k)) {
+          val hot = equiKeyPairs(j.condition)
+            .filter { case (l, r) => skewKeys(l) || skewKeys(r) }
+            .filterNot { case (l, r) => aggAbove(l) || aggAbove(r) }
+            .map { case (l, r) => if (skewKeys(l)) l else r }
+            .distinct
+          for (k <- hot) {
             val leftBc = broadcastable(j.left, j.hint.leftHint.exists(hasBroadcastHint))
             val rightBc = broadcastable(j.right, j.hint.rightHint.exists(hasBroadcastHint))
             if (!leftBc && !rightBc &&

@@ -65,6 +65,30 @@ class SkewLintSpec extends SparkSpec {
     assert(SkewLint.check(joined, Set("event_type")).isEmpty)
   }
 
+  test("shape B on DIFFERENTLY-named join columns is flagged via either name") {
+    // fact.event_type = dim.etype — annotating either side's name must
+    // catch it (ADVICE r11: the same-name-only matcher silently skipped
+    // renamed dim keys)
+    withNoBroadcast {
+      val dimRenamed = dim.withColumnRenamed("event_type", "etype")
+      val joined = ev.join(dimRenamed, col("event_type") === col("etype"))
+        .select(when(col("value") > col("type_avg"), 1L).otherwise(0L).as("above"))
+        .agg(sum(col("above")).as("n_above"))
+      assert(SkewLint.check(joined, Set("event_type")).map(_.key) == Seq("event_type"))
+      assert(SkewLint.check(joined, Set("etype")).map(_.key) == Seq("etype"))
+    }
+  }
+
+  test("differently-named hot join feeding a groupBy on EITHER alias is silent") {
+    withNoBroadcast {
+      val dimRenamed = dim.withColumnRenamed("event_type", "etype")
+      val joined = ev.join(dimRenamed, col("event_type") === col("etype"))
+        .groupBy(col("etype"))
+        .agg(sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
+      assert(SkewLint.check(joined, Set("event_type")).isEmpty)
+    }
+  }
+
   test("keys not annotated as skewed are never flagged") {
     withNoBroadcast {
       val joined = ev.join(dim, "event_type")
