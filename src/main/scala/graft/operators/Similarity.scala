@@ -142,6 +142,36 @@ object Similarity {
         (col("i") + 1).cast(LongType).as("rk"))
   }
 
+  /** [[bruteTopKAgg]]'s PANEL-GEOMETRY twin: the QUERIES broadcast and the
+    * CORPUS streams through the bounded heap — the [[graft.ml.Pq.bruteL2TopK]]
+    * geometry with cosine scores. Output contract is identical to
+    * [[bruteTopKAgg]] (sim rounded 6 dp, rank by sim desc / id asc, rk ≤ k),
+    * so the two are drop-in interchangeable and share oracles; the
+    * difference is WHICH side is replicated. [[bruteTopKAgg]] broadcasts
+    * the corpus — right when the corpus IS small (q37's full-eval posture
+    * on a suite-bounded frame). This twin broadcasts the query panel —
+    * right when the queries are a fixed-size sample and the corpus is the
+    * thing that grows (the q208 64-query panel at 100 TB: a 64-row
+    * broadcast against a streaming corpus keeps the plan corpus-linear
+    * with no O(n) replication anywhere — ADVICE r11). */
+  def bruteCosTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
+      .agg(graft.ml.TopK.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("sim"),
+        (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   /** Hard-negative mining for contrastive training (the batch-mining step
     * of e.g. SBERT/DPR-style encoder training): for every anchor vector,
     * the k most-cosine-similar corpus vectors whose LABEL DIFFERS — the

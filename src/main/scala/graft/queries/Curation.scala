@@ -833,7 +833,12 @@ object Curation {
         val coin = col("vec_id").isin(panel: _*)
         val sys = Similarity.lshTopK(e, k = 10, queryPred = Some(coin))
           .select(col("q_id"), col("n_id"), col("rk").as("srk"))
-        val truth = Similarity.bruteTopKAgg(e.filter(coin), e, k = 10)
+        // bruteCosTopK, not bruteTopKAgg: the 64-query PANEL broadcasts and
+        // the corpus streams through the bounded heap — broadcasting the
+        // corpus (bruteTopKAgg's geometry) would put an O(n) replication in
+        // the one row whose whole point is the corpus-linear posture
+        // (ADVICE r11). Same output contract, same oracle.
+        val truth = Similarity.bruteCosTopK(e.filter(coin), e, k = 10)
           .select(col("q_id"), col("n_id"), col("rk").as("trk"))
         retrievalEvalCard(sys, truth, "lsh_vs_exact_sampled", k = 10)
       },

@@ -281,6 +281,34 @@ class CurationPlanSpec extends SparkSpec {
     }
   }
 
+  test("q208 truth kernel broadcasts the PANEL side, streams the corpus") {
+    // bruteCosTopK's contract (ADVICE r11): the bounded query panel is the
+    // replicated side and the corpus streams through the bounded heap — the
+    // inverse (corpus broadcast) computes the same answer but plants an
+    // O(n) replication in the one row whose point is corpus-linearity, and
+    // a "some Broadcast exists" assertion can't tell the two apart. This
+    // test pins WHICH side builds: the panel filter (the INSET/IN predicate)
+    // must sit under the broadcast build side, never the streamed side.
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions._
+    val e = sources.Tables(spark, dir, "embeddings")
+    val coin = col("vec_id").isin(0L to 63L: _*)
+    val truth = operators.Similarity.bruteCosTopK(e.filter(coin), e, k = 10)
+    val plan = truth.queryExecution.sparkPlan
+    val joins = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(joins.nonEmpty, plan.toString.take(2000))
+    val j = joins.head
+    val (build, stream) =
+      if (j.buildSide == BuildRight) (j.right, j.left) else (j.left, j.right)
+    val bs = build.toString
+    val ss = stream.toString
+    assert(bs.contains("INSET") || bs.contains(" IN "),
+      s"panel filter is not on the broadcast build side:\n$bs")
+    assert(!ss.contains("INSET") && !ss.contains(" IN "),
+      s"the streamed corpus side carries the panel filter (inverted geometry):\n$ss")
+  }
+
   test("q208/q209 panel selection plans as TakeOrderedAndProject, not a global sort") {
     // bottom-64-by-hash must fuse orderBy+limit into TakeOrderedAndProject
     // (per-partition top-k, 64-row merge) — a global Sort before the limit
