@@ -3926,7 +3926,11 @@ object Curation {
     // same-label pairs never enter the heap. At 100 TB the anchor set is
     // the minibatch (corpus-independent) and the corpus side routes
     // through IVF/PQ (q50/q164); this exact form is the baseline those
-    // approximations are measured against.
+    // approximations are measured against. The fixed-minibatch claim is
+    // not a promise: q209_triplet_mining_sampled IS this kernel with the
+    // 64-anchor panel, and its ×10 probe measured 1.4× (near-linear) in
+    // the round-11 bench — the scale story for this row is that measured
+    // twin, not this full-anchor-set form.
     QueryDef("q179_hard_negatives",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
