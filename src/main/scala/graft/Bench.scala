@@ -321,12 +321,19 @@ object Bench {
     val mainGc = gcDeltas.map { case (k, v) => k -> v.reverse }.toMap
     def honestWarm(name: String): Double =
       freshWarm.getOrElse(name, warmSecs.getOrElse(name, Double.MaxValue))
+    // capped at the 16 worst offenders by median/warm ratio: if a host band
+    // shift inflates the WHOLE sweep ~2×, re-measuring everything would turn
+    // the heal pass into a second full run — the protocol defect it hunts is
+    // a per-row anomaly (q116: one row at 5×), not a fleet-wide drift, and
+    // fleet-wide drift is what the canary readings are for
     val healQs = queries.filter { q =>
-      !failed(q.name) && {
-        val m = healSnapshot(q.name)
-        m > 1.0 && m > healFactor * honestWarm(q.name)
+        !failed(q.name) && {
+          val m = healSnapshot(q.name)
+          m > 1.0 && m > healFactor * honestWarm(q.name)
+        }
       }
-    }
+      .sortBy(q => -healSnapshot(q.name) / honestWarm(q.name))
+      .take(16)
     val healWarm = scala.collection.mutable.Map.empty[String, Double]
     val healMedian = scala.collection.mutable.Map.empty[String, Double]
     if (healQs.nonEmpty) {
