@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Compare two bench artifacts (bench.json / BENCH_rN.json shape).
+
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [ratio_flag]
+
+Prints common-row totals, the movers beyond the flag ratio (default 1.3x)
+in both directions, added/removed rows, and — when the artifacts carry the
+round-12 protocol fields — the calibration-canary readings and any
+self-heal interventions, so a mover can be adjudicated (host band vs plan
+regression vs protocol artifact) from the two records alone.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    # the driver's BENCH_rN.json wrapper: {n, rc, sf, tail, parsed} — use the
+    # parsed line when present, else salvage rows from the truncated tail
+    if "parsed" in d or "tail" in d:
+        if d.get("parsed"):
+            d = d["parsed"]
+        else:
+            import re
+            rows = re.findall(r'"(q\d+_[a-z0-9_]+)":(-?\d+(?:\.\d+)?)',
+                              d.get("tail", ""))
+            d = {"queries": {k: float(v) for k, v in rows}}
+    q = {k: v for k, v in d.get("queries", {}).items() if v is not None and v >= 0}
+    return d, q
+
+
+def main(old_path, new_path, flag=1.3):
+    do, qo = load(old_path)
+    dn, qn = load(new_path)
+    common = sorted(set(qo) & set(qn))
+    to = sum(qo[k] for k in common)
+    tn = sum(qn[k] for k in common)
+    print(f"common rows: {len(common)}  old={to:.1f}s  new={tn:.1f}s  "
+          f"ratio={tn / to:.3f}" if to else "no common rows")
+    for name, rows in (("added", sorted(set(qn) - set(qo))),
+                       ("removed", sorted(set(qo) - set(qn)))):
+        if rows:
+            print(f"{name} ({len(rows)}): {', '.join(rows)}")
+
+    movers = []
+    for k in common:
+        if qo[k] <= 0:
+            continue
+        r = qn[k] / qo[k]
+        if r > flag or r < 1 / flag:
+            movers.append((r, k))
+    for r, k in sorted(movers, reverse=True):
+        diag = dn.get("diag", {}).get(k, {})
+        extra = ""
+        if diag:
+            w = diag.get("freshWarm", diag.get("warm"))
+            extra = f"  [sweep={diag.get('sweep')}, warm={w:.2f}s" if w else ""
+            if "healMedian" in diag:
+                extra += (f", HEALED {diag['mainMedian']:.2f}->"
+                          f"{diag['healMedian']:.2f}s")
+            if extra:
+                extra += "]"
+        print(f"  mover {k}: {qo[k]:.2f}s -> {qn[k]:.2f}s ({r:.2f}x){extra}")
+    if not movers:
+        print(f"  no movers beyond {flag}x")
+
+    for label, d in (("old", do), ("new", dn)):
+        can = d.get("canary")
+        if can:
+            print(f"canary {label}: " +
+                  " ".join(f"{k}={v:.2f}s" for k, v in can.items()))
+    healed = [k for k, v in dn.get("diag", {}).items() if "healMedian" in v]
+    if healed:
+        print(f"self-heal interventions in new: {', '.join(sorted(healed))}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 1.3)
