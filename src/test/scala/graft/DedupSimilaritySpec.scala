@@ -371,6 +371,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.map(_._2).toSeq == Seq(4L, 2L)) // cos(1,4)≈0.99995 > cos(1,2)=0.8
   }
 
+  test("bruteCosTopK (panel-geometry twin) is row-identical to bruteTopKAgg and bruteTopK") {
+    // the q208 truth-side swap (ADVICE r11) rests on drop-in
+    // interchangeability: the two heap kernels replicate OPPOSITE sides
+    // (bruteTopKAgg broadcasts the corpus, bruteCosTopK broadcasts the
+    // queries) but must emit the exact same (q_id, n_id, sim, rk) rows —
+    // including 6-dp rounding and (sim desc, id asc) tie resolution. The
+    // fixture forces ties: vectors at repeated angles give several
+    // candidates the identical rounded cosine per query.
+    val emb = (0L until 48L).map { i =>
+      val angle = (i % 6).toDouble / 6.0 * math.Pi / 2
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    val agg = rows(Similarity.bruteTopKAgg(queries, emb, k = 5))
+    val cos = rows(Similarity.bruteCosTopK(queries, emb, k = 5))
+    val win = rows(Similarity.bruteTopK(queries, emb, k = 5))
+    assert(agg.nonEmpty && agg == cos && agg == win)
+  }
+
   test("LSH top-k returns true cosine values for the pairs it finds") {
     val emb = (0L until 40L).map { i =>
       val angle = (i % 8).toDouble / 8.0 * math.Pi / 2
