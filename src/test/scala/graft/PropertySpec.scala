@@ -57,6 +57,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap TopK is partitioning- and order-invariant for any inputs") {
+    // the Aggregator under every ANN/top-k row: Spark may split a group's
+    // rows across ANY partition boundary and merge partials in ANY order,
+    // so reduce-then-merge over an arbitrary chunking must equal the global
+    // sort's take(k). Scores draw from a small discrete set to force ties
+    // (the (score desc, id asc) rule is the part a heap bug would break).
+    // Driver-side property — no Spark job per case, so 50 cases are cheap.
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      scores <- Gen.listOfN(n, Gen.choose(0, 4).map(_ * 0.25))
+      k <- Gen.choose(1, 8)
+      cuts <- Gen.listOfN(6, Gen.choose(0, n))
+    } yield (scores.zipWithIndex.map { case (s, i) => graft.ml.TopK.Scored(i.toLong, s) }, k, cuts)
+    for (seed <- 1L to 50L) {
+      val (rows, k, cuts) = sample(caseGen, seed)
+      val agg = graft.ml.TopK.topK(k)
+      val expected = rows.sortWith((a, b) =>
+        a.score > b.score || (a.score == b.score && a.id < b.id)).take(k)
+      // arbitrary chunking: fold each chunk with reduce, then merge the
+      // partial buffers left-to-right (one merge order; order invariance of
+      // the INPUT is covered by also folding the reversed stream)
+      val bounds = (cuts :+ 0 :+ rows.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      val single = rows.foldLeft(agg.zero)(agg.reduce)
+      val reversed = rows.reverse.foldLeft(agg.zero)(agg.reduce)
+      assert(merged == expected, s"seed=$seed (chunked)")
+      assert(single == expected, s"seed=$seed (sequential)")
+      assert(reversed == expected, s"seed=$seed (reversed)")
+    }
+  }
+
   test("per-row minhash band signatures equal the grouped pipeline for any corpus") {
     // random texts including repeats, sub-n-token docs, punctuation and case
     // noise — the parity must hold wherever the grouped form emits anything
