@@ -183,7 +183,11 @@ object Similarity {
     * anchors are the current training minibatch (corpus-independent size)
     * and the corpus side routes through the IVF/PQ index family
     * (q50/q164) instead of the broadcast — this operator is the exact
-    * baseline those approximations are measured against.
+    * baseline those approximations are measured against. That posture is
+    * not a promise: q209_triplet_mining_sampled is the MEASURED catalog
+    * row for the fixed-minibatch shape (64 md5-bottom-k anchors, ×10
+    * id-shift probe ≈ 1.4× — SCALING.md), the same discipline q208 gives
+    * the retrieval-eval card.
     *
     * CONTRACT: the corpus side is broadcast only while it fits —
     * `broadcastMaxRows` (default 1M rows ≈ a few hundred MB of doubles at
