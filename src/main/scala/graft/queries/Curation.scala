@@ -2567,6 +2567,99 @@ object Curation {
         FROM pos p JOIN neg n ON p.q_id = n.q_id"""),
       bench = true),
 
+    // ExactSubstr corpus-QA card (Lee et al. 2021 §4): the fraction of each
+    // document covered by ≥8-token passages appearing verbatim in ANOTHER
+    // document — the signal the suffix-array dedup pass removes, here as a
+    // token-n-gram dataflow with gaps-and-islands span merge (a shared
+    // 30-token passage reports as ONE 30-token span, not 23 overlapping
+    // grams). Completes the ExactSubstr triptych: q76 counts which DISTINCT
+    // shingles are shared (no positions), q183 LOCATES pairwise passages
+    // (pair-keyed diagonal islands, df-capped so hot grams don't blow up the
+    // position join), and this row is the per-document COVERAGE card — how
+    // many contiguous duplicated regions, how many tokens they cover, the
+    // longest one — with NO pair term at all, so it stays lossless (no df
+    // cap needed: a gram in a million docs is still one dup-set row) and
+    // strictly corpus-linear: one scan → gram-keyed hash groupBy → equi
+    // back-join → per-doc window. This is the number that decides whether
+    // the dedup pass is worth running. The sf0.01 corpus carries ~1k
+    // naturally duplicated cross-doc 8-grams, so the card is non-trivial
+    // without enrichment.
+    QueryDef("q210_duplicated_spans",
+      (s, dir) => Dedup.duplicatedSpans(docs(s, dir), 8),
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM seq),
+        pg AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS gram
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM base) u),
+        dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        hit AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 8 THEN 0 ELSE 1 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hit) t),
+        sp AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS covered
+               FROM isl GROUP BY 1, 2),
+        card AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(covered) AS dup_tokens,
+                 MAX(covered) AS max_span FROM sp GROUP BY 1)
+        SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+          CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          CAST(COALESCE(c.max_span, 0) AS BIGINT) AS max_span,
+          CAST(CASE WHEN b.n_tokens > 0
+            THEN (1000000 * COALESCE(c.dup_tokens, 0)) // b.n_tokens
+            ELSE 0 END AS BIGINT) AS dup_frac_ppm
+        FROM base b LEFT JOIN card c USING (doc_id)"""),
+      bench = true),
+
+    // Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken 2003 — MOSS):
+    // the document-fingerprinting rung between exact-hash dedup (q32) and
+    // MinHash (q34). Window-min selection thins the gram stream to ~2/(w+1)
+    // with a HARD guarantee (any shared run of ≥ w+k-1 = 7 tokens yields a
+    // shared fingerprint), so the inverted-index join runs on a provably
+    // sparse index — where q33's shingle join carries every gram, this one
+    // carries ~40 % of them at the same detection floor. Hash is the
+    // md5-derived h60, so DuckDB replays the whole pipeline bit-for-bit.
+    QueryDef("q211_winnowing_overlap",
+      (s, dir) => Dedup.winnowedOverlapPairs(docs(s, dir), k = 4, w = 4,
+        minShared = 2L),
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        pg AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ||
+              ' ' || tk[i+3]), 1, 15) AS BIGINT) AS h,
+            COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i FROM seq) u),
+        fpw AS (
+          SELECT doc_id, pos, n_grams,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM pg),
+        fps AS (SELECT doc_id, fp FROM fpw WHERE pos <= n_grams - 3 GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+        pr AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT doc_a, doc_b, n_shared_fp,
+          CAST((1000000 * n_shared_fp) // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+            AS containment_ppm
+        FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"""),
+      bench = true),
+
     // Filter-attrition funnel (the table every curation paper publishes —
     // FineWeb fig. 1, RefinedWeb tab. 2): the q184 Gopher rules + a lang
     // gate + keep-first exact dedup applied SEQUENTIALLY, reporting per

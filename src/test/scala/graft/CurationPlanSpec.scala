@@ -33,7 +33,12 @@ class CurationPlanSpec extends SparkSpec {
 
   test("no curation text query tokenizes inside a Filter predicate") {
     for (q <- Seq("q71_repetition_stats", "q73_decontamination", "q76_dup_spans",
-        "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs", "q35_simhash_pairs")) {
+        "q33_ngram_jaccard_pairs", "q34_minhash_lsh_pairs", "q35_simhash_pairs",
+        // round-12 entrants: q210's first draft materialized the gram array
+        // as an attribute, and InferFiltersFromGenerate + pushdown planted
+        // the full tokenize-per-position tree in a scan Filter (43 s vs
+        // seconds at sf0.1) — this guard is what would have caught it
+        "q210_duplicated_spans", "q211_winnowing_overlap")) {
       assert(filterTokenizations(q) == 0, s"$q has tokenize inside a Filter")
     }
   }
@@ -320,5 +325,23 @@ class CurationPlanSpec extends SparkSpec {
       .orderBy(Exprs.h60(concat(lit("rq:"), col("vec_id"))).asc, col("vec_id").asc)
       .limit(64)
     assert(sel.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q210/q211 span+fingerprint rows: equi joins only, windows partitioned") {
+    // q210's dup-gram back-join and q211's fingerprint inverted-index join
+    // must stay equi (gram/fp keyed) — a cartesian is the all-pairs
+    // regression both exist to avoid; their island/window-min windows must
+    // carry a doc_id partition spec — a global window would serialize the
+    // corpus through one task
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q210_duplicated_spans", "q211_winnowing_overlap")) {
+      val qe = Caching.scoped {
+        SparkEntry.queries(q)(spark, dir).queryExecution
+      }
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q\n" + qe.executedPlan.toString.take(2000))
+      val ws = qe.sparkPlan.collect { case w: WindowExec => w.partitionSpec }
+      assert(ws.nonEmpty && ws.forall(_.nonEmpty), s"$q has a global window")
+    }
   }
 }
