@@ -483,7 +483,17 @@ object ScalingProbe {
       // q205: one tokenize scan + census-grid windows (sources × distinct
       // token counts — value-bounded); q206: one coin scan + a
       // |splits|·|sources| rollup — the ratio IS the scan ratio
-      "q205_ks_drift", "q206_split_manifest")
+      "q205_ks_drift", "q206_split_manifest",
+      // round-12 additions. q210 ExactSubstr coverage: one positional-gram
+      // scan + a gram-keyed df groupBy + an equi back-join + doc-keyed
+      // windows — no pair term, so BOTH regimes should scan-scale (id-shift
+      // multiplies df per gram at constant gram space; vocabgrow grows the
+      // gram space at df ≈ base). q211 winnowing: the q33 join shape on a
+      // stream pre-thinned to ~2/(w+1) — id-shift is the duplicate-flood
+      // regime (×factor docs share every fingerprint, the OUTPUT pair set
+      // grows quadratically, the q33/q152 contract); vocabgrow is the
+      // disjoint-vocab regime the density bound addresses
+      "q210_duplicated_spans", "q211_winnowing_overlap")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -538,7 +548,9 @@ object ScalingProbe {
       "q198_data_budget", "q199_exact_ngram_decontam",
       "q201_attrition_funnel", "q202_packing_efficiency",
       "q203_signal_auc", "q204_gate_agreement", "q205_ks_drift",
-      "q206_split_manifest")
+      "q206_split_manifest",
+      // round-12 documents-based rows: both two-regime
+      "q210_duplicated_spans", "q211_winnowing_overlap")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
