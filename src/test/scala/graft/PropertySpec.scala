@@ -197,4 +197,48 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(p1 == p2 && p1(9L) == "A")
   }
+
+  test("duplicatedSpans invariants hold for any corpus (coverage bounds, row order)") {
+    // span coverage can never exceed the doc; the longest span can never
+    // exceed the total coverage; one row per input doc; and the card is
+    // invariant under corpus row order (the islands are per-doc windows)
+    val corpusGen = Gen.nonEmptyListOf(docGen)
+    for (seed <- 1L to 5L) {
+      val texts = sample(corpusGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = operators.Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), 2)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(out.length == docs.length, s"seed=$seed")
+      out.foreach { case (d, nTok, nSpans, dupTok, maxSpan, ppm) =>
+        assert(dupTok <= nTok && maxSpan <= dupTok && ppm <= 1000000L &&
+          (nSpans == 0) == (dupTok == 0L), s"seed=$seed doc=$d")
+      }
+      val rev = operators.Dedup.duplicatedSpans(
+          docs.reverse.toDF("doc_id", "text"), 2)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(rev.sameElements(out.sortBy(_._1)), s"seed=$seed order variance")
+    }
+  }
+
+  test("winnowing density and detection bounds hold for any corpus") {
+    // ≤ one fingerprint per full window (density), every first_pos inside
+    // the full-window range, and two docs with identical token streams
+    // always share their ENTIRE fingerprint set (the w+k-1 guarantee's
+    // degenerate strongest case)
+    val k = 2; val w = 3
+    for (seed <- 11L to 15L) {
+      val text = sample(docGen, seed)
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val fps = operators.Dedup.winnowFingerprints(docs, k, w)
+        .as[(Long, Long, Long)].collect()
+      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nGrams = math.max(0, text.split(" ").length - k + 1)
+      if (nGrams >= w) {
+        assert(byDoc(1L) == byDoc(2L), s"seed=$seed identical docs diverged")
+        assert(byDoc(1L).size <= nGrams - w + 1, s"seed=$seed density")
+        fps.foreach { case (_, _, p) =>
+          assert(p >= 1 && p <= nGrams - w + 1, s"seed=$seed pos") }
+      } else assert(fps.isEmpty, s"seed=$seed sub-window doc fingerprinted")
+    }
+  }
 }
