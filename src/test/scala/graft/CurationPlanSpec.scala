@@ -327,21 +327,29 @@ class CurationPlanSpec extends SparkSpec {
     assert(sel.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
-  test("q210/q211 span+fingerprint rows: equi joins only, windows partitioned") {
+  test("q210/q211 span+fingerprint rows: equi joins only, window contracts hold") {
     // q210's dup-gram back-join and q211's fingerprint inverted-index join
     // must stay equi (gram/fp keyed) — a cartesian is the all-pairs
-    // regression both exist to avoid; their island/window-min windows must
-    // carry a doc_id partition spec — a global window would serialize the
-    // corpus through one task
+    // regression both exist to avoid. q210's island windows must carry a
+    // doc_id partition spec (a global window would serialize the corpus
+    // through one task); q211 must have NO WindowExec at all — winnowing's
+    // window-min is row-local by design (Dedup.winnowMins), and a Window
+    // operator appearing here means the zero-shuffle selection regressed
+    // to the shuffled first-draft shape
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q210_duplicated_spans", "q211_winnowing_overlap")) {
-      val qe = Caching.scoped {
-        SparkEntry.queries(q)(spark, dir).queryExecution
-      }
-      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
-        s"$q\n" + qe.executedPlan.toString.take(2000))
-      val ws = qe.sparkPlan.collect { case w: WindowExec => w.partitionSpec }
-      assert(ws.nonEmpty && ws.forall(_.nonEmpty), s"$q has a global window")
+    def qe(q: String) = Caching.scoped {
+      SparkEntry.queries(q)(spark, dir).queryExecution
     }
+    for (q <- Seq("q210_duplicated_spans", "q211_winnowing_overlap")) {
+      val e = qe(q)
+      assert(!e.executedPlan.toString.contains("CartesianProduct"),
+        s"$q\n" + e.executedPlan.toString.take(2000))
+    }
+    val w210 = qe("q210_duplicated_spans").sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec }
+    assert(w210.nonEmpty && w210.forall(_.nonEmpty), "q210 lost its doc windows")
+    val w211 = qe("q211_winnowing_overlap").sparkPlan.collect {
+      case w: WindowExec => w }
+    assert(w211.isEmpty, "q211 regressed to a shuffled window-min")
   }
 }
