@@ -225,4 +225,72 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         round(dsum(col("lt"), 12) / count(lit(1)).cast(d), 6).as("avg_logp"))
   }
+
+  /** Interpolated Kneser–Ney bigram LM scorer (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 §2.7) — the properly-smoothed
+    * sibling of [[stupidBackoff]], sharing its holdout posture and output
+    * shape. Per token with seen context `wp`:
+    *
+    *   P(w|wp) = ( max(c(wp,w) − D, 0) + D·N1+(wp,•)·Pcont(w) ) / c(wp)
+    *
+    * with the continuation distribution Pcont(w) = N1+(•,w) / N1+(••) —
+    * "how many distinct contexts precede w", the quantity that makes KN
+    * rank "francisco" low despite its high raw count. Doc-initial tokens
+    * and OOV contexts score Pcont(w) directly; a token never seen as a
+    * continuation takes the floor Pcont = D / N1+(••) (positive,
+    * deterministic, vanishing as the type inventory grows). All model
+    * quantities are integer counts off the bigram frame, so — unlike real
+    * float-trained LMs — the model AND every per-doc score hash-match the
+    * DuckDB oracle exactly (Pcont pre-rounded at 12 dp, each log term at
+    * 12 dp, doc means on the DECIMAL ladder).
+    *
+    * Shape (identical scale story to [[stupidBackoff]]): bigrams build
+    * ROW-LOCALLY; the model is one grouped count over bigram types plus
+    * three Heaps-bounded re-aggregations of it (context totals + distinct
+    * continuations via groupBy — no count-distinct shuffle, the bigram
+    * frame is already one row per type); scoring is two vocab-keyed left
+    * joins + a 1-row broadcast of the bigram-type total. */
+  def kneserNey(docs: DataFrame, train: DataFrame, discount: Double = 0.75): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val big = toks(train)
+      .select(explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)").as("w1"),
+        expr("slice(tk, 2, size(tk) - 1)").as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // One row per bigram TYPE after the count ⇒ the KN statistics are plain
+    // grouped counts over `big`, never a count-distinct over the corpus.
+    val ctx = big.groupBy(col("w1")).agg(
+      sum(col("cb")).as("cctx"), count(lit(1)).as("n1f"))
+    val bwd = big.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btot = big.agg(count(lit(1)).as("b"))
+    val shifted = concat(array(lit(null).cast("string")),
+      expr("slice(tk, 1, size(tk) - 1)"))
+    val pairs = toks(docs)
+      .select(col("doc_id"),
+        explode(arrays_zip(col("tk").as("w"), shifted.as("wp"))).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"), col("p.wp").as("wprev"))
+    val d = DoubleType
+    val dD = lit(discount)
+    val pcont = when(col("n1b").isNotNull,
+        round(col("n1b").cast(d) / col("b").cast(d), 12))
+      .otherwise(round(dD / col("b").cast(d), 12))
+    val logterm = when(col("wprev").isNotNull && col("cctx").isNotNull,
+        round(log((greatest(coalesce(col("cb"), lit(0L)).cast(d) - dD, lit(0d)) +
+          dD * col("n1f").cast(d) * col("pc")) / col("cctx").cast(d)), 12))
+      .otherwise(round(log(col("pc")), 12))
+    pairs
+      .join(bwd.select(col("w2").as("w"), col("n1b")), Seq("w"), "left")
+      .join(ctx.select(col("w1").as("wprev"), col("cctx"), col("n1f")), Seq("wprev"), "left")
+      .join(big.select(col("w1").as("wprev"), col("w2").as("w"), col("cb")),
+        Seq("wprev", "w"), "left")
+      .crossJoin(broadcast(btot))
+      .select(col("doc_id"), pcont.as("pc"), col("wprev"), col("cctx"),
+        col("cb"), col("n1f"))
+      .select(col("doc_id"), logterm.as("lt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(dsum(col("lt"), 12) / count(lit(1)).cast(d), 6).as("avg_logp"))
+  }
 }

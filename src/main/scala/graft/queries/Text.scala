@@ -662,6 +662,69 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995) — the
+    // properly-smoothed upgrade of q132's stupid backoff, same holdout
+    // split and output shape so the two rows are directly comparable.
+    // KN's distinguishing quantity is the CONTINUATION count ("in how
+    // many distinct contexts does w appear"), which is a plain grouped
+    // count over the bigram-TYPE frame — no count-distinct shuffle.
+    // Every model quantity is an integer count, so model and per-doc
+    // scores hash-match end to end (Pcont pre-rounded 12 dp, log terms
+    // 12 dp, DECIMAL doc means).
+    QueryDef("q212_kneser_ney",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextStats.kneserNey(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sq AS (SELECT doc_id, tk FROM seq WHERE len(tk) > 0),
+        tr AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 0),
+        sc AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 1),
+        big AS MATERIALIZED (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+            SELECT tk[i] AS w1, tk[i + 1] AS w2
+            FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM tr) z) b
+          GROUP BY 1, 2),
+        ctx AS MATERIALIZED (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cctx, CAST(COUNT(*) AS BIGINT) AS n1f
+          FROM big GROUP BY 1),
+        bwd AS MATERIALIZED (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM big GROUP BY 1),
+        btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big),
+        pairs AS (
+          SELECT doc_id, tk[i] AS w,
+            CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS wprev
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS i FROM sc) z),
+        terms AS (
+          SELECT p.doc_id,
+            CASE WHEN p.wprev IS NOT NULL AND cx.cctx IS NOT NULL THEN
+              round(ln((greatest(CAST(COALESCE(bg.cb, 0) AS DOUBLE) - 0.75e0, 0e0) +
+                0.75e0 * CAST(cx.n1f AS DOUBLE) *
+                (CASE WHEN bw.n1b IS NOT NULL
+                   THEN round(CAST(bw.n1b AS DOUBLE) / CAST(t.b AS DOUBLE), 12)
+                   ELSE round(0.75e0 / CAST(t.b AS DOUBLE), 12) END)) /
+                CAST(cx.cctx AS DOUBLE)), 12)
+            ELSE
+              round(ln(CASE WHEN bw.n1b IS NOT NULL
+                 THEN round(CAST(bw.n1b AS DOUBLE) / CAST(t.b AS DOUBLE), 12)
+                 ELSE round(0.75e0 / CAST(t.b AS DOUBLE), 12) END), 12)
+            END AS lt
+          FROM pairs p
+          LEFT JOIN bwd bw ON bw.w2 = p.w
+          LEFT JOIN ctx cx ON cx.w1 = p.wprev
+          LEFT JOIN big bg ON bg.w1 = p.wprev AND bg.w2 = p.w
+          CROSS JOIN btot t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          round(CAST(SUM(CAST(lt AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+        FROM terms GROUP BY 1"""),
+      bench = true),
+
     // Unigram-LM token-ID encoding of whole documents — the q84 parity row
     // for the probabilistic tokenizer family: every document rendered as
     // its comma-joined piece-id sequence under the trained unigram model,

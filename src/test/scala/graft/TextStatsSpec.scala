@@ -105,4 +105,49 @@ class TextStatsSpec extends SparkSpec {
     assert(got(13L) == ((2L,
       mean(Seq(math.log(2.0 / 6), math.log(0.4 * 0.4 / 6))))), s"${got(13L)}")
   }
+
+  test("Kneser-Ney: every branch hand-computed on a holdout split") {
+    // train: "a b a", "a b c" → bigram types (a,b):2 (b,a):1 (b,c):1, B=3;
+    // ctx: a→(cctx 2, n1f 1), b→(cctx 2, n1f 2); n1b: a,b,c all 1.
+    val train = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b a"), // doc-start Pcont; seen bigram; interpolated unseen-mass path
+      (11L, "c a"),   // c is never a context → falls through to Pcont(a)
+      (12L, "z b"),   // z OOV continuation → floor D/B; z OOV context → Pcont(b)
+      (13L, "b z")    // seen context b, unseen bigram, z's Pcont is the floor
+    ).toDF("doc_id", "text")
+    val got = TextStats.kneserNey(score, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def mean(terms: Seq[Double]) =
+      (terms.map(r12).sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pc13 = r12(1.0 / 3).toDouble   // Pcont pre-rounded at 12 dp, as in the plan
+    val pcF = r12(0.75 / 3).toDouble   // continuation floor D/B
+    assert(got(10L) == ((3L, mean(Seq(
+      math.log(pc13),
+      math.log((math.max(2 - 0.75, 0) + 0.75 * 1 * pc13) / 2),
+      math.log((math.max(1 - 0.75, 0) + 0.75 * 2 * pc13) / 2))))), s"${got(10L)}")
+    assert(got(11L) == ((2L, mean(Seq(math.log(pc13), math.log(pc13))))), s"${got(11L)}")
+    assert(got(12L) == ((2L, mean(Seq(math.log(pcF), math.log(pc13))))), s"${got(12L)}")
+    assert(got(13L) == ((2L, mean(Seq(
+      math.log(pc13),
+      math.log((0.0 + 0.75 * 2 * pcF) / 2))))), s"${got(13L)}")
+  }
+
+  test("Kneser-Ney ranks by continuation count, not raw frequency (the francisco property)") {
+    // "francisco" appears 4× but only ever after "san" (1 context);
+    // "common" appears 3× across 3 distinct contexts. Under an OOV context
+    // both words score Pcont, so KN must rank common ABOVE francisco —
+    // the exact inversion a raw-unigram backoff (q132) cannot produce.
+    val train = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "a common b common c common")).toDF("doc_id", "text")
+    val score = Seq((10L, "zz francisco"), (11L, "zz common")).toDF("doc_id", "text")
+    val kn = TextStats.kneserNey(score, train).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(11L) > kn(10L), s"common ${kn(11L)} should outrank francisco ${kn(10L)}")
+    val sb = TextStats.stupidBackoff(score, train).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sb(10L) > sb(11L), "stupid backoff ranks by raw count — the contrast KN fixes")
+  }
 }
