@@ -20,6 +20,16 @@ object Curation {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "documents")
 
+  /** q213's blocklist: phrases over the synthetic corpus vocabulary chosen
+    * to exercise every automaton path — "table table" self-overlaps via its
+    * word border, "table table key" extends it (emit at an interior node),
+    * "spark a a" shares the "a a" suffix, and "group by" never occurs
+    * (the zero-hit row the left join must keep). Lowercase alnum+space
+    * only, so the oracle can inline them as SQL literals. */
+  val blocklistPhrases: Seq[String] = Seq(
+    "table table", "table table key", "fast key scan", "value table",
+    "a a", "spark a a", "group by")
+
   /** Shared DuckDB trigram-shingle CTE body (mirrors Dedup.shingleSet(n=3)).
     * Kept separate from the WITH keyword so q70/q72 can prepend RECURSIVE. */
   private val shCteBody = s"""seq AS (
@@ -2658,6 +2668,52 @@ object Curation {
           CAST((1000000 * n_shared_fp) // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
             AS containment_ppm
         FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"""),
+      bench = true),
+
+    // Blocklist phrase scan — the Aho–Corasick use-case every web-corpus
+    // pipeline ships (C4's "bad words" pass, RefinedWeb's URL/phrase
+    // blocklists): count every occurrence of every blocklist phrase in one
+    // pass over each document. The automaton is a plan-time constant inside
+    // functions.MultiPatternCount, so the whole scan is zero-shuffle
+    // regardless of list size; only the ≤|phrases| per-phrase partials
+    // reach the exchange. Phrases sharing prefixes/words ("table table" vs
+    // "table table part") exercise the fail-link paths; zero-hit phrases
+    // stay in the card via the left join from the phrase dim. Counts are
+    // overlapping-match counts (the AC match set) — the oracle replays
+    // them positionally, so a lossy automaton cannot hash-match.
+    QueryDef("q213_blocklist_scan",
+      (s, dir) => {
+        val phrases = Curation.blocklistPhrases
+        val dim = s.createDataFrame(phrases.zipWithIndex.map { case (p, i) => (i, p) })
+          .toDF("pid", "phrase")
+        val hits = docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.MultiPatternCount(lower(col("text")), phrases).as("c"))
+          .select(col("doc_id"), posexplode(col("c")).as(Seq("pid", "n")))
+          .filter(col("n") > 0)
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_occ"))
+        dim.join(broadcast(hits), Seq("pid"), "left")
+          .select(col("phrase"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      },
+      oracle = Some(s"""
+        WITH ph(phrase) AS (VALUES ${Curation.blocklistPhrases.map(p => s"('$p')").mkString(", ")}),
+        cl AS (SELECT doc_id, lower(text) AS t FROM documents),
+        cand AS (SELECT doc_id, phrase, t FROM cl CROSS JOIN ph WHERE contains(t, phrase)),
+        pos AS (SELECT doc_id, phrase, t,
+          UNNEST(generate_series(1, length(t) - length(phrase) + 1)) AS i FROM cand),
+        hit AS (
+          SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pos WHERE substr(t, i, length(phrase)) = phrase GROUP BY 1, 2),
+        agg AS (
+          SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS n_occ
+          FROM hit GROUP BY 1)
+        SELECT p.phrase, COALESCE(a.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+          COALESCE(a.n_occ, CAST(0 AS BIGINT)) AS n_occ
+        FROM ph p LEFT JOIN agg a USING (phrase)"""),
       bench = true),
 
     // Filter-attrition funnel (the table every curation paper publishes —
