@@ -250,6 +250,68 @@ object TextStats {
     * continuations via groupBy — no count-distinct shuffle, the bigram
     * frame is already one row per type); scoring is two vocab-keyed left
     * joins + a 1-row broadcast of the bigram-type total. */
+  /** Per-doc self-BLEU-2 against a fixed reference panel (Zhu et al. 2018's
+    * corpus-diversity metric, Texygen) — BLEU (Papineni et al. 2002) with
+    * the corpus itself as the reference set. The textbook form scores every
+    * doc against ALL others (quadratic); this is the fixed-panel deployment
+    * posture measured by q208/q209: references are the bottom-`panelSize`
+    * docs by salted h60 (a deterministic fixed sample, panel excluded from
+    * scoring), so the kernel is panel·n — corpus-linear at any scale.
+    *
+    * BLEU-2 per candidate: modified n-gram precision p_n (candidate counts
+    * clipped by the max per-reference count), brevity penalty from the
+    * closest reference length (ties → shorter), BLEU = BP·exp(Σ½·ln p_n),
+    * 0 when either numerator is empty. Every precision is a ratio of
+    * integer counts and the panel is hash-selected, so scores hash-match
+    * the oracle (ln terms 12 dp, BP 12 dp, score 6 dp). Docs under 2
+    * tokens are excluded (no bigram denominator).
+    *
+    * Shape: panel is pinned (64 rows); reference n-gram maxima BROADCAST
+    * against the candidate gram counts (one map-side-combined shuffle per
+    * n); brevity pairs are a 64-row broadcast nested loop. */
+  def selfBleu(docs: DataFrame, panelSize: Int = 64, salt: String = "sb:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pan = graft.Caching.pin(base
+      .orderBy(h60(concat(lit(salt), col("doc_id"))).asc, col("doc_id").asc)
+      .limit(panelSize))
+    val cand = base.join(pan.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    def unigrams(df: DataFrame) =
+      df.select(col("doc_id"), explode(col("tk")).as("gram"))
+    def bigrams(df: DataFrame) = df.select(col("doc_id"),
+      explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)").as("w1"),
+        expr("slice(tk, 2, size(tk) - 1)").as("w2"))).as("p"))
+      .select(col("doc_id"), concat(col("p.w1"), lit(" "), col("p.w2")).as("gram"))
+    def refMax(g: DataFrame) = g
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("gram")).agg(max(col("c")).as("mc"))
+    def prec(c: DataFrame, r: DataFrame, n: String) = c
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .join(broadcast(r), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(least(col("c"), coalesce(col("mc"), lit(0L)))).as(s"num$n"),
+        sum(col("c")).as(s"den$n"))
+    val p1 = prec(unigrams(cand), refMax(unigrams(pan)), "1")
+    val p2 = prec(bigrams(cand), refMax(bigrams(pan)), "2")
+    val clen = cand.select(col("doc_id"), size(col("tk")).cast(LongType).as("cl"))
+    val rlen = pan.select(size(col("tk")).cast(LongType).as("rl"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(abs(col("rl") - col("cl")).asc, col("rl").asc)
+    val eff = clen.crossJoin(broadcast(rlen))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cl"), col("rl"))
+    val d = DoubleType
+    val bp = when(col("cl") >= col("rl"), lit(1d))
+      .otherwise(round(exp(lit(1d) - col("rl").cast(d) / col("cl").cast(d)), 12))
+    def lt(n: String) = round(log(col(s"num$n").cast(d) / col(s"den$n").cast(d)), 12)
+    val bleu = when(col("num1") === 0 || col("num2") === 0, lit(0d))
+      .otherwise(round(bp * exp((lt("1") + lt("2")) / lit(2d)), 6))
+    p1.join(p2, "doc_id").join(eff, "doc_id")
+      .select(col("doc_id"), col("cl").as("n_tokens"), bleu.as("bleu2"))
+  }
+
   def kneserNey(docs: DataFrame, train: DataFrame, discount: Double = 0.75): DataFrame = {
     def toks(df: DataFrame) = df.select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)

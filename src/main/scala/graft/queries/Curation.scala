@@ -2716,6 +2716,82 @@ object Curation {
         FROM ph p LEFT JOIN agg a USING (phrase)"""),
       bench = true),
 
+    // Corpus-diversity card: per-source mean self-BLEU-2 (Zhu et al. 2018)
+    // against a fixed 64-doc hash-selected reference panel — high self-BLEU
+    // = low diversity = a mode-collapsed or boilerplate-heavy source, the
+    // generation-side complement of the dedup family. Fixed-panel posture
+    // per q208/q209 (panel·n kernel, never n²); reference n-gram maxima and
+    // lengths broadcast; the only corpus-sized exchanges are the two
+    // map-side-combined gram counts. All precisions are integer-count
+    // ratios off the hash-selected panel, so every per-doc score (and the
+    // DECIMAL-laddered source means) hash-match the replayed oracle.
+    QueryDef("q214_self_bleu",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sb = graft.operators.TextStats.selfBleu(d, panelSize = 64)
+        sb.join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("bleu2") === 0d, 1L).otherwise(0L)).as("n_zero"),
+            round(graft.functions.Exprs.dsum(col("bleu2"), 6) /
+              count(lit(1)).cast("double"), 6).as("mean_bleu2"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id, source, list_filter(string_split_regex(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        base AS (SELECT doc_id, source, tk FROM seq WHERE len(tk) >= 2),
+        pan AS MATERIALIZED (
+          SELECT doc_id, tk FROM base
+          ORDER BY CAST('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+            doc_id ASC
+          LIMIT 64),
+        cand AS (SELECT doc_id, tk FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM pan)),
+        pu AS (SELECT doc_id, UNNEST(tk) AS gram FROM pan),
+        rg1 AS MATERIALIZED (SELECT gram, MAX(c) AS mc FROM (
+          SELECT doc_id, gram, COUNT(*) AS c FROM pu GROUP BY 1, 2) z GROUP BY 1),
+        pb AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM pan) z),
+        rg2 AS MATERIALIZED (SELECT gram, MAX(c) AS mc FROM (
+          SELECT doc_id, gram, COUNT(*) AS c FROM pb GROUP BY 1, 2) z GROUP BY 1),
+        cu AS (SELECT doc_id, UNNEST(tk) AS gram FROM cand),
+        cg1 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM cu GROUP BY 1, 2),
+        p1 AS (SELECT doc_id,
+            CAST(SUM(LEAST(c, COALESCE(mc, 0))) AS BIGINT) AS num1,
+            CAST(SUM(c) AS BIGINT) AS den1
+          FROM cg1 LEFT JOIN rg1 USING (gram) GROUP BY 1),
+        cb AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+          FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM cand) z),
+        cg2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2),
+        p2 AS (SELECT doc_id,
+            CAST(SUM(LEAST(c, COALESCE(mc, 0))) AS BIGINT) AS num2,
+            CAST(SUM(c) AS BIGINT) AS den2
+          FROM cg2 LEFT JOIN rg2 USING (gram) GROUP BY 1),
+        clen AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS cl FROM cand),
+        rlen AS (SELECT CAST(len(tk) AS BIGINT) AS rl FROM pan),
+        eff AS (SELECT doc_id, cl, rl FROM (
+          SELECT c.doc_id, c.cl, r.rl,
+            row_number() OVER (PARTITION BY c.doc_id
+              ORDER BY abs(r.rl - c.cl) ASC, r.rl ASC) AS rn
+          FROM clen c CROSS JOIN rlen r) t WHERE rn = 1),
+        sc AS (
+          SELECT p1.doc_id,
+            CASE WHEN p1.num1 = 0 OR p2.num2 = 0 THEN 0e0 ELSE
+              round((CASE WHEN e.cl >= e.rl THEN 1e0
+                ELSE round(exp(1e0 - CAST(e.rl AS DOUBLE) / CAST(e.cl AS DOUBLE)), 12) END) *
+                exp((round(ln(CAST(p1.num1 AS DOUBLE) / CAST(p1.den1 AS DOUBLE)), 12) +
+                     round(ln(CAST(p2.num2 AS DOUBLE) / CAST(p2.den2 AS DOUBLE)), 12)) / 2e0), 6)
+            END AS bleu
+          FROM p1 JOIN p2 USING (doc_id) JOIN eff e USING (doc_id))
+        SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN s.bleu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          round(CAST(SUM(CAST(s.bleu AS DECIMAL(30,6))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS mean_bleu2
+        FROM sc s JOIN base b USING (doc_id) GROUP BY 1"""),
+      bench = true),
+
     // Filter-attrition funnel (the table every curation paper publishes —
     // FineWeb fig. 1, RefinedWeb tab. 2): the q184 Gopher rules + a lang
     // gate + keep-first exact dedup applied SEQUENTIALLY, reporting per

@@ -134,6 +134,58 @@ class TextStatsSpec extends SparkSpec {
       math.log((0.0 + 0.75 * 2 * pcF) / 2))))), s"${got(13L)}")
   }
 
+  test("self-BLEU: identical docs score 1, disjoint vocab scores 0, partial overlap matches an in-memory reference") {
+    // 6 docs: four copies of the same text, one partial overlap, one
+    // disjoint. panelSize=3 → the hash picks 3 refs; every candidate's
+    // score is recomputed by an independent in-memory BLEU-2.
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the cat sat on the mat",
+      4L -> "the cat sat on the mat",
+      5L -> "the dog sat on a rug today ok",
+      6L -> "zq xv jw qk")
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val got = graft.operators.TextStats.selfBleu(docs, panelSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 3, s"3 candidates expected, got ${got.keySet}")
+    // independent reference: recompute the panel (bottom-3 by h60) and BLEU
+    def tok(t: String) = t.split(" ").toSeq
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val panel = texts.keys.toSeq.sortBy(id => (h60(s"sb:$id"), id)).take(3)
+    def grams(tk: Seq[String], n: Int) = tk.sliding(n).map(_.mkString(" ")).toSeq
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refBleu(cand: Seq[String]): Double = {
+      val refs = panel.map(id => tok(texts(id)))
+      def prec(n: Int): (Long, Long) = {
+        val cg = grams(cand, n).groupBy(identity).view.mapValues(_.size).toMap
+        val mc = refs.map(rt => grams(rt, n).groupBy(identity).view.mapValues(_.size).toMap)
+        val num = cg.map { case (g, c) => math.min(c, mc.map(_.getOrElse(g, 0)).max) }.sum
+        (num.toLong, cg.values.sum.toLong)
+      }
+      val (n1, d1) = prec(1); val (n2, d2) = prec(2)
+      if (n1 == 0 || n2 == 0) 0d
+      else {
+        val cl = cand.length.toLong
+        val rl = refs.map(_.length.toLong).minBy(l => (math.abs(l - cl), l))
+        val bp = if (cl >= rl) 1d else r(math.exp(1d - rl.toDouble / cl), 12)
+        r(bp * math.exp((r(math.log(n1.toDouble / d1), 12) + r(math.log(n2.toDouble / d2), 12)) / 2d), 6)
+      }
+    }
+    for ((id, bleu) <- got)
+      assert(bleu == refBleu(tok(texts(id))), s"doc $id: got $bleu, want ${refBleu(tok(texts(id)))}")
+    // the semantic anchors: a candidate identical to a panel doc scores 1
+    // (all four copies can't fit in a 3-doc panel, so at least one is a
+    // candidate); the disjoint-vocab doc scores 0 if it was a candidate
+    val copyCand = Seq(1L, 2L, 3L, 4L).filterNot(panel.contains)
+    assert(copyCand.nonEmpty && got(copyCand.head) == 1.0d)
+    if (!panel.contains(6L)) assert(got(6L) == 0.0d)
+  }
+
   test("Kneser-Ney ranks by continuation count, not raw frequency (the francisco property)") {
     // "francisco" appears 4× but only ever after "san" (1 context);
     // "common" appears 3× across 3 distinct contexts. Under an OOV context
