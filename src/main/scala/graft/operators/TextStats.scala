@@ -250,6 +250,35 @@ object TextStats {
     * continuations via groupBy — no count-distinct shuffle, the bigram
     * frame is already one row per type); scoring is two vocab-keyed left
     * joins + a 1-row broadcast of the bigram-type total. */
+  /** Per-doc character-distribution Shannon entropy — the cheapest
+    * repetition/degenerate-text signal in the quality family (a
+    * single-character or two-character "document" scores near 0 nats;
+    * normal prose over a 37-char alphabet sits near ln(alphabet)). Used by
+    * extraction-QA passes to catch binary-junk and repeated-char
+    * boilerplate before any tokenizer runs.
+    *
+    * Entirely ROW-LOCAL: chars, distinct alphabet, per-char counts and the
+    * entropy fold are array expressions over the row's own text — zero
+    * exchanges, the whole operator rides the scan (same posture as q211's
+    * winnowMins). H = ln(L) − Σ c·ln(c) / L with the sum folded in sorted
+    * char order and every libm term rounded at 12 dp, so the doubles
+    * hash-match the oracle's list_reduce replay bit for bit. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), array_join(tokens(col("text")), " ").as("clean"))
+      .filter(length(col("clean")) >= 1)
+    val chars = expr("transform(sequence(1, length(clean)), i -> substring(clean, i, 1))")
+    val dist = array_sort(array_distinct(chars))
+    val cnts = transform(dist, c => size(filter(chars, x => x === c)).cast(DoubleType))
+    val s = aggregate(transform(cnts, c => round(c * log(c), 12)),
+      lit(0d), (acc, x) => acc + x)
+    val L = length(col("clean")).cast(DoubleType)
+    clean.select(col("doc_id"),
+      length(col("clean")).cast(LongType).as("n_chars"),
+      size(dist).cast(LongType).as("n_alphabet"),
+      round(round(log(L), 12) - s / L, 6).as("entropy"))
+  }
+
   /** Per-doc self-BLEU-2 against a fixed reference panel (Zhu et al. 2018's
     * corpus-diversity metric, Texygen) — BLEU (Papineni et al. 2002) with
     * the corpus itself as the reference set. The textbook form scores every

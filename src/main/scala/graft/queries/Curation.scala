@@ -2792,6 +2792,124 @@ object Curation {
         FROM sc s JOIN base b USING (doc_id) GROUP BY 1"""),
       bench = true),
 
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 §4.3):
+    // per-language perplexity TERCILES are the mixing knob CCNet feeds
+    // downstream ("head" = most-fluent third). The textbook ntile would
+    // single-partition each language's corpus-sized window — the classic
+    // scale-killer — so this row is DEPLOYMENT-shaped: tercile thresholds
+    // come from a fixed 768-doc hash panel (TakeOrderedAndProject, the
+    // q208 posture; CCNet itself fits thresholds on a held-out sample),
+    // ranked within the 768-row pinned frame only, then every doc buckets
+    // by one broadcast threshold join — zero corpus-sized sorts. A lang
+    // absent from the panel buckets as 'unsampled' (kept deterministic on
+    // both engines via the left join).
+    QueryDef("q215_ccnet_buckets",
+      (s, dir) => {
+        val ppl = TextStats.charLmPerplexity(docs(s, dir))
+          .select(col("doc_id"), col("lang"), col("ppl"))
+        val samp = graft.Caching.pin(ppl
+          .orderBy(Exprs.h60(concat(lit("cc:"), col("doc_id"))).asc, col("doc_id").asc)
+          .limit(768))
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(col("ppl").asc, col("doc_id").asc)
+        val ranked = samp
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        val th = ranked.groupBy(col("lang")).agg(
+          max(when(col("rn") === expr("(n + 2) div 3"), col("ppl"))).as("t1"),
+          max(when(col("rn") === expr("(2 * n + 2) div 3"), col("ppl"))).as("t2"))
+        val bucket = when(col("t1").isNull, lit("unsampled"))
+          .when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail"))
+        ppl.join(broadcast(th), Seq("lang"), "left")
+          .select(col("lang"), bucket.as("bucket"), col("ppl"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"),
+            round(Exprs.davg(col("ppl"), 6), 6).as("mean_ppl"))
+      },
+      oracle = Some("""
+        WITH cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        model AS (SELECT lang, tg, COUNT(*) AS cnt FROM tris GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM model GROUP BY 1),
+        probs AS (
+          SELECT m.lang, m.tg,
+            round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM model m JOIN tot USING (lang)),
+        pplt AS (
+          SELECT t.doc_id, t.lang,
+            round(exp(-CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)), 6) AS ppl
+          FROM tris t JOIN probs p ON p.lang = t.lang AND p.tg = t.tg
+          GROUP BY 1, 2),
+        samp AS MATERIALIZED (
+          SELECT doc_id, lang, ppl FROM pplt
+          ORDER BY CAST('0x' || substr(md5('cc:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+            doc_id ASC
+          LIMIT 768),
+        rk AS (
+          SELECT lang, ppl,
+            row_number() OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM samp),
+        th AS (
+          SELECT lang,
+            MAX(CASE WHEN rn = (n + 2) // 3 THEN ppl END) AS t1,
+            MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN ppl END) AS t2
+          FROM rk GROUP BY 1),
+        b AS (
+          SELECT p.lang,
+            CASE WHEN t.t1 IS NULL THEN 'unsampled'
+                 WHEN p.ppl <= t.t1 THEN 'head'
+                 WHEN p.ppl <= t.t2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+            p.ppl
+          FROM pplt p LEFT JOIN th t USING (lang))
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl,
+          round(CAST(SUM(CAST(ppl AS DECIMAL(30,6))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS mean_ppl
+        FROM b GROUP BY 1, 2"""),
+      bench = true),
+
+    // Character-distribution Shannon entropy — the cheapest degenerate-text
+    // signal in the quality family (repeated-char boilerplate and binary
+    // junk sit near 0 nats; prose sits near ln|alphabet|), run BEFORE any
+    // tokenizer. Entirely row-local (chars, alphabet, counts, and the
+    // entropy fold are array expressions over the row's own text): zero
+    // exchanges, the operator rides the scan — the q211 winnowMins posture.
+    QueryDef("q216_char_entropy",
+      (s, dir) => TextStats.charEntropy(docs(s, dir)),
+      oracle = Some("""
+        WITH cl AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 1),
+        ch AS (SELECT doc_id, clean,
+          list_transform(generate_series(1, length(clean)),
+            i -> substr(clean, CAST(i AS INTEGER), 1)) AS chars
+          FROM cl2),
+        di AS (SELECT doc_id, clean, chars,
+          list_sort(list_distinct(chars)) AS dist FROM ch),
+        en AS (SELECT doc_id, length(clean) AS L, len(dist) AS A,
+          list_reduce(list_transform(dist, c ->
+            round(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) *
+              ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)), 12)),
+            (a, b) -> a + b) AS s
+          FROM di)
+        SELECT doc_id, CAST(L AS BIGINT) AS n_chars, CAST(A AS BIGINT) AS n_alphabet,
+          round(round(ln(CAST(L AS DOUBLE)), 12) - s / CAST(L AS DOUBLE), 6) AS entropy
+        FROM en"""),
+      bench = true),
+
     // Filter-attrition funnel (the table every curation paper publishes —
     // FineWeb fig. 1, RefinedWeb tab. 2): the q184 Gopher rules + a lang
     // gate + keep-first exact dedup applied SEQUENTIALLY, reporting per

@@ -134,6 +134,28 @@ class TextStatsSpec extends SparkSpec {
       math.log((0.0 + 0.75 * 2 * pcF) / 2))))), s"${got(13L)}")
   }
 
+  test("char entropy: hand-computed distributions") {
+    val docs = Seq(
+      (1L, "aaaa"),          // single symbol → 0 nats
+      (2L, "ab"),            // uniform over 2 → ln 2
+      (3L, "aab"),           // 2/3, 1/3
+      (4L, "!!!")            // cleans to empty → dropped
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def h(counts: Seq[Int]): Double = {
+      val l = counts.sum.toDouble
+      val s = counts.map(c => r(c * math.log(c), 12)).sum
+      r(r(math.log(l), 12) - s / l, 6)
+    }
+    assert(got(1L) == ((4L, 1L, h(Seq(4)))) && got(1L)._3 == 0.0d)
+    assert(got(2L) == ((2L, 2L, h(Seq(1, 1)))))
+    assert(math.abs(got(2L)._3 - math.log(2)) < 1e-6)
+    assert(got(3L) == ((3L, 2L, h(Seq(2, 1)))))
+    assert(!got.contains(4L))
+  }
+
   test("self-BLEU: identical docs score 1, disjoint vocab scores 0, partial overlap matches an in-memory reference") {
     // 6 docs: four copies of the same text, one partial overlap, one
     // disjoint. panelSize=3 → the hash picks 3 refs; every candidate's
