@@ -725,6 +725,109 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // Tokenizer vocab-planning card: corpus coverage of the top-k most
+    // frequent words at k ∈ {64, 256, 1024, 4096} — the OOV-rate-vs-vocab
+    // curve every tokenizer budget decision starts from (the integer-ppm
+    // complement of q188's fertility view). Scale shape: the census is
+    // Heaps-bounded; the ONLY ordered stage is a global top-4096
+    // (TakeOrderedAndProject — the q208 bounded-panel plan, never a
+    // vocabulary-wide single-partition window); ranks live on the pinned
+    // 4096-row frame and the coverage sums are one grouped pass over
+    // 4096×|ks| rows with a 1-row total broadcast.
+    QueryDef("q217_vocab_coverage",
+      (s, dir) => {
+        val census = toks(s, dir).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val tot = census.agg(sum(col("cnt")).as("total"))
+        val top = graft.Caching.pin(
+          census.orderBy(col("cnt").desc, col("term").asc).limit(4096))
+        val ranked = top.withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+        val ks = s.createDataFrame(Seq(64, 256, 1024, 4096).map(Tuple1(_))).toDF("k")
+        ranked.crossJoin(broadcast(ks))
+          .filter(col("rn") <= col("k"))
+          .groupBy(col("k"))
+          .agg(max(col("rn")).as("eff_vocab"), sum(col("cnt")).as("covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("k").cast("long").as("k"), col("eff_vocab"), col("covered"),
+            col("total"), expr("(1000000 * covered) div total").as("coverage_ppm"))
+      },
+      oracle = Some(s"""
+        WITH $toksCte,
+        census AS MATERIALIZED (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM census),
+        top AS MATERIALIZED (SELECT cnt, rn FROM (
+          SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rn
+          FROM census) z WHERE rn <= 4096),
+        ks(k) AS (VALUES (64), (256), (1024), (4096)),
+        cov AS (
+          SELECT k, CAST(MAX(rn) AS BIGINT) AS eff_vocab,
+            CAST(SUM(cnt) AS BIGINT) AS covered
+          FROM top CROSS JOIN ks WHERE rn <= k GROUP BY 1)
+        SELECT CAST(k AS BIGINT) AS k, eff_vocab, covered, total,
+          (1000000 * covered) // total AS coverage_ppm
+        FROM cov CROSS JOIN tot"""),
+      bench = true),
+
+    // Good–Turing frequency-of-frequencies card (Good 1953; the Katz-backoff
+    // building block and the standard "how much probability mass lives in
+    // unseen events" diagnostic), over the word-TRIGRAM census — the
+    // setting where GT smoothing is canonical, and the only n-gram order
+    // with a genuine singleton tail on this corpus (the unigram vocabulary
+    // is ~31 types, all high-frequency). n_r = number of trigram types
+    // seen exactly r times, adjusted count r* = (r+1)·n_{r+1}/n_r for
+    // r ≤ 10 (p0 = n_1/N read off the r=1 row's mass). Everything is a
+    // ratio of integer counts over the counts-of-counts frame — at most
+    // max-frequency rows, corpus-size-independent — so the card
+    // hash-matches; trigram pairs build ROW-LOCALLY (the q132 zip-shift
+    // shape) and the only corpus-sized stage is the census groupBy
+    // (map-side combined).
+    QueryDef("q218_good_turing",
+      (s, dir) => {
+        val tg = Tables(s, dir, "documents")
+          .select(graft.functions.Exprs.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(explode(arrays_zip(
+            expr("slice(tk, 1, size(tk) - 2)").as("w1"),
+            expr("slice(tk, 2, size(tk) - 2)").as("w2"),
+            expr("slice(tk, 3, size(tk) - 2)").as("w3"))).as("p"))
+          .select(concat(col("p.w1"), lit(" "), col("p.w2"), lit(" "),
+            col("p.w3")).as("gram"))
+        val census = tg.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        val ff = census.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+        val tot = census.agg(sum(col("cnt")).as("total"))
+        ff.filter(col("r") <= 10)
+          .join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_r_next")),
+            Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_r"),
+            coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+            round((col("r") + 1).cast("double") *
+              coalesce(col("n_r_next"), lit(0L)).cast("double") /
+              col("n_r").cast("double"), 6).as("r_star"),
+            expr("(1000000 * r * n_r) div total").as("mass_ppm"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        tg AS (
+          SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 2)) AS i
+                FROM seq WHERE len(tk) >= 3) z),
+        census AS MATERIALIZED (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM tg GROUP BY 1),
+        ff AS MATERIALIZED (
+          SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM census GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM census)
+        SELECT f.r, f.n_r, COALESCE(g.n_r, 0) AS n_r_next,
+          round(CAST(f.r + 1 AS DOUBLE) * CAST(COALESCE(g.n_r, 0) AS DOUBLE) /
+            CAST(f.n_r AS DOUBLE), 6) AS r_star,
+          (1000000 * f.r * f.n_r) // total AS mass_ppm
+        FROM ff f LEFT JOIN ff g ON g.r = f.r + 1 CROSS JOIN tot
+        WHERE f.r <= 10"""),
+      bench = true),
+
     // Unigram-LM token-ID encoding of whole documents — the q84 parity row
     // for the probabilistic tokenizer family: every document rendered as
     // its comma-joined piece-id sequence under the trained unigram model,
