@@ -493,7 +493,28 @@ object ScalingProbe {
       // regime (×factor docs share every fingerprint, the OUTPUT pair set
       // grows quadratically, the q33/q152 contract); vocabgrow is the
       // disjoint-vocab regime the density bound addresses
-      "q210_duplicated_spans", "q211_winnowing_overlap")
+      "q210_duplicated_spans", "q211_winnowing_overlap",
+      // round-12 session-2 additions. q212 Kneser-Ney: q132's exact shape
+      // (row-local bigrams, Heaps-bounded model, vocab-keyed joins) plus
+      // three re-aggregations of the bigram-TYPE frame — ratio should
+      // track q132's in both regimes. q213 blocklist scan: plan-time
+      // automaton, zero shuffle beyond |phrases| partials — the ratio IS
+      // the scan ratio (id-shift multiplies hits per phrase; vocabgrow
+      // suffixes kill most hits — both stay scans). q214 self-BLEU: fixed
+      // 64-doc panel → panel·n gram joins (broadcast ref maxima), no pair
+      // term in either regime. q215 CCNet buckets: the q90 chain + a
+      // 768-row panel fit + one broadcast threshold join — should track
+      // q90. q216 char entropy: pure row-local array math, the scan ratio
+      // by construction.
+      "q212_kneser_ney", "q213_blocklist_scan", "q214_self_bleu",
+      "q215_ccnet_buckets", "q216_char_entropy",
+      // q217 vocab coverage: Heaps-bounded census + global top-4096
+      // (TakeOrderedAndProject) — the ratio is the census-scan ratio in
+      // both regimes (vocabgrow grows the census ×10 but the ranked frame
+      // stays 4096). q218 Good–Turing: row-local trigram build + census
+      // groupBy; the counts-of-counts frame is max-frequency-bounded —
+      // the ratio is the trigram-scan ratio.
+      "q217_vocab_coverage", "q218_good_turing")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -550,7 +571,11 @@ object ScalingProbe {
       "q203_signal_auc", "q204_gate_agreement", "q205_ks_drift",
       "q206_split_manifest",
       // round-12 documents-based rows: both two-regime
-      "q210_duplicated_spans", "q211_winnowing_overlap")
+      "q210_duplicated_spans", "q211_winnowing_overlap",
+      // round-12 session-2 documents-based rows: all two-regime
+      "q212_kneser_ney", "q213_blocklist_scan", "q214_self_bleu",
+      "q215_ccnet_buckets", "q216_char_entropy",
+      "q217_vocab_coverage", "q218_good_turing")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -257,13 +257,29 @@ object TextStats {
     * extraction-QA passes to catch binary-junk and repeated-char
     * boilerplate before any tokenizer runs.
     *
-    * Entirely ROW-LOCAL: chars, distinct alphabet, per-char counts and the
-    * entropy fold are array expressions over the row's own text — zero
-    * exchanges, the whole operator rides the scan (same posture as q211's
-    * winnowMins). H = ln(L) − Σ c·ln(c) / L with the sum folded in sorted
-    * char order and every libm term rounded at 12 dp, so the doubles
-    * hash-match the oracle's list_reduce replay bit for bit. */
+    * Entirely ROW-LOCAL: the whole operator rides the scan with zero
+    * exchanges (the q211 winnowMins posture). The kernel is the native
+    * [[graft.functions.CharEntropyStats]] expression (one tight JVM loop
+    * per row); [[charEntropyHof]] is the pure-Catalyst twin kept for the
+    * bit-equality cross-check (interpreted (char × alphabet) lambdas made
+    * it 50×+ slower — 39 s for sf0.1 in the round-12 probe).
+    * H = ln(L) − Σ c·ln(c) / L with the sum folded in sorted char order
+    * and every libm term rounded at 12 dp, so the doubles hash-match the
+    * oracle's list_reduce replay bit for bit. */
   def charEntropy(docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), array_join(tokens(col("text")), " ").as("clean"))
+      .filter(length(col("clean")) >= 1)
+    clean
+      .select(col("doc_id"), length(col("clean")).cast(LongType).as("n_chars"),
+        graft.functions.CharEntropyStats(col("clean")).as("st"))
+      .select(col("doc_id"), col("n_chars"),
+        col("st.n_alphabet").as("n_alphabet"), col("st.entropy").as("entropy"))
+  }
+
+  /** Interpreted HOF twin of [[charEntropy]] — the cross-check oracle for
+    * [[graft.functions.CharEntropyStats]]'s bit-equality (TextStatsSpec). */
+  def charEntropyHof(docs: DataFrame): DataFrame = {
     val clean = docs
       .select(col("doc_id"), array_join(tokens(col("text")), " ").as("clean"))
       .filter(length(col("clean")) >= 1)

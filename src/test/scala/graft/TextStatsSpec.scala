@@ -156,6 +156,19 @@ class TextStatsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("char entropy: native kernel is bit-equal to the HOF twin on the corpus shape") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefg 0123"
+    val docs = (1L to 60L).map(id =>
+      (id, (1 to (3 + rnd.nextInt(120))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString))
+      .toDF("doc_id", "text")
+    val native = TextStats.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val hof = TextStats.charEntropyHof(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(native == hof)
+  }
+
   test("self-BLEU: identical docs score 1, disjoint vocab scores 0, partial overlap matches an in-memory reference") {
     // 6 docs: four copies of the same text, one partial overlap, one
     // disjoint. panelSize=3 → the hash picks 3 refs; every candidate's
