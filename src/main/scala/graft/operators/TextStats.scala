@@ -357,6 +357,76 @@ object TextStats {
       .select(col("doc_id"), col("cl").as("n_tokens"), bleu.as("bleu2"))
   }
 
+  /** Jelinek–Mercer interpolation-weight fit by EM (Jelinek & Mercer 1980;
+    * the "deleted interpolation" baseline of Chen & Goodman 1998 §2.4) —
+    * the third classic smoothing posture next to [[stupidBackoff]] (no
+    * normalization) and [[kneserNey]] (discounting): mix the ML bigram
+    * with an add-one unigram, P = λ·p_bi + (1−λ)·p_uni, and fit λ on the
+    * HOLDOUT split by EM — per token the responsibility
+    * γ = λ·p_bi / (λ·p_bi + (1−λ)·p_uni), and λ' = mean(γ). Emits one row
+    * per EM round: (em_round, lam, avg_logp), the likelihood trace that
+    * must be non-decreasing (EM's contract — asserted in TextStatsSpec).
+    *
+    * Every probability is a 12-dp-rounded integer-count ratio, λ a
+    * 12-dp DECIMAL mean, so all rounds hash-match the oracle's unrolled
+    * CTE replay. Shape: the per-token (p_uni, p_bi) frame is built once
+    * (vocab-keyed left joins + a 1-row count broadcast) and PINNED; each
+    * EM round is two map-side-combined aggregates over it with the
+    * previous λ as a 1-row broadcast — rounds × 2 passes, no shuffle
+    * wider than the pinned frame's build. */
+  def jelinekMercer(docs: DataFrame, train: DataFrame, rounds: Int = 3): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val tr = toks(train)
+    val uni = tr.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nv = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    val big = tr
+      .select(explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)").as("w1"),
+        expr("slice(tk, 2, size(tk) - 1)").as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    val shifted = concat(array(lit(null).cast("string")),
+      expr("slice(tk, 1, size(tk) - 1)"))
+    val pairs = toks(docs)
+      .select(explode(arrays_zip(col("tk").as("w"), shifted.as("wp"))).as("p"))
+      .select(col("p.w").as("w"), col("p.wp").as("wprev"))
+    val d = DoubleType
+    val pu = round((coalesce(col("cu"), lit(0L)) + 1).cast(d) /
+      (col("n") + col("v") + 1).cast(d), 12)
+    val pb = when(col("wprev").isNotNull && col("cb").isNotNull,
+        round(col("cb").cast(d) / col("cctx").cast(d), 12))
+      .otherwise(lit(0d))
+    val pp = graft.Caching.pin(pairs
+      .join(uni, Seq("w"), "left")
+      .join(ctx.select(col("w1").as("wprev"), col("cctx")), Seq("wprev"), "left")
+      .join(big.select(col("w1").as("wprev"), col("w2").as("w"), col("cb")),
+        Seq("wprev", "w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(pu.as("pu"), pb.as("pb")))
+    def gamma(lam: Column) =
+      round(lam * col("pb") / (lam * col("pb") + (lit(1d) - lam) * col("pu")), 12)
+    def mixLogp(lam: Column) =
+      round(log(lam * col("pb") + (lit(1d) - lam) * col("pu")), 12)
+    val rows = (1 to rounds).foldLeft(
+        (Seq.empty[DataFrame], Option.empty[DataFrame])) { case ((acc, prev), r) =>
+      val withLam = prev match {
+        case None => pp.withColumn("lam0", lit(0.5d))
+        case Some(l) => pp.crossJoin(broadcast(l.select(col("lam").as("lam0"))))
+      }
+      val lamR = withLam.agg(
+        round(dsum(gamma(col("lam0")), 12) / count(lit(1)).cast(d), 12).as("lam"))
+      val row = pp.crossJoin(broadcast(lamR))
+        .agg(max(col("lam")).as("lam"),
+          round(dsum(mixLogp(col("lam")), 12) / count(lit(1)).cast(d), 6).as("avg_logp"))
+        .select(lit(r.toLong).as("em_round"), col("lam"), col("avg_logp"))
+      (acc :+ row, Some(lamR))
+    }._1
+    rows.reduce(_ union _)
+  }
+
   def kneserNey(docs: DataFrame, train: DataFrame, discount: Double = 0.75): DataFrame = {
     def toks(df: DataFrame) = df.select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)

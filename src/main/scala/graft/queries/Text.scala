@@ -725,6 +725,80 @@ object Text {
         FROM terms GROUP BY 1"""),
       bench = true),
 
+    // Jelinek–Mercer deleted interpolation (Jelinek & Mercer 1980) — the
+    // third classic smoothing posture completing the LM family (q132 =
+    // unnormalized backoff, q212 = discounting, q219 = interpolation with
+    // an EM-FITTED mixture weight). λ is fit on the holdout by 3 unrolled
+    // EM rounds; the emitted (λ, avg_logp) trace must be likelihood-
+    // non-decreasing (EM's contract, asserted in TextStatsSpec). Every
+    // probability is a 12-dp integer-count ratio and λ a DECIMAL mean, so
+    // all three rounds hash-match the oracle's unrolled CTE replay.
+    QueryDef("q219_jelinek_mercer",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextStats.jelinekMercer(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), rounds = 3)
+      },
+      oracle = Some {
+        val prelude = """
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        sq AS (SELECT doc_id, tk FROM seq WHERE len(tk) > 0),
+        tr AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 0),
+        sc AS (SELECT doc_id, tk FROM sq WHERE doc_id % 2 = 1),
+        uni AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT UNNEST(tk) AS w FROM tr) u GROUP BY 1),
+        nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        big AS MATERIALIZED (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+            SELECT tk[i] AS w1, tk[i + 1] AS w2
+            FROM (SELECT tk, UNNEST(generate_series(1, len(tk) - 1)) AS i FROM tr) z) b
+          GROUP BY 1, 2),
+        ctx AS MATERIALIZED (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cctx FROM big GROUP BY 1),
+        pairs AS (
+          SELECT tk[i] AS w,
+            CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS wprev
+          FROM (SELECT tk, UNNEST(generate_series(1, len(tk))) AS i FROM sc) z),
+        pp AS MATERIALIZED (
+          SELECT
+            round(CAST(COALESCE(u.cu, 0) + 1 AS DOUBLE) /
+              CAST(t.n + t.v + 1 AS DOUBLE), 12) AS pu,
+            CASE WHEN p.wprev IS NOT NULL AND b.cb IS NOT NULL
+              THEN round(CAST(b.cb AS DOUBLE) / CAST(cx.cctx AS DOUBLE), 12)
+              ELSE 0e0 END AS pb
+          FROM pairs p
+          LEFT JOIN uni u ON u.w = p.w
+          LEFT JOIN ctx cx ON cx.w1 = p.wprev
+          LEFT JOIN big b ON b.w1 = p.wprev AND b.w2 = p.w
+          CROSS JOIN nv t)"""
+        def lamCte(r: Int): String = {
+          val lamExpr = if (r == 1) "0.5e0" else s"(SELECT lam FROM l${r - 1})"
+          s"""l$r AS MATERIALIZED (
+            SELECT round(CAST(SUM(CAST(
+              round($lamExpr * pb / ($lamExpr * pb + (1e0 - $lamExpr) * pu), 12)
+              AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS lam
+            FROM pp),
+          ll$r AS (
+            SELECT round(CAST(SUM(CAST(
+              round(ln((SELECT lam FROM l$r) * pb +
+                (1e0 - (SELECT lam FROM l$r)) * pu), 12)
+              AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+            FROM pp)"""
+        }
+        val rounds = (1 to 3).map(lamCte).mkString(",\n        ")
+        val selects = (1 to 3).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS em_round, lam, avg_logp FROM l$r, ll$r")
+          .mkString("\n        UNION ALL\n        ")
+        s"$prelude,\n        $rounds\n        $selects"
+      },
+      bench = true),
+
     // Tokenizer vocab-planning card: corpus coverage of the top-k most
     // frequent words at k ∈ {64, 256, 1024, 4096} — the OOV-rate-vs-vocab
     // curve every tokenizer budget decision starts from (the integer-ppm

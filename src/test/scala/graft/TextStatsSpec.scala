@@ -221,6 +221,23 @@ class TextStatsSpec extends SparkSpec {
     if (!panel.contains(6L)) assert(got(6L) == 0.0d)
   }
 
+  test("Jelinek-Mercer EM: likelihood non-decreasing, lambda follows bigram predictiveness") {
+    // holdout bigrams all seen in train → EM should push λ UP from 0.5
+    val train = Seq((2L, "a b c d a b c d a b c d")).toDF("doc_id", "text")
+    val holdIn = Seq((1L, "a b c d a b")).toDF("doc_id", "text")
+    val up = TextStats.jelinekMercer(holdIn, train, rounds = 3)
+      .orderBy("em_round").collect()
+    assert(up.map(_.getDouble(1)).toSeq == up.map(_.getDouble(1)).toSeq.sorted
+      && up.last.getDouble(1) > 0.5, "lambda should grow on predictive bigrams")
+    assert(up.map(_.getDouble(2)).toSeq == up.map(_.getDouble(2)).toSeq.sorted,
+      "EM likelihood must be non-decreasing")
+    // holdout with NO train bigrams → p_bi = 0 everywhere → λ collapses to 0
+    val holdOut = Seq((3L, "d c b a")).toDF("doc_id", "text")
+    val down = TextStats.jelinekMercer(holdOut, train, rounds = 2)
+      .orderBy("em_round").collect()
+    assert(down.forall(_.getDouble(1) == 0.0d), "no seen bigram -> gamma 0 -> lambda 0")
+  }
+
   test("Kneser-Ney ranks by continuation count, not raw frequency (the francisco property)") {
     // "francisco" appears 4× but only ever after "san" (1 context);
     // "common" appears 3× across 3 distinct contexts. Under an OOV context
