@@ -518,7 +518,12 @@ object ScalingProbe {
       // q219 Jelinek-Mercer EM: the q132 join shape to build the pinned
       // (pu, pb) frame, then rounds×2 map-side-combined aggregates over
       // it — the ratio is the pair-frame build ratio (q132's)
-      "q219_jelinek_mercer")
+      "q219_jelinek_mercer",
+      // q220 keep-best purge: q70/q72's cluster chain + one grouped
+      // struct-max over cluster members — the ratio should track q72's
+      // (id-shift deepens shingle df at constant gram space; the rep
+      // selection itself is map-side combined)
+      "q220_dedup_keep_best")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -579,7 +584,8 @@ object ScalingProbe {
       // round-12 session-2 documents-based rows: all two-regime
       "q212_kneser_ney", "q213_blocklist_scan", "q214_self_bleu",
       "q215_ccnet_buckets", "q216_char_entropy",
-      "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer")
+      "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
+      "q220_dedup_keep_best")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

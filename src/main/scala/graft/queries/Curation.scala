@@ -1803,6 +1803,80 @@ object Curation {
         FROM documents d JOIN clusters c USING (doc_id)
         GROUP BY 1""")),
 
+    // Quality-aware dedup purge — q72 with the representative CHOSEN, not
+    // defaulted: within each duplicate cluster keep the best-quality doc
+    // (tie → min doc_id) instead of keep-first, the RefinedWeb/FineWeb
+    // posture ("keep the longest/cleanest copy"). The card quantifies what
+    // the choice buys: per lang, how many clusters change representative
+    // and the kept-set mean quality under both policies (best ≥ first by
+    // construction). Rep selection is a plain grouped max over a
+    // (quality, −doc_id) struct — map-side combined, no window, no new
+    // shuffle beyond q72's cluster chain.
+    QueryDef("q220_dedup_keep_best",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val clus = dupClusterAssignment(s, dir)
+        val qv = TextStats.quality(d)
+          .select(col("doc_id"), round(col("quality"), 6).as("q"))
+        val m = clus.join(qv, "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        val best = m.groupBy(col("cluster_id"))
+          .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
+          .select(col("cluster_id"), (-col("b.nid")).as("best_id"),
+            col("b.q").as("qb"))
+        val firstQ = m.filter(col("doc_id") === col("cluster_id"))
+          .select(col("cluster_id"), col("lang"), col("q").as("qf"))
+        firstQ.join(best, "cluster_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(when(col("best_id") =!= col("cluster_id"), 1L).otherwise(0L))
+              .as("n_rep_changed"),
+            round(Exprs.dsum(col("qf"), 6) / count(lit(1)).cast("double"), 6)
+              .as("mean_q_first"),
+            round(Exprs.dsum(col("qb"), 6) / count(lit(1)).cast("double"), 6)
+              .as("mean_q_best"))
+      },
+      oracle = Some {
+        val stopList = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes,
+        toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS term
+            FROM documents) u
+          WHERE term <> ''),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct,
+            CAST(SUM(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks GROUP BY 1),
+        qv AS (
+          SELECT doc_id,
+            round(CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) * 0.4 +
+              CAST(least(n_tokens, 100) AS DOUBLE)/100.0 * 0.4 +
+              (1.0 - CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.2, 6) AS q
+          FROM per_doc),
+        m AS (
+          SELECT c.doc_id, c.cluster_id, d.lang, qv.q
+          FROM clusters c JOIN qv USING (doc_id) JOIN documents d USING (doc_id)),
+        best AS (
+          SELECT cluster_id, doc_id AS best_id, q AS qb FROM (
+            SELECT cluster_id, doc_id, q,
+              row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+            FROM m) z WHERE rn = 1),
+        firstq AS (
+          SELECT cluster_id, lang, q AS qf FROM m WHERE doc_id = cluster_id)
+        SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN b.best_id <> f.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rep_changed,
+          round(CAST(SUM(CAST(f.qf AS DECIMAL(30,6))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS mean_q_first,
+          round(CAST(SUM(CAST(b.qb AS DECIMAL(30,6))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS mean_q_best
+        FROM firstq f JOIN best b USING (cluster_id)
+        GROUP BY 1"""
+      },
+      bench = true),
+
     // Benchmark decontamination (the n-gram overlap check training pipelines
     // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
