@@ -523,7 +523,12 @@ object ScalingProbe {
       // struct-max over cluster members — the ratio should track q72's
       // (id-shift deepens shingle df at constant gram space; the rep
       // selection itself is map-side combined)
-      "q220_dedup_keep_best")
+      "q220_dedup_keep_best",
+      // q221 truncation card: one tokenize scan + a 3-row broadcast — the
+      // scan ratio. q222 threshold sweep: ONE q33 pair pass bucketed by a
+      // 4-row broadcast — should track q33's ratio (the pair kernel
+      // dominates; per-threshold work is conditional counting)
+      "q221_context_truncation", "q222_dedup_threshold_sweep")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -585,7 +590,8 @@ object ScalingProbe {
       "q212_kneser_ney", "q213_blocklist_scan", "q214_self_bleu",
       "q215_ccnet_buckets", "q216_char_entropy",
       "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
-      "q220_dedup_keep_best")
+      "q220_dedup_keep_best", "q221_context_truncation",
+      "q222_dedup_threshold_sweep")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -1877,6 +1877,100 @@ object Curation {
       },
       bench = true),
 
+    // Context-window truncation card: for candidate context lengths, how
+    // many documents exceed the window and what fraction of corpus tokens
+    // a hard truncation would discard — the planning table behind every
+    // max_seq_len decision (the complement of q82/q202's packing view:
+    // packing asks how to fill windows, this asks what a window costs).
+    // One tokenize scan + a 3-row broadcast; all-integer arithmetic.
+    QueryDef("q221_context_truncation",
+      (s, dir) => {
+        val lens = s.createDataFrame(Seq(32L, 64L, 96L).map(Tuple1(_))).toDF("ctx_len")
+        val n = docs(s, dir).select(Exprs.tokens(col("text")).as("tk"))
+          .select(size(col("tk")).cast("long").as("n"))
+          .filter(col("n") > 0)
+        n.crossJoin(broadcast(lens))
+          .groupBy(col("ctx_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L)).as("n_truncated"),
+            sum(greatest(col("n") - col("ctx_len"), lit(0L))).as("tokens_lost"),
+            sum(col("n")).as("total_tokens"))
+          .select(col("ctx_len"), col("n_docs"), col("n_truncated"),
+            col("tokens_lost"), col("total_tokens"),
+            expr("(1000000 * tokens_lost) div total_tokens").as("lost_ppm"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        nn AS (SELECT CAST(len(tk) AS BIGINT) AS n FROM seq WHERE len(tk) > 0),
+        ks(ctx_len) AS (VALUES (32), (64), (96))
+        SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+          CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+          CAST(SUM(n) AS BIGINT) AS total_tokens,
+          (1000000 * CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT)) // CAST(SUM(n) AS BIGINT)
+            AS lost_ppm
+        FROM nn CROSS JOIN ks GROUP BY 1"""),
+      bench = true),
+
+    // Dedup threshold-sensitivity sweep — the table an operator reads
+    // before picking a similarity cutoff: pair count and affected-doc count
+    // at each candidate Jaccard threshold, off ONE pass of the q33 pair
+    // kernel (candidates generated once at the lowest threshold, bucketed
+    // by conditional filter — never re-paired per threshold). Thresholds
+    // carry their ppm labels as literals so no float→int conversion exists
+    // on either engine (DuckDB CAST rounds where Spark truncates).
+    QueryDef("q222_dedup_threshold_sweep",
+      (s, dir) => {
+        val th = s.createDataFrame(Seq((0.05d, 50000L), (0.1d, 100000L),
+          (0.2d, 200000L), (0.4d, 400000L))).toDF("t", "t_ppm")
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05,
+          maxShingleDf = Some(64))
+        val pt = pairs.crossJoin(broadcast(th)).filter(col("jaccard") >= col("t"))
+        val np = pt.groupBy(col("t_ppm")).agg(count(lit(1)).as("n_pairs"))
+        val nd = pt.select(col("t_ppm"),
+            explode(array(col("doc_a"), col("doc_b"))).as("d")).distinct()
+          .groupBy(col("t_ppm")).agg(count(lit(1)).as("n_dup_docs"))
+        th.select(col("t_ppm"))
+          .join(broadcast(np), Seq("t_ppm"), "left")
+          .join(broadcast(nd), Seq("t_ppm"), "left")
+          .select(col("t_ppm"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      },
+      oracle = Some(s"""$shCte,
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        shc AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 64),
+        csizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shc a JOIN shc b
+            ON a.shingle = b.shingle AND a.block = b.block AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        prs AS (
+          SELECT doc_a, doc_b,
+            CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+          FROM common
+          JOIN csizes sa ON sa.doc_id = doc_a
+          JOIN csizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+        th(t, t_ppm) AS (VALUES (0.05e0, 50000), (0.1e0, 100000),
+          (0.2e0, 200000), (0.4e0, 400000)),
+        pt AS (SELECT th.t_ppm, doc_a, doc_b FROM prs CROSS JOIN th
+               WHERE jaccard >= th.t),
+        np AS (SELECT t_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pt GROUP BY 1),
+        nd AS (SELECT t_ppm, CAST(COUNT(*) AS BIGINT) AS n_dup_docs FROM (
+          SELECT DISTINCT t_ppm, d FROM (
+            SELECT t_ppm, doc_a AS d FROM pt UNION ALL SELECT t_ppm, doc_b FROM pt) u) z
+          GROUP BY 1)
+        SELECT CAST(th.t_ppm AS BIGINT) AS t_ppm,
+          COALESCE(np.n_pairs, 0) AS n_pairs,
+          COALESCE(nd.n_dup_docs, 0) AS n_dup_docs
+        FROM th LEFT JOIN np USING (t_ppm) LEFT JOIN nd USING (t_ppm)"""),
+      bench = true),
+
     // Benchmark decontamination (the n-gram overlap check training pipelines
     // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
