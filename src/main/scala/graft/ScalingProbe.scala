@@ -528,7 +528,11 @@ object ScalingProbe {
       // scan ratio. q222 threshold sweep: ONE q33 pair pass bucketed by a
       // 4-row broadcast — should track q33's ratio (the pair kernel
       // dominates; per-threshold work is conditional counting)
-      "q221_context_truncation", "q222_dedup_threshold_sweep")
+      "q221_context_truncation", "q222_dedup_threshold_sweep",
+      // q223 JS matrix: two map-side-combined censuses + a FIXED
+      // 1025-dimension pair stage (|sources|²/2 × 1025 rows at any
+      // corpus size) — the ratio is the census-scan ratio
+      "q223_source_divergence")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -591,7 +595,7 @@ object ScalingProbe {
       "q215_ccnet_buckets", "q216_char_entropy",
       "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
       "q220_dedup_keep_best", "q221_context_truncation",
-      "q222_dedup_threshold_sweep")
+      "q222_dedup_threshold_sweep", "q223_source_divergence")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -1971,6 +1971,84 @@ object Curation {
         FROM th LEFT JOIN np USING (t_ppm) LEFT JOIN nd USING (t_ppm)"""),
       bench = true),
 
+    // Pairwise Jensen–Shannon divergence between sources over the unigram
+    // distribution — the corpus-comparison matrix behind source-mixing
+    // decisions (which sources are near-duplicates of each other, which
+    // add genuinely new text). The distribution DIMENSION is fixed at any
+    // corpus scale: the global top-1024 terms (TakeOrderedAndProject, the
+    // q217 posture) plus one __other__ tail bucket per source, so the
+    // pairwise stage is |sources|²/2 × 1025 rows — bounded — while the
+    // only corpus-sized stages are two map-side-combined censuses.
+    // Add-one smoothing over the 1025 buckets keeps every term in both
+    // supports; probabilities and per-term contributions are 12-dp
+    // integer-count ratios, sums DECIMAL-laddered — full hash match.
+    QueryDef("q223_source_divergence",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val census = d.select(col("source"), explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        val tot = census.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+        val top = graft.Caching.pin(census
+          .groupBy(col("term")).agg(sum(col("cnt")).as("g"))
+          .orderBy(col("g").desc, col("term").asc).limit(1024)
+          .select(col("term")))
+        val inTop = census.join(broadcast(top), "term")
+        val covered = inTop.groupBy(col("source")).agg(sum(col("cnt")).as("cov"))
+        val grid = tot.crossJoin(broadcast(top))
+          .join(inTop, Seq("source", "term"), "left")
+          .select(col("source"), col("term"),
+            coalesce(col("cnt"), lit(0L)).as("c"), col("n_s"))
+        val other = tot.join(covered, Seq("source"), "left")
+          .select(col("source"), lit("__other__").as("term"),
+            (col("n_s") - coalesce(col("cov"), lit(0L))).as("c"), col("n_s"))
+        val dd = org.apache.spark.sql.types.DoubleType
+        val dist = grid.unionByName(other)
+          .select(col("source"), col("term"),
+            round((col("c") + 1).cast(dd) / (col("n_s") + 1025).cast(dd), 12).as("p"))
+        val pa = col("a.p"); val pb = col("b.p")
+        val tc = round(lit(0.5d) * (pa * log(lit(2d) * pa / (pa + pb)) +
+          pb * log(lit(2d) * pb / (pa + pb))), 12)
+        dist.as("a").join(dist.as("b"),
+            col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(round(Exprs.dsum(tc, 12), 6).as("js"))
+      },
+      oracle = Some("""
+        WITH toks2 AS (
+          SELECT source, term FROM (
+            SELECT source,
+              unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS term
+            FROM documents) u
+          WHERE term <> ''),
+        census AS MATERIALIZED (
+          SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks2 GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM census GROUP BY 1),
+        top AS MATERIALIZED (SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY SUM(cnt) DESC, term ASC) AS rn
+          FROM census GROUP BY term) z WHERE rn <= 1024),
+        intop AS (SELECT c.* FROM census c JOIN top USING (term)),
+        covered AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS cov FROM intop GROUP BY 1),
+        grid AS (
+          SELECT t.source, tp.term, COALESCE(i.cnt, 0) AS c, t.n_s
+          FROM tot t CROSS JOIN top tp
+          LEFT JOIN intop i ON i.source = t.source AND i.term = tp.term),
+        oth AS (
+          SELECT t.source, '__other__' AS term, t.n_s - COALESCE(cv.cov, 0) AS c, t.n_s
+          FROM tot t LEFT JOIN covered cv USING (source)),
+        dist AS (
+          SELECT source, term,
+            round(CAST(c + 1 AS DOUBLE) / CAST(n_s + 1025 AS DOUBLE), 12) AS p
+          FROM (SELECT * FROM grid UNION ALL SELECT * FROM oth) u)
+        SELECT a.source AS source_a, b.source AS source_b,
+          round(CAST(SUM(CAST(
+            round(0.5e0 * (a.p * ln(2e0 * a.p / (a.p + b.p)) +
+              b.p * ln(2e0 * b.p / (a.p + b.p))), 12)
+            AS DECIMAL(30,12))) AS DOUBLE), 6) AS js
+        FROM dist a JOIN dist b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2"""),
+      bench = true),
+
     // Benchmark decontamination (the n-gram overlap check training pipelines
     // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
