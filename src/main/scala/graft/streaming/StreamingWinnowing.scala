@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.LongType
   * The reference side is fixed-size by definition (the q73/q199/
   * StreamingDecontam broadcast contract), materialized ONCE into an
   * fp → sorted-reference-doc-ids literal. The stream side is completely
-  * STATELESS: [[Dedup.winnowMins]] makes fingerprint selection a row-local
-  * column expression (a doc's fingerprints depend only on its own tokens),
+  * STATELESS: [[graft.functions.WinnowSelect]] makes fingerprint selection
+  * a row-local expression (a doc's fingerprints depend only on its own tokens),
   * so flagging is per-row work — append mode, no shuffle, no state store,
   * unconditionally scalable on the stream.
   *
@@ -52,9 +52,7 @@ object StreamingWinnowing {
     docs
       .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        transform(Exprs.shingles(col("toks"), k), g => Exprs.h60(g)).as("hs"))
-      .select(col("doc_id"),
-        array_distinct(Dedup.winnowMins(col("hs"), w)).as("fps"))
+        array_distinct(graft.functions.WinnowSelect(col("toks"), k, w)).as("fps"))
       .select(col("doc_id"),
         filter(col("fps"), f => element_at(lookup, f).isNotNull).as("hits"))
       .filter(size(col("hits")) > 0)

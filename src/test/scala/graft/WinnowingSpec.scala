@@ -23,6 +23,21 @@ class WinnowingSpec extends SparkSpec {
     (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
   ).toDF("doc_id", "text")
 
+  test("native WinnowSelect is bit-equal to the HOF twin, including sub-window docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 9).map(i => s"w$i")
+    val docs = ((1L to 50L).map { id =>
+      (id, (1 to (1 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (99L, "one two")) // fewer than k tokens → empty fingerprint set
+      .toDF("doc_id", "text")
+    val native = Dedup.winnowFingerprints(docs, K, W)
+      .as[(Long, Long, Long)].collect().toSet
+    val hof = Dedup.winnowFingerprintsHof(docs, K, W)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == hof)
+    assert(!native.exists(_._1 == 99L))
+  }
+
   test("winnowing guarantee: a shared w+k-1 run always yields a shared fingerprint") {
     val fps = Dedup.winnowFingerprints(guaranteeDocs, K, W)
       .as[(Long, Long, Long)].collect()
