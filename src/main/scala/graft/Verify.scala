@@ -31,6 +31,7 @@ object Verify {
     // red artifact, never as a silently absent parquet dir (round-6 lesson:
     // q87's DATATYPE_MISMATCH vanished from the correctness surface).
     val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         // per-query pin scope: operator pins release when THIS query's dump
@@ -39,6 +40,13 @@ object Verify {
         try Caching.scoped {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // metadata-only count of the written file: a 0-row result that
+          // hash-matches an equally-empty oracle is consistency, not
+          // coverage (the q218-draft lesson — its unigram census had no
+          // r ≤ 10 rows and the gate stayed green on 0 rows), so empty
+          // results are surfaced as their own loud artifact below.
+          rowCounts.put(name,
+            java.lang.Long.valueOf(spark.read.parquet(s"$outDir/$name").count()))
         }
         catch { case e: Throwable =>
           failed.put(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
@@ -74,6 +82,15 @@ object Verify {
     if (!failed.isEmpty)
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
         failed.keySet.asScala.toSeq.sorted.mkString(", "))
+    // empty.json: queries that ran green but returned ZERO rows — always
+    // written (empty array when none) so absence vs emptiness is never
+    // ambiguous, mirroring failed.json's contract.
+    val empty = rowCounts.asScala.collect { case (k, n) if n == 0L => k }.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/empty.json"),
+      empty.map(q).mkString("[", ",", "]"))
+    if (empty.nonEmpty)
+      System.err.println(s"[verify] ${empty.size} quer${if (empty.size == 1) "y" else "ies"} returned 0 rows: " +
+        empty.mkString(", "))
     spark.stop()
   }
 }

@@ -19,6 +19,8 @@ echo "[round_close] 1/2 Verify @ sf0.1 -> VERIFY_sf01.json"
 rm -rf /tmp/rc_sf01
 tools/run_main.sh graft.Verify /root/testdata/sf0.1 /tmp/rc_sf01 >/tmp/rc_sf01.log 2>&1
 python3 tools/check.py /root/testdata/sf0.1 /tmp/rc_sf01 VERIFY_sf01.json | tail -1
+# a hash-match on 0 rows is consistency, not coverage (the q218 lesson)
+python3 -c "import json; e=json.load(open('/tmp/rc_sf01/empty.json')); print('[round_close] zero-row queries:', ', '.join(e) if e else 'none')"
 
 echo "[round_close] 2/2 Bench @ sf0.1 -> bench.json"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
