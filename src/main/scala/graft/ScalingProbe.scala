@@ -532,7 +532,12 @@ object ScalingProbe {
       // q223 JS matrix: two map-side-combined censuses + a FIXED
       // 1025-dimension pair stage (|sources|²/2 × 1025 rows at any
       // corpus size) — the ratio is the census-scan ratio
-      "q223_source_divergence")
+      "q223_source_divergence",
+      // q224 RBO stability: two q90-shape model fits over the pinned
+      // trigram frame + two broadcast-scored passes; everything after the
+      // two top-100 selections runs on 100-row frames — the ratio is the
+      // trigram-scan ratio (q90's)
+      "q224_ranker_agreement")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -595,7 +600,8 @@ object ScalingProbe {
       "q215_ccnet_buckets", "q216_char_entropy",
       "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
       "q220_dedup_keep_best", "q221_context_truncation",
-      "q222_dedup_threshold_sweep", "q223_source_divergence")
+      "q222_dedup_threshold_sweep", "q223_source_divergence",
+      "q224_ranker_agreement")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

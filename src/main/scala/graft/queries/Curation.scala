@@ -2049,6 +2049,135 @@ object Curation {
         GROUP BY 1, 2"""),
       bench = true),
 
+    // Rank-biased overlap (Webber et al. 2010) as a SPLIT-HALF STABILITY
+    // card for the perplexity ranker: train the q90 char-trigram LM twice
+    // on disjoint halves (even / odd doc_ids), score ALL docs under both
+    // models (out-of-model trigrams take the add-one floor — the
+    // StreamingCcnetGate rule), and measure RBO between the two top-100
+    // most-fluent lists at top-weighted truncation depths. High RBO ⇒
+    // yesterday's thresholds survive a model refit; the ranking-level
+    // complement of q204's binary-gate κ. (A first draft compared the
+    // quality and ppl rankers instead — hash-matched with ALL-ZERO
+    // overlaps, the q218 consistency-vs-coverage trap on a degenerate
+    // design; split-half stability is informative by construction.)
+    // Both top-100 lists come from TakeOrderedAndProject; every later
+    // stage runs on 100-row frames (depth grid, overlaps, the p^{d−1}
+    // cumulative sum) — bounded at any corpus scale. Weights round pow()
+    // at 12 dp, partial sums ride the DECIMAL ladder: full hash match.
+    QueryDef("q224_ranker_agreement",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val clean = d
+          .select(col("doc_id"), col("lang"),
+            array_join(Exprs.tokens(col("text")), " ").as("clean"))
+          .filter(length(col("clean")) >= 3)
+        val tris = graft.Caching.pin(clean.select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(clean) - 2), i -> substring(clean, i, 3))")).as("tg")))
+        val dd = org.apache.spark.sql.types.DoubleType
+        def pplUnder(parity: Int): org.apache.spark.sql.DataFrame = {
+          val m = tris.filter(col("doc_id") % 2 === parity)
+            .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("cnt"))
+          val t = m.groupBy(col("lang"))
+            .agg(sum(col("cnt")).as("total"), count(lit(1)).as("dd"))
+          val probs = m.join(t, "lang").select(col("lang"), col("tg"),
+            round(log((col("cnt") + 1).cast(dd) /
+              (col("total") + col("dd")).cast(dd)), 10).as("logp"))
+          val floor = t.select(col("lang"),
+            round(log(lit(1.0d) / (col("total") + col("dd")).cast(dd)), 10).as("fl"))
+          tris.join(broadcast(probs), Seq("lang", "tg"), "left")
+            .join(broadcast(floor), Seq("lang"))
+            .select(col("doc_id"), coalesce(col("logp"), col("fl")).as("lp"))
+            .groupBy(col("doc_id"))
+            .agg(round(exp(-Exprs.dsum(col("lp"), 10) /
+              count(lit(1)).cast(dd)), 6).as("ppl"))
+        }
+        def top100(ppl: org.apache.spark.sql.DataFrame, rank: String) = {
+          val t = graft.Caching.pin(
+            ppl.orderBy(col("ppl").asc, col("doc_id").asc).limit(100))
+          t.withColumn(rank, row_number().over(
+            Window.orderBy(col("ppl").asc, col("doc_id").asc)).cast("long"))
+            .select(col("doc_id"), col(rank))
+        }
+        val j = top100(pplUnder(0), "rs")
+          .join(top100(pplUnder(1), "rt"), Seq("doc_id"), "full_outer")
+        val depths = s.createDataFrame((1L to 100L).map(Tuple1(_))).toDF("depth")
+        val ov = depths.crossJoin(broadcast(j))
+          .filter(col("rs") <= col("depth") && col("rt") <= col("depth"))
+          .groupBy(col("depth")).agg(count(lit(1)).as("overlap"))
+        val terms = depths.join(ov, Seq("depth"), "left")
+          .select(col("depth"), coalesce(col("overlap"), lit(0L)).as("overlap"))
+          .withColumn("w", round(pow(lit(0.9d), col("depth").cast(dd) - lit(1d)), 12))
+          .withColumn("term", round(lit(0.1d) * col("w") * col("overlap").cast(dd) /
+            col("depth").cast(dd), 12))
+        val cum = terms.withColumn("rbo",
+          round(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            .over(Window.orderBy(col("depth"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(dd), 6))
+        cum.filter(col("depth").isin(10L, 25L, 50L, 100L))
+          .select(col("depth"), col("overlap"),
+            expr("(1000000 * overlap) div depth").as("agreement_ppm"), col("rbo"))
+      },
+      oracle = Some("""
+        WITH cl AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM documents),
+        cl2 AS (SELECT * FROM cl WHERE length(clean) >= 3),
+        tris AS MATERIALIZED (
+          SELECT doc_id, lang, substr(clean, CAST(i AS INTEGER), 3) AS tg
+          FROM cl2, unnest(generate_series(1, length(clean) - 2)) AS g(i)),
+        m0 AS MATERIALIZED (SELECT lang, tg, COUNT(*) AS cnt FROM tris WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        t0 AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM m0 GROUP BY 1),
+        p0 AS (SELECT m.lang, m.tg, round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM m0 m JOIN t0 USING (lang)),
+        f0 AS (SELECT lang, round(ln(1.0 / CAST(total + d AS DOUBLE)), 10) AS fl FROM t0),
+        s0 AS (
+          SELECT tr.doc_id,
+            round(exp(-CAST(SUM(CAST(COALESCE(p.logp, f.fl) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)), 6) AS ppl
+          FROM tris tr LEFT JOIN p0 p ON p.lang = tr.lang AND p.tg = tr.tg
+          JOIN f0 f ON f.lang = tr.lang
+          GROUP BY 1),
+        m1 AS MATERIALIZED (SELECT lang, tg, COUNT(*) AS cnt FROM tris WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        t1 AS (SELECT lang, SUM(cnt) AS total, COUNT(*) AS d FROM m1 GROUP BY 1),
+        p1 AS (SELECT m.lang, m.tg, round(ln((cnt + 1) / CAST(total + d AS DOUBLE)), 10) AS logp
+          FROM m1 m JOIN t1 USING (lang)),
+        f1 AS (SELECT lang, round(ln(1.0 / CAST(total + d AS DOUBLE)), 10) AS fl FROM t1),
+        s1 AS (
+          SELECT tr.doc_id,
+            round(exp(-CAST(SUM(CAST(COALESCE(p.logp, f.fl) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)), 6) AS ppl
+          FROM tris tr LEFT JOIN p1 p ON p.lang = tr.lang AND p.tg = tr.tg
+          JOIN f1 f ON f.lang = tr.lang
+          GROUP BY 1),
+        rq AS (SELECT doc_id, rs FROM (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY ppl ASC, doc_id ASC) AS BIGINT) AS rs
+          FROM s0) z WHERE rs <= 100),
+        rp AS (SELECT doc_id, rt FROM (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY ppl ASC, doc_id ASC) AS BIGINT) AS rt
+          FROM s1) z WHERE rt <= 100),
+        j AS (SELECT COALESCE(rq.doc_id, rp.doc_id) AS doc_id, rs, rt
+          FROM rq FULL OUTER JOIN rp ON rq.doc_id = rp.doc_id),
+        depths AS (SELECT CAST(UNNEST(generate_series(1, 100)) AS BIGINT) AS depth),
+        ov AS (
+          SELECT depth, CAST(COUNT(*) AS BIGINT) AS overlap
+          FROM depths CROSS JOIN j WHERE rs <= depth AND rt <= depth
+          GROUP BY 1),
+        terms AS (
+          SELECT d.depth, COALESCE(o.overlap, 0) AS overlap,
+            round(0.1e0 * round(pow(0.9e0, CAST(d.depth AS DOUBLE) - 1e0), 12) *
+              CAST(COALESCE(o.overlap, 0) AS DOUBLE) / CAST(d.depth AS DOUBLE), 12) AS term
+          FROM depths d LEFT JOIN ov o USING (depth)),
+        cum AS (
+          SELECT depth, overlap,
+            round(CAST(SUM(CAST(term AS DECIMAL(30,12)))
+              OVER (ORDER BY depth ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE), 6) AS rbo
+          FROM terms)
+        SELECT depth, overlap, (1000000 * overlap) // depth AS agreement_ppm, rbo
+        FROM cum WHERE depth IN (10, 25, 50, 100)"""),
+      bench = true),
+
     // Benchmark decontamination (the n-gram overlap check training pipelines
     // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
