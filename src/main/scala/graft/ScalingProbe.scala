@@ -537,7 +537,12 @@ object ScalingProbe {
       // trigram frame + two broadcast-scored passes; everything after the
       // two top-100 selections runs on 100-row frames — the ratio is the
       // trigram-scan ratio (q90's)
-      "q224_ranker_agreement")
+      "q224_ranker_agreement",
+      // q225 greedy source selection: 5 rounds × (anti-join + grouped
+      // count + |sources|-row argmax) over the pinned distinct
+      // (source, trigram-type) frame — Heaps-bounded, the ratio is the
+      // type-frame build ratio
+      "q225_source_selection")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -601,7 +606,7 @@ object ScalingProbe {
       "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
       "q220_dedup_keep_best", "q221_context_truncation",
       "q222_dedup_threshold_sweep", "q223_source_divergence",
-      "q224_ranker_agreement")
+      "q224_ranker_agreement", "q225_source_selection")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -2178,6 +2178,98 @@ object Curation {
         FROM cum WHERE depth IN (10, 25, 50, 100)"""),
       bench = true),
 
+    // Greedy source selection by marginal coverage gain — the submodular
+    // maximum-coverage greedy (Nemhauser/Wolsey/Fisher 1978 gives the
+    // (1−1/e) guarantee) applied to "which sources should we ingest
+    // first to maximize new text": each round picks the source adding the
+    // most NOT-YET-COVERED trigram types (ties → source asc; zero-gain
+    // sources stay pickable via the left join so every round emits).
+    // Trigram types, not unigrams — the corpus's ~31-word vocabulary
+    // makes unigram coverage degenerate after one pick (the q218/q224
+    // informativeness lesson applied at design time). Shape: the distinct
+    // (source, type) frame is Heaps-bounded and pinned; each greedy round
+    // is one anti-join + grouped count + a |sources|-row argmax
+    // (TakeOrderedAndProject) — rounds × census passes, no pair term.
+    QueryDef("q225_source_selection",
+      (s, dir) => {
+        val st = graft.Caching.pin(docs(s, dir)
+          .select(col("source"), Exprs.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("source"), explode(arrays_zip(
+            expr("slice(tk, 1, size(tk) - 2)").as("w1"),
+            expr("slice(tk, 2, size(tk) - 2)").as("w2"),
+            expr("slice(tk, 3, size(tk) - 2)").as("w3"))).as("p"))
+          .select(col("source"), concat(col("p.w1"), lit(" "), col("p.w2"),
+            lit(" "), col("p.w3")).as("gram"))
+          .distinct())
+        val srcs = st.select(col("source")).distinct()
+        val nu = st.agg(countDistinct(col("gram")).as("nu"))
+        var covered = st.select(col("gram")).limit(0)
+        var picked = srcs.limit(0)
+        val rows = (1 to 5).map { r =>
+          val remaining = srcs.join(picked, Seq("source"), "left_anti")
+          val gcnt = st.join(covered, Seq("gram"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("g"))
+          val gains = remaining.join(gcnt, Seq("source"), "left")
+            .select(col("source"), coalesce(col("g"), lit(0L)).as("gain"))
+          // localCheckpoint, not pin: each round's frames embed the
+          // previous round's TWICE (the anti-join and the union), so an
+          // in-plan accumulator doubles the logical tree per round —
+          // measured 58 s cold at sf0.1 unpinned, and pinning still OOM'd
+          // the 8g bench driver on Catalyst plan size alone. Checkpointing
+          // cuts the lineage: plans stay linear in rounds (the LSA/
+          // UnigramLm loop discipline), the iteration state is 1-row/
+          // type-space-bounded.
+          import graft.Par.ParOps
+          val pick = gains.orderBy(col("gain").desc, col("source").asc).limit(1)
+            .onePart.localCheckpoint(true)
+          covered = covered
+            .union(st.join(pick.select(col("source")), "source").select(col("gram")))
+            .distinct().compacted.localCheckpoint(true)
+          picked = picked.unionByName(pick.select(col("source")))
+            .onePart.localCheckpoint(true)
+          val cc = covered.agg(count(lit(1)).as("covered"))
+          pick.crossJoin(broadcast(cc)).crossJoin(broadcast(nu))
+            .select(lit(r.toLong).as("pick_round"), col("source"), col("gain"),
+              col("covered"), expr("(1000000 * covered) div nu").as("coverage_ppm"))
+        }
+        rows.reduce(_ unionByName _)
+      },
+      oracle = Some {
+        val prelude = """
+        WITH seq AS (
+          SELECT source, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        tg3 AS (
+          SELECT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM (SELECT source, tk, UNNEST(generate_series(1, len(tk) - 2)) AS i
+                FROM seq WHERE len(tk) >= 3) z),
+        st AS MATERIALIZED (SELECT DISTINCT source, gram FROM tg3),
+        srcs AS (SELECT DISTINCT source FROM st),
+        nu AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS nu FROM st)"""
+        def roundCtes(r: Int): String = {
+          val notPicked = if (r == 1) ""
+            else s"WHERE source NOT IN (${(1 until r).map(i => s"SELECT source FROM p$i").mkString(" UNION ALL ")})"
+          val notCovered = if (r == 1) "" else s"WHERE gram NOT IN (SELECT gram FROM c${r - 1})"
+          val cPrev = if (r == 1) "" else s"SELECT gram FROM c${r - 1} UNION ALL "
+          s"""rem$r AS (SELECT source FROM srcs $notPicked),
+          gc$r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS g FROM st $notCovered GROUP BY 1),
+          g$r AS (SELECT s.source, COALESCE(gc.g, 0) AS gain
+            FROM rem$r s LEFT JOIN gc$r gc USING (source)),
+          p$r AS MATERIALIZED (SELECT source, gain FROM g$r ORDER BY gain DESC, source ASC LIMIT 1),
+          c$r AS MATERIALIZED (SELECT DISTINCT gram FROM (
+            ${cPrev}SELECT s.gram FROM st s JOIN p$r USING (source)) u),
+          cc$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS covered FROM c$r)"""
+        }
+        val rounds = (1 to 5).map(roundCtes).mkString(",\n        ")
+        val selects = (1 to 5).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS pick_round, p$r.source, p$r.gain, cc$r.covered,
+            (1000000 * cc$r.covered) // nu.nu AS coverage_ppm FROM p$r, cc$r, nu""")
+          .mkString("\n        UNION ALL\n        ")
+        s"$prelude,\n        $rounds\n        $selects"
+      },
+      bench = true),
+
     // Benchmark decontamination (the n-gram overlap check training pipelines
     // run before a release, per GPT-3 appx C / Gopher appx: drop or flag train
     // docs sharing n-grams with an eval set). The "benchmark" slice here is
