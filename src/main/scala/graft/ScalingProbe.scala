@@ -542,7 +542,17 @@ object ScalingProbe {
       // count + |sources|-row argmax) over the pinned distinct
       // (source, trigram-type) frame — Heaps-bounded, the ratio is the
       // type-frame build ratio
-      "q225_source_selection")
+      "q225_source_selection",
+      // round-12 session-3 rows: q226 rides q70's CC machinery (its ratio
+      // IS q70's plus a 3-row rollup); q227 is the bucketed WRITE + join —
+      // the write is corpus-linear, the join exchange-free by layout;
+      // q228 is two gram-keyed shuffles (census + join-back), linear in
+      // corpus gram count — the q199 cost class
+      "q226_cluster_safe_split", "q227_bucketed_join",
+      "q228_first_seen_novelty",
+      // q229 runs BOTH shipped dedup kernels (q33 capped + q34 banded) —
+      // its ratio is their sum plus a pair-keyed left join
+      "q229_lsh_dedup_recall")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -606,7 +616,11 @@ object ScalingProbe {
       "q217_vocab_coverage", "q218_good_turing", "q219_jelinek_mercer",
       "q220_dedup_keep_best", "q221_context_truncation",
       "q222_dedup_threshold_sweep", "q223_source_divergence",
-      "q224_ranker_agreement", "q225_source_selection")
+      "q224_ranker_agreement", "q225_source_selection",
+      // round-12 session-3 documents-based rows (q227 never reads text —
+      // id-shift only, the q177 rule)
+      "q226_cluster_safe_split", "q228_first_seen_novelty",
+      "q229_lsh_dedup_recall")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

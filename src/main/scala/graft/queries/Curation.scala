@@ -5496,6 +5496,183 @@ object Curation {
           (1000000 * CAST(SUM(CASE WHEN dfc.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_rate_e6
         FROM fp JOIN dfc USING (f) JOIN keepf k USING (doc_id)
         GROUP BY 1"""),
+      bench = true),
+
+    // Leakage-safe split assignment — the q206 hash-coin split applied at
+    // the DUPLICATE-CLUSTER grain instead of the document grain: every
+    // q70 connected component lands wholly in one split (coin on the
+    // cluster id), so a near-duplicate of a test document can never sit
+    // in train — the eval-contamination failure documented for several
+    // public corpora (near-dup train/test leakage inflates benchmark
+    // scores; splitting by cluster is the standard fix). The card audits
+    // what the policy changes: per split, docs/clusters assigned,
+    // `n_rescued` = docs whose naive DOC-level coin would have placed
+    // them elsewhere (each one a potential leak closed), plus the global
+    // count of clusters the naive split STRADDLES — the leaks the naive
+    // policy would have shipped. 80/10/10 thresholds (not q206's 98/1/1)
+    // keep the card informative at test SF: a non-representative dup
+    // lands in a different naive split with prob 1 − Σp² = 0.34, so the
+    // rescue counts are structurally non-zero (the q218/q224 zero-
+    // information lesson applied at design time). Scale shape: q70's CC
+    // rounds + one coin expression + a 3-row rollup — no new shuffle
+    // beyond the cluster assignment it audits.
+    QueryDef("q226_cluster_safe_split",
+      (s, dir) => {
+        def coin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          Exprs.h60(concat(lit("split:"), c)) % 1000000L
+        def lab(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(c < 800000L, "train").when(c < 900000L, "val").otherwise("test")
+        val d = dupClusterAssignment(s, dir)
+          .select(col("doc_id"), col("cluster_id"),
+            lab(coin(col("cluster_id"))).as("split"),
+            lab(coin(col("doc_id"))).as("d_split"))
+        val leaky = d.groupBy(col("cluster_id"))
+          .agg(countDistinct(col("d_split")).as("k"))
+          .agg(sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_leaky_clusters"))
+        d.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            sum(when(col("d_split") =!= col("split"), 1L).otherwise(0L))
+              .as("n_rescued"))
+          .crossJoin(broadcast(leaky))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes,
+        co AS (
+          SELECT doc_id, cluster_id,
+            CAST('0x' || substr(md5('split:' || cluster_id), 1, 15) AS BIGINT) % 1000000 AS ccoin,
+            CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 1000000 AS dcoin
+          FROM clusters),
+        lab AS (
+          SELECT doc_id, cluster_id,
+            CASE WHEN ccoin < 800000 THEN 'train'
+                 WHEN ccoin < 900000 THEN 'val' ELSE 'test' END AS split,
+            CASE WHEN dcoin < 800000 THEN 'train'
+                 WHEN dcoin < 900000 THEN 'val' ELSE 'test' END AS d_split
+          FROM co),
+        leaky AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters
+          FROM (SELECT cluster_id FROM lab GROUP BY 1
+                HAVING COUNT(DISTINCT d_split) >= 2) t)
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+          CAST(SUM(CASE WHEN d_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+          n_leaky_clusters
+        FROM lab, leaky GROUP BY split, n_leaky_clusters"""),
+      bench = true),
+
+    // First-occurrence novelty — the temporal attribution the dedup cards
+    // lack: scanning docs in doc_id order (the crawl-order proxy), what
+    // fraction of each document's distinct 8-grams has never been seen
+    // before? Dup copies score ~0, boilerplate-heavy docs score low, and
+    // the per-doc `novelty_ppm` is the signal memorization/dedup
+    // diagnostics plot as the "novel text" curve over a crawl (Lee et al.
+    // 2022's dedup analysis popularized the view). Distinct from q199
+    // (overlap vs a FIXED benchmark set) and q183/q210 (pairwise span
+    // alignment): here every gram is attributed to its global first
+    // holder in one census. Scale shape: gram-keyed min-combining
+    // aggregate (map-side partial min) + a gram-keyed join back + doc-
+    // keyed rollup — two content-keyed shuffles, linear in corpus gram
+    // count, no pair term; the same cost class as the q199 decontam scan.
+    QueryDef("q228_first_seen_novelty",
+      (s, dir) => {
+        val sh = graft.Caching.pin(
+          Dedup.shingleSet(docs(s, dir), 8).select(col("doc_id"), col("shingle")))
+        val first = sh.groupBy(col("shingle"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "shingle")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_first"))
+          .select(col("doc_id"), col("n_grams"), col("n_first"),
+            expr("(1000000 * n_first) div n_grams").as("novelty_ppm"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS shingle
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        fo AS (SELECT shingle, MIN(doc_id) AS first_doc FROM g8 GROUP BY 1)
+        SELECT g8.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN fo.first_doc = g8.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+          (1000000 * CAST(SUM(CASE WHEN fo.first_doc = g8.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS novelty_ppm
+        FROM g8 JOIN fo USING (shingle) GROUP BY 1"""),
+      bench = true),
+
+    // MinHash-banding recall card — the dedup-side analog of the q197/q207
+    // retrieval-eval cards: of the pairs the exact capped-Jaccard dedup
+    // (q33, the honest reference kernel) finds, how many does the shipped
+    // banded pipeline (q34, the 100 TB deploy kernel) surface, by
+    // similarity bucket — the measured banding S-curve, next to its
+    // analytic prediction 1−(1−j^4)^8 at each bucket midpoint (Broder's
+    // LSH collision bound; ppm literals precomputed once and embedded
+    // IDENTICALLY in both engines, so no cross-engine pow()). Expected
+    // physics: ~0 recall below j≈0.3, ~1 above j≈0.7 — quantifying
+    // exactly which near-dups banding trades away, the number a dedup
+    // operator needs before choosing (bands, rows). Scale shape: both
+    // kernels are the shipped capped/banded plans (linear by the density
+    // caps); the card adds one pair-keyed left join + a ≤10-row rollup.
+    QueryDef("q229_lsh_dedup_recall",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exact = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05,
+            maxShingleDf = Some(64))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        val found = Dedup.minhashLshPairs(d, threshold = 0.05, portable = true,
+            maxBucketSize = Some(64))
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        val expectPpm = (0 to 9).map { b =>
+          val lo = math.max(0.05, b / 10.0); val hi = (b + 1) / 10.0
+          val m = (lo + hi) / 2
+          b.toLong -> math.round(1e6 * (1 - math.pow(1 - math.pow(m, 4), 8)))
+        }
+        val expectCol = expectPpm.foldLeft(lit(null).cast("long")) {
+          case (acc, (b, p)) => when(col("bucket") === b, lit(p)).otherwise(acc)
+        }
+        exact
+          .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9))
+            .cast(org.apache.spark.sql.types.LongType))
+          .join(found, Seq("doc_a", "doc_b"), "left")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+          .select(col("bucket"), col("n_exact"), col("n_found"),
+            expr("(1000000 * n_found) div n_exact").as("recall_ppm"),
+            expectCol.as("expect_ppm"))
+      },
+      oracle = Some {
+        val expectCase = (0 to 9).map { b =>
+          val lo = math.max(0.05, b / 10.0); val hi = (b + 1) / 10.0
+          val m = (lo + hi) / 2
+          s"WHEN bucket = $b THEN ${math.round(1e6 * (1 - math.pow(1 - math.pow(m, 4), 8)))}"
+        }.mkString(" ")
+        s"""WITH RECURSIVE $shCteBody,
+        $jaccardPairsCtes,
+        $minhashPairsCtes,
+        ej AS (
+          SELECT doc_a, doc_b,
+            CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS j
+          FROM common
+          JOIN csizes sa ON sa.doc_id = doc_a
+          JOIN csizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+        bk AS (
+          SELECT LEAST(CAST(FLOOR(j * 10) AS BIGINT), 9) AS bucket,
+            CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ej LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh_pairs) mh
+            USING (doc_a, doc_b))
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_exact,
+          CAST(SUM(hit) AS BIGINT) AS n_found,
+          (1000000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS recall_ppm,
+          CAST(CASE $expectCase END AS BIGINT) AS expect_ppm
+        FROM bk GROUP BY 1"""
+      },
       bench = true)
   )
 

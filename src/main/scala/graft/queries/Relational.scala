@@ -435,6 +435,49 @@ object Relational {
            AND a.c_custkey < b.c_custkey)
         SELECT id_a, id_b, CAST(score AS BIGINT) AS score
         FROM scored WHERE score >= 5"""),
+      bench = true),
+
+    // Bucketed co-located join — the 100 TB layout technique the catalog
+    // exercises nowhere else AS A REAL WRITE: both fact tables are
+    // persisted `bucketBy(16, <orderkey>)` (hash-bucketed files + bucket
+    // metadata in the session catalog), and the orders⋈lineitem join then
+    // plans with ZERO shuffle exchanges on either input — each of the 16
+    // buckets joins file-against-file, which at cluster scale removes the
+    // two biggest exchanges of the fact-fact join entirely (and repeated
+    // downstream joins on the same key amortize the one-time layout
+    // cost; this is Spark's native `bucketBy`, the warehouse-standard
+    // answer SURVEY §2's T1 "key-grouped repartition" gestures at).
+    // BucketingSpec pins the plan contract: no ShuffleExchange below the
+    // sort-merge join with broadcast disabled, and a point predicate on
+    // the bucket key prunes to 1 of 16 buckets (SelectedBucketsCount) —
+    // the file-skip that turns a key lookup into a 1/16th scan. The
+    // oracle replays the same join+rollup over the ORIGINAL parquet —
+    // proving the bucketed round-trip loses and changes nothing.
+    QueryDef("q227_bucketed_join",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_buckets_$tag").getAbsolutePath
+        Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders_b").saveAsTable(s"orders_b_$tag")
+        Tables(s, dir, "lineitem").write.mode("overwrite").format("parquet")
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem_b").saveAsTable(s"lineitem_b_$tag")
+        s.table(s"orders_b_$tag")
+          .join(s.table(s"lineitem_b_$tag"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1"""),
       bench = true)
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+/** Plan contracts for the q227 bucketed layout: persisting both fact tables
+  * `bucketBy(16, <orderkey>)` must (a) remove BOTH shuffle exchanges under
+  * the orders⋈lineitem sort-merge join — the property that deletes the two
+  * biggest exchanges of a fact-fact join at 100 TB — and (b) prune a point
+  * predicate on the bucket key to a single bucket's files
+  * (SelectedBucketsCount 1/16), the key-lookup file skip. Broadcast is
+  * disabled inside the suite so the small test SF actually plans the
+  * sort-merge join the cluster-scale shape would use. */
+class BucketingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withSmj[A](body: => A): A = {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // AQE off so collect{} sees the physical tree, not the adaptive wrapper
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+    (p.collect(f)) ++ p.subqueries.flatMap(collectAll(_)(f))
+
+  test("bucketed orders⋈lineitem sort-merge join plans with zero input exchanges") {
+    withSmj {
+      // materialize the bucketed tables (idempotent overwrite inside q227)
+      SparkEntry.queries("q227_bucketed_join")(spark, dir).collect()
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val joined = spark.table(s"orders_b_$tag")
+        .join(spark.table(s"lineitem_b_$tag"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), col("l_extendedprice"))
+      val plan = joined.queryExecution.executedPlan
+      val smjs = collectAll(plan) { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle either side:\n$plan")
+    }
+  }
+
+  test("point predicate on the bucket key prunes to 1 of 16 buckets") {
+    withSmj {
+      SparkEntry.queries("q227_bucketed_join")(spark, dir).collect()
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val probe = spark.table(s"orders_b_$tag").filter(col("o_orderkey") === 7L)
+      val scans = collectAll(probe.queryExecution.executedPlan) {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      val pruned = scans.head.optionalBucketSet
+      assert(pruned.isDefined, "bucket pruning did not engage")
+      assert(pruned.get.cardinality() == 1,
+        s"expected 1 selected bucket, got ${pruned.get.cardinality()}")
+    }
+  }
+
+  test("bucketed round-trip result equals the direct parquet join") {
+    withSmj {
+      val bucketed = SparkEntry.queries("q227_bucketed_join")(spark, dir)
+        .orderBy(col("o_orderpriority")).collect().toSeq
+      val direct = graft.sources.Tables(spark, dir, "orders")
+        .join(graft.sources.Tables(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Exprs.dsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("o_orderpriority")).collect().toSeq
+      assert(bucketed == direct)
+    }
+  }
+}
