@@ -552,7 +552,12 @@ object ScalingProbe {
       "q228_first_seen_novelty",
       // q229 runs BOTH shipped dedup kernels (q33 capped + q34 banded) —
       // its ratio is their sum plus a pair-keyed left join
-      "q229_lsh_dedup_recall")
+      "q229_lsh_dedup_recall",
+      // q230 is the partitioned WRITE (corpus-linear) + a directory-pruned
+      // rollup that reads 1/|langs| of what it wrote; q231 is one tokenize
+      // scan + a 1-row moment frame; q232 rides q70's cluster chain
+      "q230_partition_pruned_scan", "q231_signal_correlations",
+      "q232_dup_cluster_histogram")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -620,7 +625,8 @@ object ScalingProbe {
       // round-12 session-3 documents-based rows (q227 never reads text —
       // id-shift only, the q177 rule)
       "q226_cluster_safe_split", "q228_first_seen_novelty",
-      "q229_lsh_dedup_recall")
+      "q229_lsh_dedup_recall", "q230_partition_pruned_scan",
+      "q231_signal_correlations", "q232_dup_cluster_histogram")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

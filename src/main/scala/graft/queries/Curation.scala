@@ -5673,6 +5673,163 @@ object Curation {
           CAST(CASE $expectCase END AS BIGINT) AS expect_ppm
         FROM bk GROUP BY 1"""
       },
+      bench = true),
+
+    // Partition-pruned scan — the third leg of the layout trio (q133
+    // z-order cells, q227 hash buckets, here DIRECTORY partitions):
+    // documents persisted `partitionBy(lang)` (one directory per
+    // language, the Hive layout every 100 TB lakehouse table uses for its
+    // coarse axis), then a lang-filtered rollup whose predicate never
+    // touches row data — it prunes whole directories at PLANNING time.
+    // BucketingSpec pins the contract: the scan's partitionFilters carry
+    // the lang predicate, dataFilters do NOT, and exactly one of the five
+    // partition directories is read — at 100 TB the difference between
+    // scanning 20 TB and 100 TB before the first row moves. Oracle reads
+    // the ORIGINAL unpartitioned parquet — the round-trip through the
+    // partitioned layout (including lang's value→directory→value trip)
+    // provably changes nothing.
+    QueryDef("q230_partition_pruned_scan",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_part_$tag").getAbsolutePath
+        docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(base)
+        s.read.parquet(base)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast(org.apache.spark.sql.types.LongType))
+              .as("sum_chars"))
+      },
+      oracle = Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang = 'en' GROUP BY 1"""),
+      bench = true),
+
+    // Quality-signal correlation matrix — the feature-redundancy audit a
+    // quality-classifier design starts from (two signals at |r|≈1 carry
+    // one signal's information; q224 measured RANK agreement of two
+    // rankers, this measures LINEAR redundancy across the raw signal
+    // set): exact Pearson r over four per-doc signals — token count,
+    // mean word length, distinct-token ratio, raw char count — computed
+    // from ONE moment aggregate (14 decimal-exact sums, map-side
+    // combined, the q01 dsum discipline so summation order cannot leak
+    // into the hash) and expanded to the 6 pairs. Zero-variance pairs
+    // yield NULL via the same guard on both engines. Docs with zero
+    // tokens drop out of the signal frame on both engines (no tokens ⇒
+    // no stats row). Scale shape: one tokenize scan + a 1-row moment
+    // frame — the card costs what the scan costs.
+    QueryDef("q231_signal_correlations",
+      (s, dir) => {
+        val dbl = org.apache.spark.sql.types.DoubleType
+        val pc = docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("n_chars"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        val st = pc.groupBy(col("doc_id"), col("n_chars"))
+          .agg(sum(col("c")).as("n"),
+            sum(length(col("term")) * col("c")).as("chars"),
+            count(lit(1)).as("ndis"))
+          .select(col("n").cast(dbl).as("a"),
+            (col("chars").cast(dbl) / col("n").cast(dbl)).as("b"),
+            (col("ndis").cast(dbl) / col("n").cast(dbl)).as("c"),
+            col("n_chars").cast(dbl).as("d"))
+        val sigs = Seq("a", "b", "c", "d")
+        val moments =
+          Seq(count(lit(1)).cast(dbl).as("n")) ++
+          sigs.map(x => Exprs.dsum(col(x)).as(s"s$x")) ++
+          (for (x <- sigs; y <- sigs if x <= y)
+            yield Exprs.dsum(col(x) * col(y)).as(s"s$x$y"))
+        val m = st.agg(moments.head, moments.tail: _*)
+        val names = Map("a" -> "n_tokens", "b" -> "mean_word_len",
+          "c" -> "distinct_ratio", "d" -> "n_chars")
+        def vr(x: String) = col("n") * col(s"s$x$x") - col(s"s$x") * col(s"s$x")
+        val pairs = for (x <- sigs; y <- sigs if x < y) yield struct(
+          lit(names(x)).as("sig_x"), lit(names(y)).as("sig_y"),
+          when(vr(x) * vr(y) <= 0, lit(null).cast(dbl))
+            .otherwise(round((col("n") * col(s"s$x$y") - col(s"s$x") * col(s"s$y")) /
+              sqrt(vr(x) * vr(y)), 6)).as("r"))
+        m.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+      },
+      oracle = Some {
+        val sigs = Seq("a", "b", "c", "d")
+        val names = Map("a" -> "n_tokens", "b" -> "mean_word_len",
+          "c" -> "distinct_ratio", "d" -> "n_chars")
+        val moments =
+          (Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+            sigs.map(x => s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE) AS s$x") ++
+            (for (x <- sigs; y <- sigs if x <= y)
+              yield s"CAST(SUM(CAST($x*$y AS DECIMAL(30,6))) AS DOUBLE) AS s$x$y"))
+            .mkString(",\n            ")
+        def vr(x: String) = s"(n*s$x$x - s$x*s$x)"
+        val rows = (for (x <- sigs; y <- sigs if x < y) yield
+          s"""SELECT '${names(x)}' AS sig_x, '${names(y)}' AS sig_y,
+            CASE WHEN ${vr(x)} * ${vr(y)} <= 0 THEN NULL
+                 ELSE round((n*s$x$y - s$x*s$y) / sqrt(${vr(x)} * ${vr(y)}), 6)
+            END AS r FROM m""").mkString("\n        UNION ALL\n        ")
+        s"""
+        WITH sq AS (
+          SELECT doc_id, n_chars,
+            list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        pc AS (
+          SELECT doc_id, n_chars, term, COUNT(*) AS c
+          FROM (SELECT doc_id, n_chars, unnest(tk) AS term FROM sq) u GROUP BY 1, 2, 3),
+        st AS (
+          SELECT CAST(SUM(c) AS DOUBLE) AS a,
+            CAST(SUM(LEN(term)*c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS b,
+            CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS c,
+            CAST(n_chars AS DOUBLE) AS d
+          FROM pc GROUP BY doc_id, n_chars),
+        m AS (
+          SELECT $moments
+          FROM st)
+        $rows"""
+      },
+      bench = true),
+
+    // Duplicate-cluster size histogram — the dedup report's summary
+    // figure (every dedup paper's "cluster size distribution"): q70's
+    // connected components bucketed by ⌈log₂ size⌉, with cluster counts,
+    // doc counts and each bucket's share of the corpus in integer
+    // millionths. Reads directly off the q70 assignment — one grouped
+    // count + a ≤21-row rollup; the card that says whether duplication
+    // mass sits in a few mega-clusters (boilerplate mirrors — purge
+    // representatives) or a long tail of pairs (crawl echoes — soft
+    // weights), i.e. whether q72's purge or q191's weights is the right
+    // deploy lever.
+    QueryDef("q232_dup_cluster_histogram",
+      (s, dir) => {
+        val cl = dupClusterAssignment(s, dir)
+        val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        val bucket = (1 to 20).foldLeft(when(col("sz") <= 1, 0L)) {
+          (acc, b) => acc.when(col("sz") <= (1L << b), b.toLong)
+        }
+        val total = cl.agg(count(lit(1)).as("n_all"))
+        sizes.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            max(col("sz")).as("max_size"))
+          .crossJoin(broadcast(total))
+          .select(col("bucket"), col("n_clusters"), col("n_docs"), col("max_size"),
+            expr("(1000000 * n_docs) div n_all").as("docs_ppm"))
+      },
+      oracle = Some {
+        val bucketCase = "CASE WHEN sz <= 1 THEN 0 " +
+          (1 to 20).map(b => s"WHEN sz <= ${1L << b} THEN $b").mkString(" ") + " END"
+        s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes,
+        cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM clusters GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM clusters)
+        SELECT CAST($bucketCase AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(sz) AS BIGINT) AS n_docs,
+          CAST(MAX(sz) AS BIGINT) AS max_size,
+          (1000000 * CAST(SUM(sz) AS BIGINT)) // n_all AS docs_ppm
+        FROM cs, tot GROUP BY 1, n_all"""
+      },
       bench = true)
   )
 

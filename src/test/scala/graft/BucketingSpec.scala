@@ -69,6 +69,34 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q230 partitioned layout: lang predicate prunes directories at plan time") {
+    withSmj {
+      // materialize the partitioned layout (idempotent overwrite inside q230)
+      SparkEntry.queries("q230_partition_pruned_scan")(spark, dir).collect()
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_part_$tag").getAbsolutePath
+      val en = spark.read.parquet(base).filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val scans = collectAll(en.queryExecution.executedPlan) {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      // the predicate must live in partitionFilters (directory pruning),
+      // never in dataFilters (per-row evaluation after reading the bytes)
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+        s"lang predicate missing from partitionFilters: ${scan.partitionFilters}")
+      assert(!scan.dataFilters.exists(_.references.exists(_.name == "lang")),
+        s"lang predicate leaked into dataFilters: ${scan.dataFilters}")
+      val langs = spark.read.parquet(base).select(col("lang")).distinct().count()
+      assert(langs > 1, "fixture must have multiple partitions")
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 of $langs directories, read ${scan.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("bucketed round-trip result equals the direct parquet join") {
     withSmj {
       val bucketed = SparkEntry.queries("q227_bucketed_join")(spark, dir)
