@@ -557,7 +557,11 @@ object ScalingProbe {
       // rollup that reads 1/|langs| of what it wrote; q231 is one tokenize
       // scan + a 1-row moment frame; q232 rides q70's cluster chain
       "q230_partition_pruned_scan", "q231_signal_correlations",
-      "q232_dup_cluster_histogram")
+      "q232_dup_cluster_histogram",
+      // q233 is the q199 broadcast-decontam shape + a constant-factor
+      // (×8) position expansion on the hit set; q234 is rounds × one
+      // corpus pass against a 1-row broadcast over the embeddings replica
+      "q233_decontam_span_surgery", "q234_kcenter_selection")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -626,7 +630,10 @@ object ScalingProbe {
       // id-shift only, the q177 rule)
       "q226_cluster_safe_split", "q228_first_seen_novelty",
       "q229_lsh_dedup_recall", "q230_partition_pruned_scan",
-      "q231_signal_correlations", "q232_dup_cluster_histogram")
+      "q231_signal_correlations", "q232_dup_cluster_histogram",
+      // q233 is documents-based two-regime; q234 reads only embeddings
+      // (id-shift/translated replica, the q177 rule)
+      "q233_decontam_span_surgery")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -5830,6 +5830,159 @@ object Curation {
           (1000000 * CAST(SUM(sz) AS BIGINT)) // n_all AS docs_ppm
         FROM cs, tot GROUP BY 1, n_all"""
       },
+      bench = true),
+
+    // Surgical decontamination accounting — q199 FLAGS contaminated docs;
+    // production pipelines usually don't drop them, they cut the
+    // contaminated SPANS and keep the rest (the span-surgery posture).
+    // This card computes exactly what that surgery removes: per
+    // contaminated doc, the flagged 8-gram count, the distinct token
+    // positions those grams cover (overlapping hits merge — the union of
+    // spans, not their sum), tokens kept after the cut, and removed_ppm.
+    // Same deterministic eval-sentence enrichment and benchmark slice as
+    // q199, so the two cards reconcile: q199 says WHO is contaminated,
+    // this says HOW MUCH of them survives surgery. Scale shape: the
+    // benchmark gram set is suite-bounded → broadcast; flagged rows ≤ 8×
+    // hit count; position expansion is per-hit constant (8) — no pair
+    // term, the q199 cost class.
+    QueryDef("q233_decontam_span_surgery",
+      (s, dir) => {
+        val lng = org.apache.spark.sql.types.LongType
+        val e1 = " held out benchmark question answer pairs must never leak into training"
+        val e2 = " the standardized test prompt appears verbatim in this document for evaluation"
+        val d2 = docs(s, dir).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0, lit(e1)).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(e2)).otherwise(lit(""))))
+        val sp = graft.Caching.pin(d2
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast(lng).as("n_before"),
+            posexplode(Exprs.shingles(col("toks"), 8)).as(Seq("p0", "g")))
+          .select(col("doc_id"), col("n_before"),
+            (col("p0") + 1).cast(lng).as("p"), col("g")))
+        val bench = sp.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+        val flagged = sp.filter(col("doc_id") % 97 =!= 0).join(broadcast(bench), "g")
+        val removed = flagged
+          .select(col("doc_id"), col("n_before"),
+            explode(sequence(col("p"), col("p") + 7)).as("pos"))
+          .groupBy(col("doc_id"), col("n_before"))
+          .agg(countDistinct(col("pos")).as("n_removed"))
+        val spans = flagged.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_flagged_grams"))
+        removed.join(spans, "doc_id")
+          .select(col("doc_id"), col("n_before"), col("n_flagged_grams"),
+            col("n_removed"), (col("n_before") - col("n_removed")).as("n_after"),
+            expr("(1000000 * n_removed) div n_before").as("removed_ppm"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(
+              text ||
+              CASE WHEN doc_id % 13 = 0 THEN ' held out benchmark question answer pairs must never leak into training' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' the standardized test prompt appears verbatim in this document for evaluation' ELSE '' END
+            ), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        g8 AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_before, CAST(i AS BIGINT) AS p,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+        fl AS (SELECT g8.* FROM g8 JOIN bg USING (g) WHERE doc_id % 97 <> 0),
+        pos AS (
+          SELECT DISTINCT doc_id, n_before, p + o AS pos
+          FROM (SELECT doc_id, n_before, p,
+                  unnest(generate_series(0, 7)) AS o FROM fl) z),
+        rem AS (SELECT doc_id, n_before, CAST(COUNT(*) AS BIGINT) AS n_removed
+                FROM pos GROUP BY 1, 2),
+        spn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+                FROM fl GROUP BY 1)
+        SELECT r.doc_id, r.n_before, spn.n_flagged_grams, r.n_removed,
+          r.n_before - r.n_removed AS n_after,
+          (1000000 * r.n_removed) // r.n_before AS removed_ppm
+        FROM rem r JOIN spn USING (doc_id)"""),
+      bench = true),
+
+    // Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    // traversal, the 2-approximation every diversity-pruning pipeline
+    // builds on): seed = the min-id vector, each round adds the vector
+    // farthest from the selected set and reports the coverage radius
+    // (max-min distance) — the decay curve that says how many exemplars
+    // the embedding space needs before new picks stop adding coverage,
+    // i.e. the diversity counterpart to q225's trigram-coverage greedy.
+    // Scale shape: each round is ONE corpus pass against a 1-row
+    // broadcast (update the running min-distance, the k-center trick —
+    // never |selected|·n), the argmax is a TakeOrderedAndProject, and the
+    // running frame is localCheckpoint'ed per round (the q225 loop
+    // discipline: it is read twice per round — radius + update). Oracle:
+    // all rounds unrolled as MATERIALIZED CTEs over the same 6-dp
+    // sequential-fold L2 the ANN family uses.
+    QueryDef("q234_kcenter_selection",
+      (s, dir) => {
+        import graft.Par.ParOps
+        val dbl = org.apache.spark.sql.types.DoubleType
+        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+            lit(0.0d), (acc, v) => acc + v), 6)
+        val e = graft.Caching.pin(Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast(org.apache.spark.sql.types.ArrayType(dbl)).as("v")))
+        var sel = e.orderBy(col("vec_id").asc).limit(1)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+          .onePart.localCheckpoint(true)
+        var minD = e.crossJoin(broadcast(sel))
+          .select(col("vec_id"), col("v"), l2(col("v"), col("cv")).as("d"))
+          .compacted.localCheckpoint(true)
+        val rows = (1 to 6).map { r =>
+          val radius = minD.agg(max(col("d")).as("radius"))
+          val card = sel.crossJoin(broadcast(radius))
+            .select(lit(r.toLong).as("pick_round"), col("c_id").as("vec_id"),
+              col("radius"))
+          val nxt = minD.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id").as("c_id"), col("v").as("cv"))
+            .onePart.localCheckpoint(true)
+          minD = minD.crossJoin(broadcast(nxt))
+            .select(col("vec_id"), col("v"),
+              least(col("d"), l2(col("v"), col("cv"))).as("d"))
+            .compacted.localCheckpoint(true)
+          sel = nxt
+          card
+        }
+        rows.reduce(_ unionByName _)
+      },
+      oracle = Some {
+        val l2 = (a: String, b: String) =>
+          s"round(list_reduce(list_transform(range(1, len($a) + 1), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y), 6)"
+        val rounds = (1 to 6).map { r =>
+          val dPrev = if (r == 1) "" else {
+            s"""d$r AS MATERIALIZED (
+            SELECT p.vec_id, p.v, LEAST(p.d, ${l2("p.v", "c.cv")}) AS d
+            FROM d${r - 1} p, c$r c),"""
+          }
+          val cDef = if (r == 1)
+            s"c1 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id ASC LIMIT 1),"
+          else
+            s"""c$r AS MATERIALIZED (
+            SELECT vec_id AS c_id, v AS cv FROM d${r - 1}
+            ORDER BY d DESC, vec_id ASC LIMIT 1),"""
+          val dDef = if (r == 1)
+            s"""d1 AS MATERIALIZED (
+            SELECT e.vec_id, e.v, ${l2("e.v", "c.cv")} AS d
+            FROM e, c1 c),"""
+          else dPrev
+          s"$cDef\n        $dDef"
+        }.mkString("\n        ").stripSuffix(",")
+        val selects = (1 to 6).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS pick_round, c$r.c_id AS vec_id,
+            (SELECT MAX(d) FROM d$r) AS radius FROM c$r""")
+          .mkString("\n        UNION ALL\n        ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $rounds
+        $selects"""
+      },
       bench = true)
   )
 
