@@ -167,7 +167,7 @@ object Bench {
     // runs in the same order as each timed sweep — a query's snapshot
     // therefore reflects what the queries before it contributed, same as
     // the pre-interleaving sequential bench.
-    val memoSnaps = scala.collection.mutable.Map.empty[String, (AnyRef, AnyRef)]
+    val memoSnaps = scala.collection.mutable.Map.empty[String, (AnyRef, AnyRef, AnyRef)]
     val failed = scala.collection.mutable.Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val gcDeltas = scala.collection.mutable.Map.empty[String, List[Long]].withDefaultValue(Nil)
@@ -199,6 +199,7 @@ object Bench {
     }
     val lsaSnaps = () => memoSnaps.values.map(_._1)
     val pcaSnaps = () => memoSnaps.values.map(_._2)
+    val dupSnaps = () => memoSnaps.values.map(_._3)
 
     // Timed sweeps, round-robin: pass k of every query before pass k+1 of
     // any. Median per query. Each slot runs a PRIMING pass then the timed
@@ -225,12 +226,14 @@ object Bench {
     // free hit on its own prime.
     def timedSweeps(qs: Seq[QueryDef]): Unit =
       for (_ <- 1 to 3; q <- qs if !failed(q.name)) guarded(q) {
-        val (lsaSnap, pcaSnap) = memoSnaps(q.name)
+        val (lsaSnap, pcaSnap, dupSnap) = memoSnaps(q.name)
         ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
         ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
+        operators.DupClusters.restoreMemoPruned(dupSnap, dupSnaps())
         runOnce(q) // prime: pins + page cache for THIS slot only
         ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
         ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
+        operators.DupClusters.restoreMemoPruned(dupSnap, dupSnaps())
         val gc0 = gcMillis()
         val t = runOnce(q)
         val gcd = gcMillis() - gc0
@@ -261,14 +264,25 @@ object Bench {
     canaryPass("start")
     val warmSecs = scala.collection.mutable.Map.empty[String, Double]
     candidates.foreach { q =>
-      memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+      memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
       guarded(q) {
         val w = runOnce(q)
         // A first-of-its-family warm-up pays that family's JIT/codegen on
         // top of the query's real cost (q34 steady 0.7 s read >5 s warm in
         // the smoke test). For would-be-late rows only, measure once more —
-        // JIT now paid — and classify on the cheaper pass.
-        warmSecs(q.name) = if (w <= lateThresholdSec) w else math.min(w, runOnce(q))
+        // JIT now paid — and classify on the cheaper pass. The retry FIRST
+        // restores the row's own memo snapshot: the first pass may have
+        // built a session memo entry (DupClusters for q70) that the row's
+        // timed passes will never see — an unrestored retry reads a memo
+        // hit (0.08 s vs the honest 3 s), records a warm-up no timed pass
+        // can match, and trips the self-heal sweep on a healthy row.
+        warmSecs(q.name) = if (w <= lateThresholdSec) w else {
+          val (lsaSnap, pcaSnap, dupSnap) = memoSnaps(q.name)
+          ml.Lsa.restoreMemoShared(lsaSnap)
+          ml.Pca.restoreMemoShared(pcaSnap)
+          operators.DupClusters.restoreMemoShared(dupSnap)
+          math.min(w, runOnce(q))
+        }
       }
     }
     val mainQs = candidates.filter(q => warmSecs.getOrElse(q.name, 0.0) <= lateThresholdSec)
@@ -297,12 +311,12 @@ object Bench {
     if (lateQs.nonEmpty) {
       Caching.release()
       spark.catalog.clearCache()
-      ml.Lsa.clearMemo(); ml.Pca.clearMemo()
+      ml.Lsa.clearMemo(); ml.Pca.clearMemo(); operators.DupClusters.clearMemo()
       memoSnaps.clear()
       spark = spark.newSession()
       canaryPass("late_open")
       lateQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
-        memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+        memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) { freshWarm(q.name) = runOnce(q) }
       }
       timedSweeps(lateQs)
@@ -341,13 +355,13 @@ object Bench {
         healQs.map(q => f"${q.name} median=${healSnapshot(q.name)}%.2f warm=${honestWarm(q.name)}%.2f").mkString(", "))
       Caching.release()
       spark.catalog.clearCache()
-      ml.Lsa.clearMemo(); ml.Pca.clearMemo()
+      ml.Lsa.clearMemo(); ml.Pca.clearMemo(); operators.DupClusters.clearMemo()
       memoSnaps.clear()
       spark = spark.newSession()
       canaryPass("heal_open")
       val healFailedBefore = failed.toSet
       healQs.foreach { q =>
-        memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot())
+        memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) { healWarm(q.name) = runOnce(q) }
       }
       healQs.foreach { q => times.remove(q.name); gcDeltas.remove(q.name) }

@@ -652,6 +652,7 @@ object ScalingProbe {
       // make a repeated base measurement near-free, corrupting the ratio
       ml.Lsa.clearMemo()
       ml.Pca.clearMemo()
+      operators.DupClusters.clearMemo()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

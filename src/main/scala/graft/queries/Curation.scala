@@ -6240,17 +6240,14 @@ object Curation {
     base + loop + merges
   }
 
-  /** Shared by q70/q72: every doc labeled with the min doc_id of its
-    * q33-pair connected component; singleton docs label themselves. */
+  /** Shared by q70/q72/q191/q220/q226/q232: every doc labeled with the min
+    * doc_id of its q33-pair connected component; singleton docs label
+    * themselves. Delegates to the session-scoped
+    * [[graft.operators.DupClusters]] memo — the six deployments in one
+    * session pay the CC chain once (the Lsa/Pca memo discipline; Bench's
+    * snapshot/restore keeps each row's timed pass measuring its marginal
+    * work). */
   private def dupClusterAssignment(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05,
-        maxShingleDf = Some(64))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comp = graft.graph.Graphs.connectedComponents(pairs)
-      .withColumnRenamed("v", "doc_id")
-    docs(s, dir).select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-  }
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.DupClusters.assignment(docs(s, dir))
 }
