@@ -561,7 +561,10 @@ object ScalingProbe {
       // q233 is the q199 broadcast-decontam shape + a constant-factor
       // (×8) position expansion on the hit set; q234 is rounds × one
       // corpus pass against a 1-row broadcast over the embeddings replica
-      "q233_decontam_span_surgery", "q234_kcenter_selection")
+      "q233_decontam_span_surgery", "q234_kcenter_selection",
+      // q235 shares ONE index build across the four sweep points; the
+      // truth side is the fixed-panel brute kernel (the q207 posture)
+      "q235_nprobe_sweep")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in

@@ -280,6 +280,78 @@ object Pq {
         (col("i") + 1).cast(LongType).as("rk"))
   }
 
+  /** [[ivfPqTopK]] for a SWEEP of nprobe values sharing ONE index build —
+    * the recall-vs-nprobe tuning measurement (q235): coarse fit, residual
+    * PQ, codes and the per-(query, cell) ADC tables are computed once at
+    * nprobe = max; each sweep point then filters the probe list by the
+    * cell's coarse rank (probing more cells only ADDS candidates, so the
+    * np-point ranking is the rank over candidates whose cell rank ≤ np) and
+    * runs its own bounded heap. Output: (nprobe, q_id, n_id, d2, rk) —
+    * each slice bit-equal to a standalone [[ivfPqTopK]] call at that
+    * nprobe (PqSpec pins it). */
+  def ivfPqSweepTopK(queries: DataFrame, corpus: DataFrame, kCoarse: Int,
+                     coarseIter: Int, m: Int, kc: Int, pqIter: Int,
+                     nprobes: Seq[Int], k: Int): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(np => np >= 1 && np <= kCoarse),
+      s"need nprobes within 1..$kCoarse, got $nprobes")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val npMax = nprobes.max
+    val e = corpus.select(col("vec_id"), col("vec"))
+    val coarse = KMeans.fit(e, kCoarse, coarseIter).compacted.localCheckpoint(eager = true)
+    val res = KMeans.assign(e, coarse)
+      .join(broadcast(coarse), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("vec"))
+      .compacted.localCheckpoint(eager = true)
+    val codebooks = fit(res.select(col("vec_id"), col("vec")), m, kc, pqIter)
+    val codes = encode(res.select(col("vec_id"), col("vec")), codebooks, m)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .compacted.localCheckpoint(eager = true)
+    val qd2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("centroid_id").asc)
+    val qr = queries.select(col("vec_id").as("q_id"), col("vec"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", qd2)
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= npMax)
+      .select(col("q_id"), col("centroid_id").as("cell"), col("rn").cast(LongType).as("rn"),
+        zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("rv"))
+    val sd2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val dtab = qr
+      .select(col("q_id"), col("cell"), col("rn"), col("rv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("q_id"), col("cell"), col("rn"), col("sub_id"),
+        expr(s"slice(rv, sub_id * (size(rv) DIV $m) + 1, size(rv) DIV $m)").as("sv"))
+      .join(broadcast(codebooks), "sub_id")
+      .select(col("q_id"), col("cell"), col("rn"), col("sub_id"), col("centroid_id"), sd2.as("d2"))
+      .groupBy(col("q_id"), col("cell"), col("rn"))
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        (col("sub_id").cast(LongType) * kc + col("centroid_id")).cast("int").as("key"),
+        col("d2").as("value"))))).as("dt"))
+    val dist = (0 until m).map { s =>
+      element_at(col("dt"), (lit(s.toLong * kc) + element_at(col("codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
+    val nps = nprobes.map(np => lit(np.toLong))
+    codes.join(dtab, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("rn"), col("vec_id").as("n_id"), round(dist, 6).as("d2"))
+      .select(col("q_id"), col("rn"), col("n_id"), col("d2"),
+        explode(array(nps: _*)).as("np"))
+      .filter(col("rn") <= col("np"))
+      .as[(Long, Long, Long, Double, Long)]
+      .groupByKey(r => (r._5, r._1))
+      .mapValues(r => TopK.Scored(r._3, -r._4))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(col("key._1").as("nprobe"), col("key._2").as("q_id"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("nprobe"), col("q_id"), col("s.id").as("n_id"),
+        round(-col("s.score"), 6).as("d2"), (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   /** IVF-PQ + exact re-rank (the TPAMI'11 §VII refinement applied to the
     * IVFADC path — [[adcRerankTopK]]'s sibling over [[ivfPqTopK]]): the
     * probed-cell ADC shortlist prunes the corpus, then true squared-L2

@@ -5983,6 +5983,85 @@ object Curation {
         $rounds
         $selects"""
       },
+      bench = true),
+
+    // Recall-vs-nprobe tuning sweep — the knob the production ANN path
+    // actually turns: q207 grades ONE operating point (nprobe=2); this
+    // card measures the whole recall/MRR/hit@1 curve at nprobe ∈
+    // {1,2,4,8} from ONE shared index build (`Pq.ivfPqSweepTopK`: coarse
+    // fit + residual PQ + codes + ADC tables computed once at nprobe=max;
+    // each sweep point filters candidates by the probed cell's coarse
+    // rank — probing more cells only ADDS candidates — and runs its own
+    // bounded heap, each slice bit-equal to a standalone ivfPqTopK call,
+    // PqSpec-pinned). The curve is what picks nprobe for a recall target:
+    // at 100 TB each point's cost is ~np/kCoarse of the index, so
+    // "recall@np" against the fixed 1 % panel IS the cost/recall
+    // trade-off table. Truth side shared across points (one bruteL2TopK,
+    // pinned). Oracle: the q207 chain with the coarse rank threaded
+    // through (sweep=true), four rank-sliced system CTEs over ONE dist
+    // table, one shared truth, four metric rollups unioned.
+    QueryDef("q235_nprobe_sweep",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val nps = Seq(1, 2, 4, 8)
+        val sweep = graft.Caching.pin(
+          graft.ml.Pq.ivfPqSweepTopK(q, e, kCoarse = 8, coarseIter = 2,
+            m = 4, kc = 8, pqIter = 2, nprobes = nps, k = 10))
+        val truth = graft.Caching.pin(graft.ml.Pq.bruteL2TopK(q, e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("trk")))
+        nps.map { np =>
+          retrievalEvalCard(
+            sweep.filter(col("nprobe") === np.toLong)
+              .select(col("q_id"), col("n_id"), col("rk").as("srk")),
+            truth, s"ivfpq_np$np", k = 10)
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some {
+        val nps = Seq(1, 2, 4, 8)
+        val perNp = nps.map { np =>
+          s"""sys$np AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM dist WHERE rn <= $np) z
+          WHERE rk <= 10),
+        hits$np AS (
+          SELECT s.q_id, s.n_id, s.rk AS srk, t.rk AS trk
+          FROM sys$np s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+        nhits$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits$np),
+        rr$np AS (
+          SELECT CAST(COALESCE(SUM(COALESCE(1000000 // s.rk, 0)), 0) AS BIGINT) AS rr_sum
+          FROM truth t LEFT JOIN sys$np s ON s.q_id = t.q_id AND s.n_id = t.n_id
+          WHERE t.rk = 1),
+        h1$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits$np WHERE trk = 1 AND srk = 1)"""
+        }.mkString(",\n        ")
+        val selects = nps.map { np =>
+          s"""SELECT 'ivfpq_np$np' AS system, n_queries, n_hits,
+          (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
+          rr_sum // n_queries AS mrr_ppm,
+          n_hit1,
+          (1000000 * n_hit1) // n_queries AS hit1_ppm
+        FROM nq, nhits$np, rr$np, h1$np"""
+        }.mkString("\n        UNION ALL\n        ")
+        ivfpqSql(kCoarse = 8, cIter = 2, m = 4, sub = 16, kc = 8,
+          pIter = 2, nprobe = 8, k = 10, sweep = true, fin = s""",
+        tdist AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+            round(list_reduce(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM q JOIN e ON e.vec_id <> q.vec_id),
+        truth AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM tdist) t
+          WHERE rk <= 10),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth),
+        $perNp
+        $selects""")
+      },
       bench = true)
   )
 
@@ -5993,7 +6072,15 @@ object Curation {
     * per-(query, cell) residual LUTs, and the by-CELL ADC distance join —
     * every stage an already-proven ladder, composed. */
   private def ivfpqSql(kCoarse: Int, cIter: Int, m: Int, sub: Int, kc: Int,
-                       pIter: Int, nprobe: Int, k: Int, fin: String = ""): String = {
+                       pIter: Int, nprobe: Int, k: Int, fin: String = "",
+                       sweep: Boolean = false): String = {
+    // sweep = true threads the probe-cell coarse rank `rn` through
+    // qc→qr→t0→dist so a `fin` can slice the candidate set per nprobe
+    // (q235); existing single-nprobe call sites are byte-unaffected.
+    val rnQc = if (sweep) ", rn" else ""
+    val rnQr = if (sweep) ", qc.rn" else ""
+    val rnT0 = if (sweep) ", qs.rn" else ""
+    val rnDist = if (sweep) ", t0.rn" else ""
     val pqUnrolls = (0 until m).map { s =>
       s"""r${s}e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM re),
         ${kmeansCtes(kc, pIter, s"r$s")}"""
@@ -6001,11 +6088,13 @@ object Curation {
     val codeJoins = (0 until m).map(s => s"JOIN r${s}af r$s USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(s => s"r$s.cid AS k${s + 1}").mkString(", ")
     val luts = (0 until m).map { s =>
+      val rnSel = if (sweep && s == 0) rnT0 else ""
+      val rnSrc = if (sweep && s == 0) ", rn" else ""
       s"""t$s AS MATERIALIZED (
-          SELECT qs.q_id, qs.cell, c.cid,
+          SELECT qs.q_id, qs.cell$rnSel, c.cid,
             list_reduce(list_transform(range(1, len(qs.sv) + 1),
               i -> (qs.sv[i] - c.c[i]) * (qs.sv[i] - c.c[i])), (x, y) -> x + y) AS d2
-          FROM (SELECT q_id, cell, rv[${s * sub + 1}:${(s + 1) * sub}] AS sv FROM qr) qs
+          FROM (SELECT q_id, cell$rnSrc, rv[${s * sub + 1}:${(s + 1) * sub}] AS sv FROM qr) qs
           CROSS JOIN r${s}c$pIter c)"""
     }.mkString(",\n        ")
     val distJoins = (1 until m)
@@ -6025,7 +6114,7 @@ object Curation {
           SELECT re.vec_id, re.cell, $codeCols FROM re $codeJoins),
         q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
         qc AS MATERIALIZED (
-          SELECT q_id, cid AS cell, c FROM (
+          SELECT q_id, cid AS cell, c$rnQc FROM (
             SELECT q.vec_id AS q_id, c.cid, c.c,
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
                 list_reduce(list_transform(range(1, len(q.v) + 1),
@@ -6034,12 +6123,12 @@ object Curation {
             FROM q CROSS JOIN gc$cIter c) z
           WHERE rn <= $nprobe),
         qr AS MATERIALIZED (
-          SELECT qc.q_id, qc.cell,
+          SELECT qc.q_id, qc.cell$rnQr,
             list_transform(range(1, len(q.v) + 1), i -> q.v[i] - qc.c[i]) AS rv
           FROM qc JOIN q ON q.vec_id = qc.q_id),
         $luts,
         dist AS (
-          SELECT t0.q_id, cd.vec_id AS n_id, round($distSum, 6) AS d2
+          SELECT t0.q_id$rnDist, cd.vec_id AS n_id, round($distSum, 6) AS d2
           FROM codes cd
           JOIN t0 ON t0.cell = cd.cell AND t0.cid = cd.k1
           $distJoins

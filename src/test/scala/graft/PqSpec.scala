@@ -125,6 +125,25 @@ class PqSpec extends SparkSpec {
     assert(narrow.size <= queries.count() * 10)
   }
 
+  test("ivfPqSweepTopK slices are bit-equal to standalone ivfPqTopK per nprobe") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val sweep = Pq.ivfPqSweepTopK(q, emb, kCoarse = 8, coarseIter = 2,
+        m = 4, kc = 8, pqIter = 2, nprobes = Seq(1, 2, 4), k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (np, rows) =>
+        np -> rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      }
+    for (np <- Seq(1, 2, 4)) {
+      val solo = Pq.ivfPqTopK(q, emb, kCoarse = 8, coarseIter = 2,
+          m = 4, kc = 8, pqIter = 2, nprobe = np, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(sweep(np.toLong) == solo && solo.nonEmpty,
+        s"sweep slice np=$np diverges from standalone ivfPqTopK")
+    }
+  }
+
   test("ADC search plan broadcasts the query tables; the codes side streams") {
     val e = emb
     val cbs = Pq.fit(e, m = 4, k = 8, iterations = 1)
