@@ -564,7 +564,10 @@ object ScalingProbe {
       "q233_decontam_span_surgery", "q234_kcenter_selection",
       // q235 shares ONE index build across the four sweep points; the
       // truth side is the fixed-panel brute kernel (the q207 posture)
-      "q235_nprobe_sweep")
+      "q235_nprobe_sweep",
+      // q236 rides the memoized q70 assignment + the q33 pair set — one
+      // pair-keyed join + a cluster rollup on top of their cost
+      "q236_dup_chain_audit")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in
@@ -636,7 +639,7 @@ object ScalingProbe {
       "q231_signal_correlations", "q232_dup_cluster_histogram",
       // q233 is documents-based two-regime; q234 reads only embeddings
       // (id-shift/translated replica, the q177 rule)
-      "q233_decontam_span_surgery")
+      "q233_decontam_span_surgery", "q236_dup_chain_audit")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

@@ -6062,6 +6062,49 @@ object Curation {
         $perNp
         $selects""")
       },
+      bench = true),
+
+    // Duplicate-cluster chaining audit — the known failure mode of
+    // transitive-closure dedup (q70's CC): A~B and B~C merge A and C into
+    // one cluster even when A≁C, so a chain of borderline pairs can weld
+    // unrelated documents together and q72's purge then deletes documents
+    // that duplicate NOTHING kept. Per multi-doc cluster: edge count,
+    // density_ppm = 2E/(n(n−1)) (1e6 = clique — true duplicates; low =
+    // chain — inspect before purging) and the weakest link (min pair
+    // Jaccard — the edge a threshold bump would cut). Reads the memoized
+    // q70 assignment + the q33 pair set (every pair's endpoints share a
+    // cluster by construction): one pair-keyed join + a cluster rollup.
+    QueryDef("q236_dup_chain_audit",
+      (s, dir) => {
+        val cl = dupClusterAssignment(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05,
+            maxShingleDf = Some(64))
+          .select(col("doc_a"), col("jaccard"))
+          .join(cl.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+        pairs.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_edges"),
+            round(min(col("jaccard")), 6).as("weakest_link"))
+          .join(sizes, "cluster_id")
+          .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+            expr("(2000000 * n_edges) div (n_docs * (n_docs - 1))").as("density_ppm"),
+            col("weakest_link"))
+      },
+      oracle = Some(s"""WITH RECURSIVE $shCteBody, $jaccardPairsCtes,
+        ej AS (
+          SELECT doc_a, doc_b,
+            CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS j
+          FROM common
+          JOIN csizes sa ON sa.doc_id = doc_a
+          JOIN csizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+        pc AS (SELECT c.cluster_id, ej.j FROM ej JOIN clusters c ON c.doc_id = ej.doc_a),
+        cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM clusters GROUP BY 1)
+        SELECT p.cluster_id, cs.n_docs, CAST(COUNT(*) AS BIGINT) AS n_edges,
+          (2000000 * CAST(COUNT(*) AS BIGINT)) // (cs.n_docs * (cs.n_docs - 1)) AS density_ppm,
+          round(MIN(p.j), 6) AS weakest_link
+        FROM pc p JOIN cs USING (cluster_id) GROUP BY 1, 2"""),
       bench = true)
   )
 
