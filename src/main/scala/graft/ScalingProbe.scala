@@ -567,7 +567,10 @@ object ScalingProbe {
       "q235_nprobe_sweep",
       // q236 rides the memoized q70 assignment + the q33 pair set — one
       // pair-keyed join + a cluster rollup on top of their cost
-      "q236_dup_chain_audit")
+      "q236_dup_chain_audit",
+      // q237 shares one index build + ONE ADC pass at the max shortlist;
+      // re-rank reads shortlist·|panel| full vectors through an equi join
+      "q237_shortlist_sweep")
       .filter(q => only.forall(_.contains(q)))
     // text-dedup/curation queries get a second ×factor measurement on the
     // growing-vocabulary replica — the regime real corpora live in

@@ -359,6 +359,46 @@ object Pq {
     * shortlist·|queries| rows through an equi join — the final exactness
     * costs a bounded fraction of brute force on top of the ~nprobe/kCoarse
     * index scan. */
+  /** [[ivfPqRerankTopK]] for a SWEEP of shortlist sizes sharing ONE index
+    * build and ONE ADC pass (q237): the ADC ranking runs once at the max
+    * shortlist, and because the bounded heap's (d2 6 dp asc, n_id asc)
+    * order makes every smaller shortlist a PREFIX of the larger, the
+    * s-point candidate set is exactly `adc_rk <= s` — true-L2 re-rank then
+    * runs per point over its slice. Output: (shortlist, q_id, n_id, d2,
+    * rk), each slice bit-equal to a standalone [[ivfPqRerankTopK]] call at
+    * that shortlist (PqSpec pins it). */
+  def ivfPqRerankSweepTopK(queries: DataFrame, corpus: DataFrame, kCoarse: Int,
+                           coarseIter: Int, m: Int, kc: Int, pqIter: Int,
+                           nprobe: Int, shortlists: Seq[Int], k: Int): DataFrame = {
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k),
+      s"need every shortlist >= k=$k, got $shortlists")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val slMax = shortlists.max
+    val adc = ivfPqTopK(queries, corpus, kCoarse, coarseIter, m, kc, pqIter,
+        nprobe, slMax)
+      .select(col("q_id"), col("n_id"), col("rk").as("adc_rk"))
+    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val sls = shortlists.map(s => lit(s.toLong))
+    adc
+      .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .select(col("q_id"), col("adc_rk"), col("n_id"), round(l2, 6).as("d2"))
+      .select(col("q_id"), col("adc_rk"), col("n_id"), col("d2"),
+        explode(array(sls: _*)).as("sl"))
+      .filter(col("adc_rk") <= col("sl"))
+      .as[(Long, Long, Long, Double, Long)]
+      .groupByKey(r => (r._5, r._1))
+      .mapValues(r => TopK.Scored(r._3, -r._4))
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(col("key._1").as("shortlist"), col("key._2").as("q_id"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("shortlist"), col("q_id"), col("s.id").as("n_id"),
+        round(-col("s.score"), 6).as("d2"), (col("i") + 1).cast(LongType).as("rk"))
+  }
+
   def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, kCoarse: Int, coarseIter: Int,
                       m: Int, kc: Int, pqIter: Int, nprobe: Int,
                       shortlist: Int, k: Int): DataFrame = {

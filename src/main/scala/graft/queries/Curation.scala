@@ -6105,6 +6105,94 @@ object Curation {
           (2000000 * CAST(COUNT(*) AS BIGINT)) // (cs.n_docs * (cs.n_docs - 1)) AS density_ppm,
           round(MIN(p.j), 6) AS weakest_link
         FROM pc p JOIN cs USING (cluster_id) GROUP BY 1, 2"""),
+      bench = true),
+
+    // Recall-vs-shortlist sweep for the re-ranked path — q235's sibling
+    // on the OTHER tuning knob: q235 showed the pure-ADC ranking
+    // saturating (quantization error caps recall no matter how many
+    // cells are probed); the fix is q166's exact re-rank, and THIS card
+    // measures how much shortlist buys at fixed nprobe=2. One shared
+    // index build + ONE ADC pass at the max shortlist
+    // (`Pq.ivfPqRerankSweepTopK`: the heap's (d2, n_id) order makes every
+    // smaller shortlist a prefix, so the s-point candidates are exactly
+    // adc_rk ≤ s); true-L2 re-rank per point over its slice, each slice
+    // bit-equal to a standalone ivfPqRerankTopK call (PqSpec-pinned).
+    // At 100 TB the shortlist knob prices the full-vector reads
+    // (shortlist·|queries| equi-join rows) against recall — this curve
+    // next to q235's is the whole two-knob tuning story.
+    QueryDef("q237_shortlist_sweep",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val sls = Seq(10, 20, 40, 80)
+        val sweep = graft.Caching.pin(
+          graft.ml.Pq.ivfPqRerankSweepTopK(q, e, kCoarse = 8, coarseIter = 2,
+            m = 4, kc = 8, pqIter = 2, nprobe = 2, shortlists = sls, k = 10))
+        val truth = graft.Caching.pin(graft.ml.Pq.bruteL2TopK(q, e, k = 10)
+          .select(col("q_id"), col("n_id"), col("rk").as("trk")))
+        sls.map { sl =>
+          retrievalEvalCard(
+            sweep.filter(col("shortlist") === sl.toLong)
+              .select(col("q_id"), col("n_id"), col("rk").as("srk")),
+            truth, s"rerank_sl$sl", k = 10)
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some {
+        val sls = Seq(10, 20, 40, 80)
+        val perSl = sls.map { sl =>
+          s"""sys$sl AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM tr WHERE adc_rk <= $sl) z
+          WHERE rk <= 10),
+        hits$sl AS (
+          SELECT s.q_id, s.n_id, s.rk AS srk, t.rk AS trk
+          FROM sys$sl s JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+        nhits$sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits$sl),
+        rr$sl AS (
+          SELECT CAST(COALESCE(SUM(COALESCE(1000000 // s.rk, 0)), 0) AS BIGINT) AS rr_sum
+          FROM truth t LEFT JOIN sys$sl s ON s.q_id = t.q_id AND s.n_id = t.n_id
+          WHERE t.rk = 1),
+        h1$sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit1 FROM hits$sl WHERE trk = 1 AND srk = 1)"""
+        }.mkString(",\n        ")
+        val selects = sls.map { sl =>
+          s"""SELECT 'rerank_sl$sl' AS system, n_queries, n_hits,
+          (1000000 * n_hits) // (n_queries * 10) AS recall_ppm,
+          rr_sum // n_queries AS mrr_ppm,
+          n_hit1,
+          (1000000 * n_hit1) // n_queries AS hit1_ppm
+        FROM nq, nhits$sl, rr$sl, h1$sl"""
+        }.mkString("\n        UNION ALL\n        ")
+        ivfpqSql(kCoarse = 8, cIter = 2, m = 4, sub = 16, kc = 8,
+          pIter = 2, nprobe = 2, k = 10, fin = s""",
+        sl AS (
+          SELECT q_id, n_id, rk AS adc_rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM dist) z
+          WHERE rk <= 80),
+        tr AS (
+          SELECT sl.q_id, sl.n_id, sl.adc_rk,
+            round(list_reduce(list_transform(range(1, len(qv.v) + 1),
+              i -> (qv.v[i] - nv.v[i]) * (qv.v[i] - nv.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM sl JOIN e nv ON nv.vec_id = sl.n_id JOIN q qv ON qv.vec_id = sl.q_id),
+        tdist AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+            round(list_reduce(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])), (x, y) -> x + y), 6) AS d2
+          FROM q JOIN e ON e.vec_id <> q.vec_id),
+        truth AS (
+          SELECT q_id, n_id, rk FROM (
+            SELECT q_id, n_id,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM tdist) t
+          WHERE rk <= 10),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth),
+        $perSl
+        $selects""")
+      },
       bench = true)
   )
 

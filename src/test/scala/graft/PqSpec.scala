@@ -144,6 +144,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankSweepTopK slices are bit-equal to standalone reranks per shortlist") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val sweep = Pq.ivfPqRerankSweepTopK(q, emb, kCoarse = 8, coarseIter = 2,
+        m = 4, kc = 8, pqIter = 2, nprobe = 2, shortlists = Seq(10, 40), k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (sl, rows) =>
+        sl -> rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      }
+    for (sl <- Seq(10, 40)) {
+      val solo = Pq.ivfPqRerankTopK(q, emb, kCoarse = 8, coarseIter = 2,
+          m = 4, kc = 8, pqIter = 2, nprobe = 2, shortlist = sl, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(sweep(sl.toLong) == solo && solo.nonEmpty,
+        s"rerank sweep slice sl=$sl diverges from standalone ivfPqRerankTopK")
+    }
+  }
+
   test("ADC search plan broadcasts the query tables; the codes side streams") {
     val e = emb
     val cbs = Pq.fit(e, m = 4, k = 8, iterations = 1)
