@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Slow tier (VERDICT r12 #4): the suite wall grew 5:22 → 13:48 in one round
+// and `sbt test` shares the driver's wall-clock window with Verify and the
+// bench. The six heaviest suites (the catalog-walking lints, the PQ/graph
+// fixtures, the plan-contract panel, the CCNet parity suite — ~420 s of
+// ~680 s) are tagged @org.scalatest.tags.Slow; the default run excludes
+// them (~4 min). Run the FULL tier with GRAFT_SLOW_TESTS=1 sbt test —
+// tools/round_close.sh does, so every round still closes on all suites.
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_SLOW_TESTS")) Nil
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow"))
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,20 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries (QueryDef.bench) against
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   *
-  * Each query runs four times: a warm-up pass (JIT + codegen + page cache)
-  * and three timed passes, recording the MEDIAN. The timed passes are
+  * Each query runs a warm-up pass (JIT + codegen + page cache) and two or
+  * three timed passes, recording the MEDIAN. The timed passes are
   * INTERLEAVED round-robin across queries — pass 1 of every query, then
-  * pass 2 of every query, then pass 3 — so a sustained load window on the
-  * host (a noisy-neighbor VM stall spanning minutes) inflates every query's
-  * median a little instead of multiplying whichever single query the stall
-  * lands on. Three CONSECUTIVE passes are robust to a one-off GC pause but
-  * not to sustained external load: round 8 committed q116 at 10.19 s where
-  * an idle-box re-run of the identical binary measured 2.23 s, because all
+  * pass 2 of every query — so a sustained load window on the host (a
+  * noisy-neighbor VM stall spanning minutes) inflates every query's median
+  * a little instead of multiplying whichever single query the stall lands
+  * on. Three CONSECUTIVE passes are robust to a one-off GC pause but not to
+  * sustained external load: round 8 committed q116 at 10.19 s where an
+  * idle-box re-run of the identical binary measured 2.23 s, because all
   * three of its passes sat inside one load window. With interleaving, the
-  * three medians of any query are separated by a full sweep of the set
-  * (~minutes), so a stall must persist across the whole run to bias one
-  * query — at which point it biases all of them equally and the relative
-  * picture survives.
+  * passes of any query are separated by a full sweep of the set (~minutes),
+  * so a stall must persist across the whole run to bias one query — at
+  * which point it biases all of them equally and the relative picture
+  * survives.
   *
   * Each interleaved slot is a (prime, timed) run pair: the prime pass
   * rebuilds the query's own Caching.pin entries that inter-slot cleanup
@@ -32,45 +32,83 @@ import org.apache.spark.sql.SparkSession
   * feeding GC pauses into multi-job loops) that inflates late multi-second
   * rows ~3× over their idle-box cost. Membership is COST-BASED: any row
   * whose warm-up pass exceeds [[Bench.lateThresholdSec]] joins the final
-  * sweep automatically, unioned with the LSA/PCA factorization family
-  * whose memo discipline needs the dedicated context regardless of cost.
+  * sweep automatically. The LSA/PCA factorization family ([[lateAlways]])
+  * keeps a SECOND claim on the final sweep, now CONDITIONAL (round 13,
+  * VERDICT r12 #1b): its rows are timed in the main sweep like everyone
+  * else and re-measured in the fresh session only when the main-sweep
+  * median moved more than [[lateMoveFactor]]× from the prior committed
+  * record (or no prior exists) — the committed value is the MIN of the two
+  * medians, inflation being the only observed failure mode. A stable round
+  * therefore skips the family's fresh-session re-runs entirely.
   *
-  * The protocol is SELF-CHECKING (round 12, VERDICT r11 #1 — the cost-based
-  * sweep fixed q197/q176/q175 but the driver still committed q116 at
-  * 14.56 s vs 2.81 s judge-solo, the third artifact inflation in four
-  * rounds):
+  * WALL-CLOCK BUDGET (round 13, VERDICT r12 #1 — BENCH_r12 recorded rc=124:
+  * the driver's sbt-wrapped invocation outgrew its ~1 h window and the 12
+  * heaviest rows went unmeasured). Three per-row cuts, each gated on the
+  * PRIOR committed artifact (read from [[priorPath]] before this run
+  * overwrites it; a missing/corrupt prior disables every cut and the full
+  * protocol runs):
   *
-  *   - Every row's warm-up seconds, sweep membership, per-pass timings and
-  *     per-pass GC deltas land IN THE ARTIFACT (`diag`), not on stderr
-  *     (which the harness truncates) — the next anomaly is adjudicable
-  *     from the committed record alone (ADVICE r11: membership was only
-  *     logged to stderr, so a borderline row could flip sweeps between
-  *     rounds with no trace).
+  *   - WARM-UP SKIP: rows whose prior median < [[skipWarmSec]] skip the
+  *     warm-up pass (it costs 2–4× the median on sub-second rows and its
+  *     only products — late classification and the heal bound — are served
+  *     by the prior). Rows in [[memoTouching]] are exempt: their warm-up
+  *     seeds the session memos that LATER rows' snapshots inherit, so
+  *     skipping one would silently change what downstream timed passes
+  *     measure.
+  *   - MEDIAN-OF-2: the third timed pass runs only when the first two
+  *     disagree by more than [[agreeFrac]] (median of two agreeing passes =
+  *     their mean). The two passes are separated by a full sweep, so
+  *     agreement across that gap is a real stability signal, not two reads
+  *     of one quiet moment.
+  *   - PRIME SKIP: rows whose warm-up left zero Caching.pin entries skip
+  *     the per-slot prime pass — the prime exists to rebuild pins that
+  *     inter-slot cleanup dropped (the round-9 cold-cache regression was
+  *     pin-heavy dedup rows recomputing shingle frames inside timed
+  *     passes); for a pin-free row the prime is an identical throwaway
+  *     execution. Session memos are unaffected: the slot restores the
+  *     row's snapshot before the timed pass either way, so the timed pass
+  *     measures the same marginal factorization work with or without a
+  *     prime. Warm-skipped rows keep their primes (pin count unknown).
+  *
+  * CRASH-SAFE ARTIFACT (round 13, VERDICT r12 #1a): bench.json is
+  * (re)written after the warm-up sweep, after EVERY timed pass of every
+  * sweep, and at each phase boundary, carrying `"complete":false`, the
+  * phase name and the running total until the final write flips
+  * `"complete":true`; the one-line JSON summary is PRINTED after the main
+  * sweep, after the late sweep and at the end — a wall-clock kill now
+  * costs the remaining refinement phases, not the whole record (BENCH_r12's
+  * `parsed:null` existed only because the single end-of-run summary line
+  * never printed).
+  *
+  * The protocol is SELF-CHECKING (round 12, VERDICT r11 #1):
+  *
+  *   - Every row's warm-up seconds, sweep membership, pin count, per-pass
+  *     timings and per-pass GC deltas land IN THE ARTIFACT (`diag`), not on
+  *     stderr (which the harness truncates) — the next anomaly is
+  *     adjudicable from the committed record alone.
   *   - SELF-HEALING PASS: after all sweeps, any row whose median exceeds
   *     [[Bench.healFactor]] × its freshest warm-up (and is above a 1 s
   *     noise floor) is re-measured in ANOTHER fresh session appended after
   *     the final sweep; the committed value is the MIN of the two medians
-  *     (inflation is the only observed failure mode — the warm-up itself
-  *     bounds the honest cost from above, being JIT-cold). Both medians
-  *     are recorded in `diag`. This pass would have caught q116 r11: its
-  *     fresh-session warm-up read ~3 s while all three timed passes read
-  *     ~14.5 s.
+  *     (the warm-up, being JIT-cold, bounds the honest cost from above).
+  *     Both medians are recorded in `diag`. This pass would have caught
+  *     q116 r11: its fresh-session warm-up read ~3 s while all three timed
+  *     passes read ~14.5 s.
   *   - CALIBRATION CANARY (VERDICT r11 #6): a fixed, deterministic,
   *     cache-independent micro-row (integer sum over a generated 2e9
   *     range, 32 fixed partitions, no IO, no cache) runs at the start,
   *     middle and end of the run (plus at each fresh session's open) and
   *     its readings land in the artifact — cross-round comparisons can
   *     normalize by the host band state instead of re-litigating
-  *     "host variance vs regression" each round (the q116-r9 / q176-r10 /
-  *     q95-r11 sagas).
+  *     "host variance vs regression" each round.
   *
   * Execution materializes every output column through the noop sink, so
   * projections can't be cheated away by a count-only plan. The JSON line is
   * ALSO written to bench.json next to the working directory — round 8's
   * driver artifact kept only a truncated 4 KB tail of the stdout line, so
-  * the artifact survives log truncation (the Verify/failed.json lesson
-  * applied to the bench). Within the line, `queries` is kept LAST so a
-  * tail-truncated stdout capture still carries the per-row medians.
+  * the artifact survives log truncation. Within the line, `queries` is kept
+  * LAST so a tail-truncated stdout capture still carries the per-row
+  * medians.
   */
 object Bench {
 
@@ -89,12 +127,49 @@ object Bench {
   val healFactor: Double =
     sys.env.get("SPARK_GRAFT_BENCH_HEAL_FACTOR").map(_.toDouble).getOrElse(2.0)
 
-  /** The factorization family always takes the final sweep: its session
-    * memo discipline (snapshot/restore of shared components) wants the
-    * dedicated context, and its rows were the original late-tax victims. */
+  /** Prior-median ceiling below which a row's warm-up pass is skipped
+    * (VERDICT r12 #1b). 0.5 s: on these rows the warm pass costs 2–4× the
+    * median and neither of its products matters — the row cannot be
+    * late-classified (0.5 ≪ 5 s threshold) and the heal trigger's 1 s
+    * floor sits above anything the prior bounds. */
+  val skipWarmSec: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_SKIP_WARM_SEC").map(_.toDouble).getOrElse(0.5)
+
+  /** Relative gap under which the first two timed passes are declared in
+    * agreement and the third pass is skipped (VERDICT r12 #1b). */
+  val agreeFrac: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_AGREE_FRAC").map(_.toDouble).getOrElse(0.10)
+
+  /** A [[lateAlways]] row is re-measured in the fresh final session only
+    * when its main-sweep median exceeds this multiple of the prior
+    * committed record (VERDICT r12 #1b). */
+  val lateMoveFactor: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_LATE_MOVE").map(_.toDouble).getOrElse(1.3)
+
+  /** Prime passes for pin-free rows are skipped unless disabled. */
+  def primeSkipEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_BENCH_PRIME_SKIP").contains("0")
+
+  /** The factorization family keeps a conditional claim on the final
+    * fresh-session sweep (see the class doc): its session memo discipline
+    * (snapshot/restore of shared components) is the protocol's most
+    * inflation-prone corner, and its rows were the original late-tax
+    * victims (q116 r8/r9/r11). */
   val lateAlways = Set("q103_lsa_component", "q105_lsa_second",
     "q109_lsa_topk", "q119_lsa_doc_scores", "q116_pca_component",
     "q117_pca_scores", "q123_pca_topk")
+
+  /** Rows that can BUILD session memo entries on a miss (LSA/PCA family +
+    * the DupClusters deployments — `dupClusterAssignment` users in
+    * queries/Curation.scala). Their warm-ups seed the memos that later
+    * rows' snapshots inherit, so they are never warm-skipped: skipping the
+    * first builder would leave later readers' snapshots empty and turn
+    * their sub-second memo reads into full CC-chain rebuilds inside timed
+    * passes. */
+  val memoTouching: Set[String] = lateAlways ++ Set(
+    "q70_dup_clusters", "q72_dedup_purge", "q191_soft_dedup_weights",
+    "q220_dedup_keep_best", "q226_cluster_safe_split",
+    "q232_dup_cluster_histogram", "q236_dup_chain_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +198,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Prior committed record: read BEFORE the first crash-safe write
+    // overwrites it. Drives the three wall-clock cuts; unparseable/missing
+    // → empty map → full protocol. Subset runs (SPARK_GRAFT_BENCH_ONLY)
+    // default to a side file: overwriting bench.json with a 3-row record
+    // would destroy the prior the next full run's cuts key on.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_subset.json" else "bench.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench.json")
+    val prior: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)))
+        val qn = node.get("queries")
+        if (qn == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          qn.fieldNames().asScala
+            .map(n => n -> qn.get(n).asDouble(-1.0))
+            .filter(_._2 >= 0).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] no prior record ($priorPath): ${e.getMessage}")
+        Map.empty
+      }
+
     // Calibration canary: pure-CPU integer sum over a generated range —
     // deterministic, no IO, no cache, no shuffle beyond the 32→1 partial-agg
     // collapse, fixed 32 partitions regardless of the shuffle knob. Its
@@ -144,15 +245,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only.fold(SparkEntry.benchQueries)(names => SparkEntry.all.filter(q => names(q.name)))
 
-    // A rename of any lateAlways query must fail loudly, not silently drop
-    // the row back into the main sweep and invalidate the late-sweep
-    // methodology (ADVICE r10). Checked against the full catalog so subset
-    // runs catch it too.
+    // A rename of any lateAlways/memoTouching query must fail loudly, not
+    // silently drop the row out of its protocol family (ADVICE r10).
+    // Checked against the full catalog so subset runs catch it too.
     locally {
       val catalog = SparkEntry.all.map(_.name).toSet
-      val unresolved = lateAlways.filterNot(catalog)
+      val unresolved = memoTouching.filterNot(catalog)
       require(unresolved.isEmpty,
-        s"Bench.lateAlways names not in the catalog (renamed?): ${unresolved.mkString(", ")}")
+        s"Bench.lateAlways/memoTouching names not in the catalog (renamed?): ${unresolved.mkString(", ")}")
     }
 
     // LSA/PCA factorization memos are session-scoped product behavior: a
@@ -171,6 +271,20 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val gcDeltas = scala.collection.mutable.Map.empty[String, List[Long]].withDefaultValue(Nil)
+    // committed value per row so far (later phases only ever LOWER it);
+    // passLog keeps each phase's pass list for the diag record
+    val committed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val passLog = scala.collection.mutable.Map
+      .empty[String, List[(String, List[Double], List[Long])]].withDefaultValue(Nil)
+    val warmSecs = scala.collection.mutable.Map.empty[String, Double]
+    val warmSkipped = scala.collection.mutable.Set.empty[String]
+    val pinsAfterWarm = scala.collection.mutable.Map.empty[String, Int]
+    val freshWarm = scala.collection.mutable.Map.empty[String, Double]
+    val healWarm = scala.collection.mutable.Map.empty[String, Double]
+    val healMedian = scala.collection.mutable.Map.empty[String, Double]
+    val lateMedian = scala.collection.mutable.Map.empty[String, Double]
+    val preHealMedian = scala.collection.mutable.Map.empty[String, Double]
+    var lateNames = Set.empty[String]
 
     def guarded(q: QueryDef)(body: => Unit): Unit =
       try body
@@ -201,20 +315,95 @@ object Bench {
     val pcaSnaps = () => memoSnaps.values.map(_._2)
     val dupSnaps = () => memoSnaps.values.map(_._3)
 
+    def medianOf(name: String): Double = {
+      val ts = times(name).sorted
+      ts.size match {
+        case 0 => -1.0
+        case 1 => ts.head
+        case 2 => (ts.head + ts(1)) / 2 // agreeing passes — mean IS the median
+        case n => ts(n / 2)
+      }
+    }
+
+    // ---- Crash-safe artifact emission (round 13) ----
+    // `queries` is deliberately LAST: a tail-truncated stdout capture keeps
+    // the end of the line, and the medians are the part the driver grades.
+    def artifactLine(phase: String, complete: Boolean): String = {
+      val live = queries.map { q =>
+        val n = q.name
+        val base = if (failed(n)) -1.0 else committed.getOrElse(n, -1.0)
+        val cur = if (failed(n)) -1.0 else medianOf(n) // in-flight phase passes
+        val v =
+          if (base >= 0 && cur >= 0) math.min(base, cur)
+          else math.max(base, cur) // whichever exists, else -1
+        n -> v
+      }
+      val diagJson = queries.map { q =>
+        val n = q.name
+        val sweep =
+          if (lateAlways(n)) "late-always"
+          else if (lateNames(n)) "late-cost"
+          else "main"
+        val parts = scala.collection.mutable.ListBuffer.empty[String]
+        parts += "\"sweep\":\"" + sweep + "\""
+        warmSecs.get(n).foreach(w => parts += "\"warm\":" + w)
+        if (warmSkipped(n)) parts += "\"warmSkipped\":true"
+        prior.get(n).foreach(p => parts += "\"prior\":" + p)
+        pinsAfterWarm.get(n).foreach(p => parts += "\"pins\":" + p)
+        freshWarm.get(n).foreach(w => parts += "\"freshWarm\":" + w)
+        val phases = passLog(n)
+        phases.headOption.foreach { case (_, ps, gc) =>
+          parts += "\"passes\":" + ps.mkString("[", ",", "]")
+          parts += "\"gc_ms\":" + gc.mkString("[", ",", "]")
+        }
+        lateMedian.get(n).foreach { lm =>
+          parts += "\"lateMedian\":" + lm
+          phases.find(_._1 == "late").foreach { case (_, ps, gc) =>
+            parts += "\"latePasses\":" + ps.mkString("[", ",", "]")
+            parts += "\"lateGc_ms\":" + gc.mkString("[", ",", "]")
+          }
+        }
+        healWarm.get(n).foreach(w => parts += "\"healWarm\":" + w)
+        healMedian.get(n).foreach { h =>
+          parts += "\"healMedian\":" + h
+          phases.find(_._1 == "heal").foreach { case (_, ps, gc) =>
+            parts += "\"healPasses\":" + ps.mkString("[", ",", "]")
+            parts += "\"healGc_ms\":" + gc.mkString("[", ",", "]")
+          }
+        }
+        if (lateMedian.contains(n) || healMedian.contains(n))
+          preHealMedian.get(n).foreach(m => parts += "\"mainMedian\":" + m)
+        "\"" + n + "\":" + parts.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      val canaryJson = canary.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val qs = live.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = live.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","complete":$complete,"phase":"$phase"""" +
+        s""","lateThresholdSec":$lateThresholdSec,"healFactor":$healFactor""" +
+        s""","skipWarmSec":$skipWarmSec,"agreeFrac":$agreeFrac,"lateMoveFactor":$lateMoveFactor""" +
+        s""","canary":$canaryJson,"diag":$diagJson,"queries":$qs}"""
+    }
+    def emitFile(phase: String, complete: Boolean): String = {
+      val line = artifactLine(phase, complete)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
+      line
+    }
+    def emit(phase: String, complete: Boolean): Unit = println(emitFile(phase, complete))
+
     // Timed sweeps, round-robin: pass k of every query before pass k+1 of
-    // any. Median per query. Each slot runs a PRIMING pass then the timed
-    // pass. The priming pass repopulates the query's own Caching.pin
-    // entries (and OS page cache) that the previous slot's cleanup dropped,
-    // so the timed pass measures the warm-cache steady state — the protocol
-    // every prior round's committed numbers used (the sequential bench's
-    // three passes rode the warm-up's pins, since cleanup only ran between
-    // queries). Without the prime, interleaving silently switched the whole
-    // artifact to cold-cache semantics: the round-9 first cut read q34 at
-    // 2.6 s where the round-8 binary measures 0.9 s on the same box —
-    // pin-heavy dedup queries were recomputing their pinned shingle frames
-    // inside every timed pass. Priming inside the slot (rather than letting
-    // pins accumulate across the sweep) keeps the round-2 lesson intact: at
-    // most ONE query's pins are live at any moment.
+    // any. Each slot runs a PRIMING pass then the timed pass (pin-free rows
+    // skip the prime — see the class doc). The priming pass repopulates the
+    // query's own Caching.pin entries (and OS page cache) that the previous
+    // slot's cleanup dropped, so the timed pass measures the warm-cache
+    // steady state — the protocol every prior round's committed numbers
+    // used. Without the prime, interleaving silently switched pin-heavy
+    // rows to cold-cache semantics: the round-9 first cut read q34 at
+    // 2.6 s where the round-8 binary measures 0.9 s on the same box.
+    // Priming inside the slot (rather than letting pins accumulate across
+    // the sweep) keeps the round-2 lesson intact: at most ONE query's pins
+    // are live at any moment.
     // restoreMemoPruned (not restoreMemo): with every query's snapshot live
     // across the whole interleaved run, a releasing restore would unpersist
     // checkpoint blocks other snapshots still reference
@@ -224,35 +413,63 @@ object Bench {
     // resurrect. The memo is restored again between prime and timed pass so
     // the timed pass measures the query's marginal factorization work, not a
     // free hit on its own prime.
-    def timedSweeps(qs: Seq[QueryDef]): Unit =
-      for (_ <- 1 to 3; q <- qs if !failed(q.name)) guarded(q) {
-        val (lsaSnap, pcaSnap, dupSnap) = memoSnaps(q.name)
+    def slot(q: QueryDef): Unit = guarded(q) {
+      val (lsaSnap, pcaSnap, dupSnap) = memoSnaps(q.name)
+      def restoreAll(): Unit = {
         ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
         ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
         operators.DupClusters.restoreMemoPruned(dupSnap, dupSnaps())
-        runOnce(q) // prime: pins + page cache for THIS slot only
-        ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
-        ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
-        operators.DupClusters.restoreMemoPruned(dupSnap, dupSnaps())
-        val gc0 = gcMillis()
-        val t = runOnce(q)
-        val gcd = gcMillis() - gc0
-        if (diagEcho) System.err.println(
-          f"[bench-diag] ${q.name} timed=$t%.2fs gc=${gcd}ms " +
-            s"persistedRdds=${spark.sparkContext.getPersistentRDDs.size}")
-        times(q.name) = t :: times(q.name)
-        gcDeltas(q.name) = gcd :: gcDeltas(q.name)
       }
+      restoreAll()
+      val skipPrime = primeSkipEnabled && pinsAfterWarm.get(q.name).contains(0)
+      if (!skipPrime) {
+        runOnce(q) // prime: pins + page cache for THIS slot only
+        restoreAll()
+      }
+      val gc0 = gcMillis()
+      val t = runOnce(q)
+      val gcd = gcMillis() - gc0
+      if (diagEcho) System.err.println(
+        f"[bench-diag] ${q.name} timed=$t%.2fs gc=${gcd}ms " +
+          s"persistedRdds=${spark.sparkContext.getPersistentRDDs.size}")
+      times(q.name) = t :: times(q.name)
+      gcDeltas(q.name) = gcd :: gcDeltas(q.name)
+    }
 
-    def medianOf(name: String): Double = {
-      val ts = times(name).sorted
-      if (ts.size < 3) -1.0 else ts(1)
+    def timedSweeps(qs: Seq[QueryDef], phase: String): Unit = {
+      for (p <- 1 to 2) {
+        for (q <- qs if !failed(q.name)) slot(q)
+        emitFile(s"$phase-pass$p", complete = false)
+      }
+      // median-of-2 when the two passes (a full sweep apart) agree within
+      // agreeFrac; the third pass runs only for the disagreeing rows
+      val third = qs.filter { q =>
+        !failed(q.name) && (times(q.name) match {
+          case a :: b :: Nil => math.abs(a - b) > agreeFrac * math.min(a, b)
+          case _ => true // fewer than 2 recorded passes — measure, don't guess
+        })
+      }
+      if (third.nonEmpty) {
+        System.err.println(s"[bench] $phase third pass (${third.size}/${qs.size} rows)")
+        for (q <- third) slot(q)
+        emitFile(s"$phase-pass3", complete = false)
+      }
+    }
+
+    // Fold the finished phase into `committed` (later phases only lower a
+    // row's value — inflation is the observed failure mode) and archive its
+    // passes; `times` starts empty for the next phase.
+    def harvest(phase: String, qs: Seq[QueryDef]): Unit = qs.foreach { q =>
+      val n = q.name
+      if (times(n).nonEmpty) {
+        val m = medianOf(n)
+        passLog(n) = passLog(n) :+ ((phase, times(n).reverse, gcDeltas(n).reverse))
+        committed(n) = committed.get(n).filter(_ >= 0).fold(m)(math.min(_, m))
+        times.remove(n); gcDeltas.remove(n)
+      }
     }
 
     // ---- Session 1: warm-up (cost probe) + main sweep ----
-    // The lateAlways family skips session 1 entirely — it warms up inside
-    // its own fresh session below, where its memo snapshots are valid.
-    val candidates = queries.filterNot(q => lateAlways(q.name))
     // Sacrificial init pass: the FIRST query otherwise pays the one-time
     // session costs (codegen framework bootstrap, parquet reader classes,
     // noop sink registration — ~5 s) inside its warm-up and gets
@@ -262,11 +479,15 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] init pass: ${e.getMessage}") }
     canaryPass("start")
-    val warmSecs = scala.collection.mutable.Map.empty[String, Double]
-    candidates.foreach { q =>
+    queries.foreach { q =>
       memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
-      guarded(q) {
+      val p = prior.get(q.name)
+      if (!memoTouching(q.name) && p.exists(_ < skipWarmSec)) {
+        warmSkipped += q.name
+        warmSecs(q.name) = p.get // classification + heal bound from the prior
+      } else guarded(q) {
         val w = runOnce(q)
+        pinsAfterWarm(q.name) = Caching.pinnedCount // read before cleanup drops them
         // A first-of-its-family warm-up pays that family's JIT/codegen on
         // top of the query's real cost (q34 steady 0.7 s read >5 s warm in
         // the smoke test). For would-be-late rows only, measure once more —
@@ -275,24 +496,31 @@ object Bench {
         // built a session memo entry (DupClusters for q70) that the row's
         // timed passes will never see — an unrestored retry reads a memo
         // hit (0.08 s vs the honest 3 s), records a warm-up no timed pass
-        // can match, and trips the self-heal sweep on a healthy row.
+        // can match, and trips the self-heal sweep on a healthy row. The
+        // restore is PRUNED (ADVICE r12): a shared restore would strand the
+        // first pass's own checkpoint blocks — no snapshot references them,
+        // so only pruning releases them deterministically.
         warmSecs(q.name) = if (w <= lateThresholdSec) w else {
           val (lsaSnap, pcaSnap, dupSnap) = memoSnaps(q.name)
-          ml.Lsa.restoreMemoShared(lsaSnap)
-          ml.Pca.restoreMemoShared(pcaSnap)
-          operators.DupClusters.restoreMemoShared(dupSnap)
+          ml.Lsa.restoreMemoPruned(lsaSnap, lsaSnaps())
+          ml.Pca.restoreMemoPruned(pcaSnap, pcaSnaps())
+          operators.DupClusters.restoreMemoPruned(dupSnap, dupSnaps())
           math.min(w, runOnce(q))
         }
       }
     }
-    val mainQs = candidates.filter(q => warmSecs.getOrElse(q.name, 0.0) <= lateThresholdSec)
-    val lateQs = queries.filter(q =>
-      lateAlways(q.name) || warmSecs.getOrElse(q.name, 0.0) > lateThresholdSec)
-    val lateNames = lateQs.map(_.name).toSet
-    if (lateQs.nonEmpty) System.err.println(
-      s"[bench] final sweep (${lateQs.size} rows): ${lateQs.map(_.name).mkString(", ")}")
-    timedSweeps(mainQs)
+    if (warmSkipped.nonEmpty) System.err.println(
+      s"[bench] warm-up skipped (prior < $skipWarmSec s): ${warmSkipped.size} rows")
+    emitFile("warmup", complete = false)
+
+    // Cost-late rows never run in the main sweep; everyone else — the
+    // lateAlways family included (round 13) — is timed here.
+    val mainQs = queries.filter(q => warmSecs.getOrElse(q.name, 0.0) <= lateThresholdSec)
+    val costLate = queries.filter(q => warmSecs.getOrElse(q.name, 0.0) > lateThresholdSec)
+    timedSweeps(mainQs, "main")
+    harvest("main", mainQs)
     canaryPass("mid")
+    emit("main", complete = false)
 
     // ---- Final sweep: fresh SESSION (same context) for the heavy rows ----
     // newSession(), not stop()+new context: the round-11 protocol A/B
@@ -304,11 +532,24 @@ object Bench {
     // catalog, temp views) and the sweep clears the factorization memos
     // and cache; executors, block manager, and JIT state carry over —
     // exactly the part that should stay warm.
+    // Membership: cost-late rows unconditionally; lateAlways rows only when
+    // their main-sweep median moved > lateMoveFactor× from the prior record
+    // (or no prior exists) — a stable family round skips its re-runs.
     // The fresh-session warm-up seconds are RECORDED (freshWarm): they are
     // each late row's best available honest-cost bound, and the self-heal
     // trigger below compares medians against them.
-    val freshWarm = scala.collection.mutable.Map.empty[String, Double]
+    val lateRerun = mainQs.filter { q =>
+      lateAlways(q.name) && !failed(q.name) && {
+        val m = committed.getOrElse(q.name, -1.0)
+        val p = prior.getOrElse(q.name, -1.0)
+        m < 0 || p < 0 || m > lateMoveFactor * p
+      }
+    }
+    val lateQs = costLate ++ lateRerun
+    lateNames = costLate.map(_.name).toSet
     if (lateQs.nonEmpty) {
+      System.err.println(
+        s"[bench] final sweep (${lateQs.size} rows): ${lateQs.map(_.name).mkString(", ")}")
       Caching.release()
       spark.catalog.clearCache()
       ml.Lsa.clearMemo(); ml.Pca.clearMemo(); operators.DupClusters.clearMemo()
@@ -317,11 +558,18 @@ object Bench {
       canaryPass("late_open")
       lateQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
-        guarded(q) { freshWarm(q.name) = runOnce(q) }
+        guarded(q) {
+          freshWarm(q.name) = runOnce(q)
+          pinsAfterWarm(q.name) = Caching.pinnedCount
+        }
       }
-      timedSweeps(lateQs)
+      lateRerun.foreach(q => preHealMedian(q.name) = committed.getOrElse(q.name, -1.0))
+      timedSweeps(lateQs, "late")
+      lateQs.foreach(q => if (times(q.name).nonEmpty) lateMedian(q.name) = medianOf(q.name))
+      harvest("late", lateQs)
     }
     canaryPass("end")
+    emit("late", complete = false)
 
     // ---- Self-healing pass (round 12): re-measure anomalous rows ----
     // A median FAR above the row's own freshest warm-up pass is a protocol
@@ -330,9 +578,6 @@ object Bench {
     // session and commit the MIN of the two medians. q116 r11 is the
     // motivating case: fresh warm-up ~3 s, all three timed passes ~14.5 s —
     // this pass re-measures exactly that shape.
-    val healSnapshot = queries.map(q => q.name -> medianOf(q.name)).toMap
-    val mainPasses = times.map { case (k, v) => k -> v.reverse }.toMap
-    val mainGc = gcDeltas.map { case (k, v) => k -> v.reverse }.toMap
     def honestWarm(name: String): Double =
       freshWarm.getOrElse(name, warmSecs.getOrElse(name, Double.MaxValue))
     // capped at the 16 worst offenders by median/warm ratio: if a host band
@@ -342,17 +587,15 @@ object Bench {
     // fleet-wide drift is what the canary readings are for
     val healQs = queries.filter { q =>
         !failed(q.name) && {
-          val m = healSnapshot(q.name)
+          val m = committed.getOrElse(q.name, -1.0)
           m > 1.0 && m > healFactor * honestWarm(q.name)
         }
       }
-      .sortBy(q => -healSnapshot(q.name) / honestWarm(q.name))
+      .sortBy(q => -committed(q.name) / honestWarm(q.name))
       .take(16)
-    val healWarm = scala.collection.mutable.Map.empty[String, Double]
-    val healMedian = scala.collection.mutable.Map.empty[String, Double]
     if (healQs.nonEmpty) {
       System.err.println(s"[bench] self-heal sweep (${healQs.size} rows): " +
-        healQs.map(q => f"${q.name} median=${healSnapshot(q.name)}%.2f warm=${honestWarm(q.name)}%.2f").mkString(", "))
+        healQs.map(q => f"${q.name} median=${committed(q.name)}%.2f warm=${honestWarm(q.name)}%.2f").mkString(", "))
       Caching.release()
       spark.catalog.clearCache()
       ml.Lsa.clearMemo(); ml.Pca.clearMemo(); operators.DupClusters.clearMemo()
@@ -364,58 +607,18 @@ object Bench {
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) { healWarm(q.name) = runOnce(q) }
       }
-      healQs.foreach { q => times.remove(q.name); gcDeltas.remove(q.name) }
-      timedSweeps(healQs)
-      healQs.foreach { q => healMedian(q.name) = medianOf(q.name) }
+      healQs.foreach(q => preHealMedian(q.name) = committed.getOrElse(q.name, -1.0))
+      timedSweeps(healQs, "heal")
+      healQs.foreach(q => if (times(q.name).nonEmpty) healMedian(q.name) = medianOf(q.name))
+      harvest("heal", healQs)
       // a failure INSIDE the heal pass must not red-flag a row whose main
       // measurement succeeded — the heal result is simply discarded
-      failed --= (failed -- healFailedBefore).filter(n => healSnapshot.getOrElse(n, -1.0) >= 0)
+      failed --= failed.toSet.diff(healFailedBefore)
+        .filter(n => preHealMedian.getOrElse(n, -1.0) >= 0)
       canaryPass("heal_end")
     }
 
-    val results = queries.map { q =>
-      val base = if (failed(q.name)) -1.0 else healSnapshot(q.name)
-      val v = healMedian.get(q.name) match {
-        case Some(h) if h >= 0 && base >= 0 => math.min(base, h)
-        case _ => base
-      }
-      q.name -> v
-    }
-
-    // ---- Artifact ----
-    val diagJson = queries.map { q =>
-      val n = q.name
-      val sweep =
-        if (lateAlways(n)) "late-always"
-        else if (lateNames(n)) "late-cost"
-        else "main"
-      val parts = scala.collection.mutable.ListBuffer.empty[String]
-      parts += "\"sweep\":\"" + sweep + "\""
-      warmSecs.get(n).foreach(w => parts += "\"warm\":" + w)
-      freshWarm.get(n).foreach(w => parts += "\"freshWarm\":" + w)
-      parts += "\"passes\":" + mainPasses.getOrElse(n, Nil).mkString("[", ",", "]")
-      parts += "\"gc_ms\":" + mainGc.getOrElse(n, Nil).mkString("[", ",", "]")
-      healWarm.get(n).foreach(w => parts += "\"healWarm\":" + w)
-      healMedian.get(n).foreach { h =>
-        parts += "\"healMedian\":" + h
-        parts += "\"healPasses\":" + times(n).reverse.mkString("[", ",", "]")
-        parts += "\"healGc_ms\":" + gcDeltas(n).reverse.mkString("[", ",", "]")
-        parts += "\"mainMedian\":" + healSnapshot(n)
-      }
-      "\"" + n + "\":" + parts.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-    val canaryJson = canary.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // `queries` is deliberately LAST: a tail-truncated stdout capture keeps
-    // the end of the line, and the medians are the part the driver grades.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
-      s""","lateThresholdSec":$lateThresholdSec,"healFactor":$healFactor""" +
-      s""","canary":$canaryJson,"diag":$diagJson,"queries":$qs}"""
-    println(line)
-    // Persist the full artifact beside the run — stdout may be truncated.
-    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    emit("final", complete = true)
     spark.stop()
   }
 }

@@ -5690,10 +5690,8 @@ object Curation {
     // provably changes nothing.
     QueryDef("q230_partition_pruned_scan",
       (s, dir) => {
-        val tag = java.lang.Long.toHexString(
-          java.lang.Integer.toUnsignedLong(dir.hashCode))
-        val base = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_part_$tag").getAbsolutePath
+        // md5-keyed + exit-cleaned scratch (ADVICE r12, VERDICT r12 #7)
+        val base = graft.Scratch.dir("graft_part_", dir)
         docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(base)
         s.read.parquet(base)
           .filter(col("lang") === "en")
@@ -5904,6 +5902,87 @@ object Curation {
         FROM rem r JOIN spn USING (doc_id)"""),
       bench = true),
 
+    // Span surgery EMISSION — the deploy artifact q233 only accounts for
+    // (VERDICT r12 #6): per contaminated doc, the surgically-cleaned text
+    // itself — every token covered by a flagged benchmark 8-gram cut, the
+    // survivors reassembled in order (the q102 purge-emission pattern).
+    // Same enrichment, gram definition and benchmark slice as q233, so the
+    // three decontam cards compose: q199 says WHO, q233 says HOW MUCH,
+    // this emits WHAT SURVIVES — and n_removed here hash-reconciles with
+    // q233's column. Scale shape: the tokenized frame is pinned (one
+    // tokenize pass feeds both the gram census and the reassembly), the
+    // benchmark gram set is suite-bounded → broadcast, cut positions ride
+    // the HIT set only (≤8× hits), and the reassembly is a row-local
+    // indexed-lambda filter over the token array — no sort, no window, no
+    // second shuffle past the per-doc position collapse.
+    QueryDef("q238_decontam_surgery_emit",
+      (s, dir) => {
+        val lng = org.apache.spark.sql.types.LongType
+        val e1 = " held out benchmark question answer pairs must never leak into training"
+        val e2 = " the standardized test prompt appears verbatim in this document for evaluation"
+        val d2 = docs(s, dir).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0, lit(e1)).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(e2)).otherwise(lit(""))))
+        val tk = graft.Caching.pin(
+          d2.select(col("doc_id"), Exprs.tokens(col("text")).as("toks")))
+        val sp = tk.select(col("doc_id"),
+            posexplode(Exprs.shingles(col("toks"), 8)).as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1).cast(lng).as("p"), col("g"))
+        val bench = sp.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+        val cut = sp.filter(col("doc_id") % 97 =!= 0).join(broadcast(bench), "g")
+          .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("pos"))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_set(col("pos"))).as("cut"))
+        tk.join(cut, "doc_id")
+          .select(col("doc_id"),
+            size(col("toks")).cast(lng).as("n_before"),
+            size(col("cut")).cast(lng).as("n_removed"),
+            (size(col("toks")) - size(col("cut"))).cast(lng).as("n_after"),
+            array_join(
+              filter(col("toks"),
+                (_, i) => !array_contains(col("cut"), (i + lit(1)).cast(lng))),
+              " ").as("clean_text"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(
+              text ||
+              CASE WHEN doc_id % 13 = 0 THEN ' held out benchmark question answer pairs must never leak into training' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' the standardized test prompt appears verbatim in this document for evaluation' ELSE '' END
+            ), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        g8 AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+        fl AS (SELECT g8.* FROM g8 JOIN bg USING (g) WHERE doc_id % 97 <> 0),
+        pos AS (
+          SELECT DISTINCT doc_id, p + o AS pos
+          FROM (SELECT doc_id, p, unnest(generate_series(0, 7)) AS o FROM fl) z),
+        cut AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                FROM pos GROUP BY 1),
+        toks AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_before,
+            unnest(tk) AS tok, unnest(generate_series(1, len(tk))) AS i
+          FROM seq),
+        kept AS (
+          -- survivors in order; a fully-cut doc has no rows here, hence the
+          -- COALESCE('') below (Spark-side array_join of an empty array is '')
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+          FROM toks t LEFT JOIN pos p ON p.doc_id = t.doc_id AND p.pos = t.i
+          WHERE p.doc_id IS NULL GROUP BY t.doc_id)
+        SELECT c.doc_id, s.n_before, c.n_removed,
+          s.n_before - c.n_removed AS n_after,
+          COALESCE(k.clean_text, '') AS clean_text
+        FROM cut c
+        JOIN (SELECT DISTINCT doc_id, n_before FROM toks) s USING (doc_id)
+        LEFT JOIN kept k ON k.doc_id = c.doc_id"""),
+      bench = true),
+
     // Greedy k-center coreset selection (Gonzalez 1985 farthest-point
     // traversal, the 2-approximation every diversity-pruning pipeline
     // builds on): seed = the min-id vector, each round adds the vector
@@ -5935,20 +6014,33 @@ object Curation {
           .select(col("vec_id"), col("v"), l2(col("v"), col("cv")).as("d"))
           .compacted.localCheckpoint(true)
         val rows = (1 to 6).map { r =>
-          val radius = minD.agg(max(col("d")).as("radius"))
+          // radius is checkpointed EAGERLY (1 row) so the emitted card stops
+          // referencing the corpus-sized minD frame lazily — which is what
+          // lets each superseded minD be unpersisted deterministically below
+          // (ADVICE r12: 7 corpus-sized checkpoints per run were otherwise
+          // held until the ContextCleaner got around to them)
+          val radius = minD.agg(max(col("d")).as("radius")).localCheckpoint(true)
           val card = sel.crossJoin(broadcast(radius))
             .select(lit(r.toLong).as("pick_round"), col("c_id").as("vec_id"),
               col("radius"))
           val nxt = minD.orderBy(col("d").desc, col("vec_id").asc).limit(1)
             .select(col("vec_id").as("c_id"), col("v").as("cv"))
             .onePart.localCheckpoint(true)
-          minD = minD.crossJoin(broadcast(nxt))
+          val nextMinD = minD.crossJoin(broadcast(nxt))
             .select(col("vec_id"), col("v"),
               least(col("d"), l2(col("v"), col("cv"))).as("d"))
             .compacted.localCheckpoint(true)
+          // radius and nxt materialized off minD above; nothing references
+          // it once the next round's frame exists — release its blocks now
+          // (the 1-row sel/nxt/radius checkpoints the cards DO reference
+          // stay pinned until the caller's action; they are 6×2 single-row
+          // frames, not the pressure the ContextCleaner was hiding)
+          graft.ml.Checkpoints.unpersist(minD)
+          minD = nextMinD
           sel = nxt
           card
         }
+        graft.ml.Checkpoints.unpersist(minD) // round 6's frame: no card reads it
         rows.reduce(_ unionByName _)
       },
       oracle = Some {

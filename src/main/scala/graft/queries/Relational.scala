@@ -455,10 +455,10 @@ object Relational {
     // proving the bucketed round-trip loses and changes nothing.
     QueryDef("q227_bucketed_join",
       (s, dir) => {
-        val tag = java.lang.Long.toHexString(
-          java.lang.Integer.toUnsignedLong(dir.hashCode))
-        val base = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_buckets_$tag").getAbsolutePath
+        // md5-keyed + exit-cleaned scratch (ADVICE r12: Int.hashCode could
+        // collide two data dirs onto one layout, and the trees accumulated)
+        val tag = graft.Scratch.tag(dir)
+        val base = graft.Scratch.dir("graft_buckets_", dir)
         Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
           .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$base/orders_b").saveAsTable(s"orders_b_$tag")

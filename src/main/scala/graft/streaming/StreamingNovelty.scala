@@ -73,9 +73,21 @@ object StreamingNovelty {
   /** The q228 card over an attribution frame (docId, gram, first) — a
     * stateless doc-keyed rollup: n_grams, n_first, novelty_ppm. Applied
     * per micro-batch (foreachBatch) or to the collected attribution table;
-    * on the full doc_id-ordered replay it equals the batch q228 output. */
+    * on the full doc_id-ordered replay it equals the batch q228 output.
+    *
+    * Redelivery-safe (ADVICE r12): an at-least-once upstream re-emits a
+    * delivered doc's rows with first=false — including for grams whose
+    * ORIGINAL row was first=true — so the card first collapses the frame
+    * to one row per (doc, gram), keeping the max of `first` (a gram's
+    * first=true attribution is stable once emitted, so the max is the
+    * original verdict). Without the collapse a redelivered doc's n_grams
+    * doubled and its novelty_ppm sank — invisible on clean replays, wrong
+    * on the delivery semantics the operator documents. On an exactly-once
+    * frame the collapse is a no-op (gramRows is distinct per delivery). */
   def noveltyCard(attr: DataFrame): DataFrame =
-    attr.groupBy(col("docId").as("doc_id"))
+    attr.groupBy(col("docId").as("doc_id"), col("gram"))
+      .agg(max(col("first")).as("first"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first"), 1L).otherwise(0L)).as("n_first"))
       .select(col("doc_id"), col("n_grams"), col("n_first"),

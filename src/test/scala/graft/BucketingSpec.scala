@@ -37,8 +37,7 @@ class BucketingSpec extends SparkSpec {
     withSmj {
       // materialize the bucketed tables (idempotent overwrite inside q227)
       SparkEntry.queries("q227_bucketed_join")(spark, dir).collect()
-      val tag = java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val tag = graft.Scratch.tag(dir)
       val joined = spark.table(s"orders_b_$tag")
         .join(spark.table(s"lineitem_b_$tag"),
           col("o_orderkey") === col("l_orderkey"))
@@ -55,8 +54,7 @@ class BucketingSpec extends SparkSpec {
   test("point predicate on the bucket key prunes to 1 of 16 buckets") {
     withSmj {
       SparkEntry.queries("q227_bucketed_join")(spark, dir).collect()
-      val tag = java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val tag = graft.Scratch.tag(dir)
       val probe = spark.table(s"orders_b_$tag").filter(col("o_orderkey") === 7L)
       val scans = collectAll(probe.queryExecution.executedPlan) {
         case s: FileSourceScanExec => s
@@ -73,10 +71,7 @@ class BucketingSpec extends SparkSpec {
     withSmj {
       // materialize the partitioned layout (idempotent overwrite inside q230)
       SparkEntry.queries("q230_partition_pruned_scan")(spark, dir).collect()
-      val tag = java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(dir.hashCode))
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_part_$tag").getAbsolutePath
+      val base = graft.Scratch.dir("graft_part_", dir)
       val en = spark.read.parquet(base).filter(col("lang") === "en")
         .select(col("doc_id"))
       val scans = collectAll(en.queryExecution.executedPlan) {

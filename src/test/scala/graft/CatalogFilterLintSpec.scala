@@ -25,6 +25,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter
   * (the q73 contract: tokens in their own projection, explode over the
   * non-attribute shingles expression), don't pin.
   */
+// Slow tier (VERDICT r12 #4): excluded from the default `sbt test` run —
+// the full tier runs with GRAFT_SLOW_TESTS=1 (round_close.sh does).
+@org.scalatest.tags.Slow
 class CatalogFilterLintSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

@@ -26,6 +26,9 @@ import graft.plans.SkewLint
   *     bounded — adjudicate it (materialize the dim or salt) before
   *     pinning.
   */
+// Slow tier (VERDICT r12 #4): excluded from the default `sbt test` run —
+// the full tier runs with GRAFT_SLOW_TESTS=1 (round_close.sh does).
+@org.scalatest.tags.Slow
 class CatalogSkewLintSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

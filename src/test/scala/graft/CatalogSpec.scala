@@ -19,7 +19,9 @@ class CatalogSpec extends SparkSpec {
       // AS (...)) and/or the MATERIALIZED keyword the iterative oracles use
       val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+      // \b: a function name SUFFIXED with join (array_join, list_dot_product
+      // commentary like "array_join of ...") must not read as a JOIN clause
+      val refs = "(?i)\\b(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- ctes -- known -- Set("unnest", "generate_series")
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")

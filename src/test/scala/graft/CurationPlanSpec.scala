@@ -10,6 +10,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter
   * re-tokenized once per shingle POSITION (sf0.1 base went from seconds to
   * 11+ minutes). The fixed shape: tokens in their own projection, explode
   * over a non-attribute expression. These tests pin both properties. */
+// Slow tier (VERDICT r12 #4): excluded from the default `sbt test` run —
+// the full tier runs with GRAFT_SLOW_TESTS=1 (round_close.sh does).
+@org.scalatest.tags.Slow
 class CurationPlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

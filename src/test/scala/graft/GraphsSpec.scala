@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Golden test from the PDF2 spec's worked example (FIXTURES.md F6) plus
   * PageRank/LPA structural invariants. */
+// Slow tier (VERDICT r12 #4): excluded from the default `sbt test` run —
+// the full tier runs with GRAFT_SLOW_TESTS=1 (round_close.sh does).
+@org.scalatest.tags.Slow
 class GraphsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -5,6 +5,9 @@ import graft.streaming.StreamingCcnetGate
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+// Slow tier (VERDICT r12 #4): excluded from the default `sbt test` run —
+// the full tier runs with GRAFT_SLOW_TESTS=1 (round_close.sh does).
+@org.scalatest.tags.Slow
 class StreamingCcnetGateSpec extends SparkSpec {
   import spark.implicits._
 

@@ -67,6 +67,15 @@ class StreamingNoveltySpec extends SparkSpec {
         .groupBy($"gram").agg(min($"docId").as("docId"))
         .as[(String, Long)].collect().toSet
       assert(firstAfter == batchFirst)
+      // the card over the REDELIVERED attribution table equals the batch
+      // q228 card — redelivered first=false rows must not inflate n_grams
+      // or deflate novelty_ppm (ADVICE r12: the (doc, gram) collapse)
+      val streamedCard = StreamingNovelty.noveltyCard(attr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchCard = SparkEntry.queries("q228_first_seen_novelty")(
+          spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamedCard == batchCard && streamedCard.nonEmpty)
     } finally q.stop()
   }
 }
