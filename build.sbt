@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 768m JIT code cache (default 240m): the ~170-query bench/verify mains
+  // compile thousands of codegen methods; at the default size the sweeper
+  // flushes a row's C2-compiled code between its interleaved bench slots
+  // and the timed pass re-tiers from scratch (see tools/run_main.sh).
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -184,6 +184,16 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // Codegen class cache sized to the catalog (static conf, default
+        // 100): with ~170 interleaved queries, a row's generated classes
+        // evict between its own slots, so without a same-query prime every
+        // timed pass pays janino compile + fresh JIT — the first prime-skip
+        // run read pin-free sub-second rows (q37, q202, q218...) at 1.5–2×
+        // their committed medians from exactly this. The OLD protocol's
+        // numbers were codegen-warm by construction (each timed pass ran
+        // right after its prime); sizing the cache to hold every row's
+        // classes preserves those semantics with the prime skipped.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         // NB: driver heap can't be set here (the JVM is already running in
         // local mode) — pass -J-Xmx/JAVA_OPTS at launch instead
         .getOrCreate()
@@ -538,14 +548,22 @@ object Bench {
     // The fresh-session warm-up seconds are RECORDED (freshWarm): they are
     // each late row's best available honest-cost bound, and the self-heal
     // trigger below compares medians against them.
-    val lateRerun = mainQs.filter { q =>
+    val lateRerunNames = mainQs.filter { q =>
       lateAlways(q.name) && !failed(q.name) && {
         val m = committed.getOrElse(q.name, -1.0)
         val p = prior.getOrElse(q.name, -1.0)
         m < 0 || p < 0 || m > lateMoveFactor * p
       }
-    }
-    val lateQs = costLate ++ lateRerun
+    }.map(_.name).toSet
+    // CATALOG order, not costLate-then-rerun: the fresh session's warm-ups
+    // seed the factorization memos in sequence, so q103 must warm before
+    // q105 reads its snapshot — the first concatenated cut warmed q105
+    // ahead of q103 and measured q105 at components 1+2 (9.1 s) while
+    // q103's own passes hit q105's memo entry (0.09 s), inverting the
+    // family's marginal-work semantics.
+    val costLateNames = costLate.map(_.name).toSet
+    val lateQs = queries.filter(q => costLateNames(q.name) || lateRerunNames(q.name))
+    val lateRerun = lateQs.filter(q => lateRerunNames(q.name))
     lateNames = costLate.map(_.name).toSet
     if (lateQs.nonEmpty) {
       System.err.println(
@@ -556,7 +574,20 @@ object Bench {
       memoSnaps.clear()
       spark = spark.newSession()
       canaryPass("late_open")
-      lateQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
+      // When ANY factorization-family row re-measures here, the WHOLE family
+      // joins the fresh-session WARM-UP chain (still in catalog order) so
+      // the re-measured row's snapshot carries its predecessors' components
+      // — run 3 of the protocol rework had q105 go late alone and pay
+      // components 1+2 (7.3 s) against an empty memo, where its honest
+      // marginal (component 2, q103 warmed first) is ~5.6 s. Only the rows
+      // that NEED re-measuring are timed; the others' warm-ups just seed
+      // the memos (~15 s for the full family vs ~45 s to re-time it).
+      val lateWarmQs =
+        if (lateQs.exists(q => lateAlways(q.name)))
+          queries.filter(q => lateAlways(q.name) ||
+            costLateNames(q.name) || lateRerunNames(q.name))
+        else lateQs
+      lateWarmQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) {
           freshWarm(q.name) = runOnce(q)

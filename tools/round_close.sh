@@ -1,33 +1,77 @@
 #!/bin/bash
-# Round-close routine (VERDICT r11 #2 — the recurring artifact-hygiene item):
+# Round-close routine (VERDICT r11 #2, extended per VERDICT r12 #8 into the
+# one-command round evidence drop):
 #   1. regenerate the sf0.1 oracle artifact (VERIFY_sf01.json) over the FULL
 #      catalog, so the committed two-SF record never lags the query set;
-#   2. run the full bench at sf0.1 into bench.json (the self-checking
-#      protocol writes warm-ups, sweep membership, canary readings and any
-#      self-heal evidence into the artifact);
-#   3. stage every artifact so the round's closing commit carries them.
+#   2. run the FULL test tier (GRAFT_SLOW_TESTS=1 — the @Slow-tagged suites
+#      are excluded from the default `sbt test` the driver runs, so the
+#      round close is where they must all go green) and record the wall;
+#   3. run the full bench at sf0.1 into bench.json (the self-checking
+#      protocol writes warm-ups, sweep membership, canary readings, prior
+#      deltas and any self-heal evidence into the artifact);
+#   4. append a ROUND.md stanza with the four numbers (verify, tests, bench
+#      total, canary band) so every round closes on the same evidence;
+#   5. stage every artifact so the round's closing commit carries them.
 # (No sf0.01 twin here — the driver's own CORRECTNESS_rN gate IS the sf0.01
 # record; this script keeps the builder-side half of the two-SF discipline.)
 #
 # Run from the repo root with nothing else on the box (measurement
-# discipline: Verify/Bench must not overlap other load). ~25 min total.
+# discipline: Verify/Bench must not overlap other load). ~30 min total.
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
-echo "[round_close] 1/2 Verify @ sf0.1 -> VERIFY_sf01.json"
+echo "[round_close] 1/4 Verify @ sf0.1 -> VERIFY_sf01.json"
 rm -rf /tmp/rc_sf01
 tools/run_main.sh graft.Verify /root/testdata/sf0.1 /tmp/rc_sf01 >/tmp/rc_sf01.log 2>&1
 python3 tools/check.py /root/testdata/sf0.1 /tmp/rc_sf01 VERIFY_sf01.json | tail -1
 # a hash-match on 0 rows is consistency, not coverage (the q218 lesson)
 python3 -c "import json; e=json.load(open('/tmp/rc_sf01/empty.json')); print('[round_close] zero-row queries:', ', '.join(e) if e else 'none')"
 
-echo "[round_close] 2/2 Bench @ sf0.1 -> bench.json"
+echo "[round_close] 2/4 full test tier (GRAFT_SLOW_TESTS=1 sbt test)"
+T0=$(date +%s)
+if GRAFT_SLOW_TESTS=1 sbt -batch test >/tmp/rc_tests.log 2>&1; then
+  TESTS_RC=0
+else
+  TESTS_RC=$?
+fi
+TESTS_WALL=$(( $(date +%s) - T0 ))
+TESTS_LINE=$(grep -E "^\[info\] Tests: " /tmp/rc_tests.log | tail -1 | sed 's/^\[info\] //')
+echo "[round_close] tests rc=$TESTS_RC wall=${TESTS_WALL}s  $TESTS_LINE"
+if [ "$TESTS_RC" -ne 0 ]; then
+  echo "[round_close] FULL TIER RED — fix before closing the round" >&2
+  exit "$TESTS_RC"
+fi
+
+echo "[round_close] 3/4 Bench @ sf0.1 -> bench.json"
+T0=$(date +%s)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
   2>/tmp/rc_bench.err | tail -1
+BENCH_WALL=$(( $(date +%s) - T0 ))
 
-git add VERIFY_sf01.json bench.json 2>/dev/null || true
+echo "[round_close] 4/4 ROUND.md stanza"
+python3 - "$TESTS_WALL" "$BENCH_WALL" "$TESTS_LINE" <<'EOF'
+import json, sys, datetime
+tests_wall, bench_wall, tests_line = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+b = json.load(open('bench.json'))
+v = json.load(open('VERIFY_sf01.json'))
+nv = sum(1 for r in v.values() if isinstance(r, dict)
+         and r.get('rows_match') and r.get('schema_match') and r.get('hash_match'))
+rows = [x for x in b['queries'].values() if x >= 0]
+can = ' '.join(f"{k}={x:.2f}" for k, x in b['canary'].items())
+stanza = (
+    f"\n## {datetime.date.today().isoformat()}\n\n"
+    f"- Verify sf0.1: {nv}/{len(v)} hash-match\n"
+    f"- Full test tier: {tests_line} ({tests_wall}s wall)\n"
+    f"- Bench: {len(rows)} rows, {b['value']:.1f}s total, {bench_wall}s wall, "
+    f"complete={b.get('complete')}\n"
+    f"- Canary: {can}\n")
+open('ROUND.md', 'a').write(stanza)
+print(stanza)
+EOF
+
+git add VERIFY_sf01.json bench.json ROUND.md 2>/dev/null || true
 # track any driver records dropped since the last round
-git add BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
+git add BENCH_r*.json CORRECTNESS_r*.json PROGRESS.jsonl 2>/dev/null || true
 echo "[round_close] staged: $(git diff --cached --name-only | tr '\n' ' ')"
 echo "[round_close] done — review and commit."
