@@ -568,6 +568,12 @@ object ScalingProbe {
       // q236 rides the memoized q70 assignment + the q33 pair set — one
       // pair-keyed join + a cluster rollup on top of their cost
       "q236_dup_chain_audit",
+      // q238 is q233's shape plus the row-local reassembly: the cut-position
+      // frame rides the hit set (×8 per hit) and the clean-text rebuild is
+      // an indexed-lambda filter on the pinned token arrays — the ratio
+      // should track q233's (output text grows with the duplicate flood,
+      // the only extra term)
+      "q238_decontam_surgery_emit",
       // q237 shares one index build + ONE ADC pass at the max shortlist;
       // re-rank reads shortlist·|panel| full vectors through an equi join
       "q237_shortlist_sweep")
@@ -642,7 +648,9 @@ object ScalingProbe {
       "q231_signal_correlations", "q232_dup_cluster_histogram",
       // q233 is documents-based two-regime; q234 reads only embeddings
       // (id-shift/translated replica, the q177 rule)
-      "q233_decontam_span_surgery", "q236_dup_chain_audit")
+      "q233_decontam_span_surgery", "q236_dup_chain_audit",
+      // round-13: q238 is q233 + the reassembly leg — documents-based
+      "q238_decontam_surgery_emit")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as
