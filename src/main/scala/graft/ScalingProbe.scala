@@ -574,6 +574,9 @@ object ScalingProbe {
       // should track q233's (output text grows with the duplicate flood,
       // the only extra term)
       "q238_decontam_surgery_emit",
+      // q239 rides the same frames as q238 plus a second broadcast-join
+      // census over the contaminated slice — same cost class
+      "q239_decontam_residual_audit",
       // q237 shares one index build + ONE ADC pass at the max shortlist;
       // re-rank reads shortlist·|panel| full vectors through an equi join
       "q237_shortlist_sweep")
@@ -649,8 +652,9 @@ object ScalingProbe {
       // q233 is documents-based two-regime; q234 reads only embeddings
       // (id-shift/translated replica, the q177 rule)
       "q233_decontam_span_surgery", "q236_dup_chain_audit",
-      // round-13: q238 is q233 + the reassembly leg — documents-based
-      "q238_decontam_surgery_emit")
+      // round-13: q238 is q233 + the reassembly leg, q239 the audit on
+      // top — both documents-based
+      "q238_decontam_surgery_emit", "q239_decontam_residual_audit")
     // Measurement harness shared by EVERY probe row (time() and the q95
     // k-scaled timeK below — one copy, so the hygiene can't diverge between
     // rows): time the action, then reset all cache state. Same hygiene as

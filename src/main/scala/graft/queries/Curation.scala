@@ -5983,6 +5983,143 @@ object Curation {
         LEFT JOIN kept k ON k.doc_id = c.doc_id"""),
       bench = true),
 
+    // Surgery idempotence audit — the property check a production pipeline
+    // needs before declaring one-pass surgery sufficient: cutting spans
+    // WELDS previously-separated tokens together, and an 8-gram spanning a
+    // weld seam exists in the cleaned text that never existed in the
+    // original — if such a gram matches the benchmark set, the "clean"
+    // corpus is still contaminated and surgery is NOT idempotent. Per
+    // contaminated doc: surviving tokens, seam count (adjacent survivors
+    // whose ORIGINAL positions were not adjacent), seam-spanning 8-grams
+    // (original-index span > 7 — the nonzero numbers proving the audit
+    // actually inspected welds), and residual benchmark hits in the
+    // re-tokenized cleaned text (the idempotence verdict; 0 everywhere on
+    // this corpus = second pass is a no-op, machine-checked rather than
+    // assumed; SurgeryAuditSpec pins the >0 branch on a crafted weld).
+    // Unlike q233/q238 — which model TAIL contamination (appended
+    // sentences, so every cut is a suffix and no seam exists) — this card
+    // SPLICES e1 into the middle of the doc (char 120): the interior-cut
+    // case is the one that creates welds, and an append-only scenario
+    // would give the audit nothing to audit (the q224 informativeness
+    // lesson: a hash-matched all-zero column proves consistency, not
+    // behavior). Scale shape: one pinned tokenize, hit-bounded cut frame,
+    // row-local indexed-lambda seam algebra over the survivor arrays, and
+    // one extra broadcast-join pass over the contaminated slice for the
+    // residual census.
+    QueryDef("q239_decontam_residual_audit",
+      (s, dir) => {
+        val lng = org.apache.spark.sql.types.LongType
+        val e1 = " held out benchmark question answer pairs must never leak into training "
+        val e2 = " the standardized test prompt appears verbatim in this document for evaluation"
+        val d2 = docs(s, dir).withColumn("text",
+          concat(
+            when(col("doc_id") % 13 === 0,
+              concat(expr("substr(text, 1, 120)"), lit(e1), expr("substr(text, 121)")))
+              .otherwise(col("text")),
+            when(col("doc_id") % 7 === 0, lit(e2)).otherwise(lit(""))))
+        val tk = graft.Caching.pin(
+          d2.select(col("doc_id"), Exprs.tokens(col("text")).as("toks")))
+        val sp = tk.select(col("doc_id"),
+            posexplode(Exprs.shingles(col("toks"), 8)).as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1).cast(lng).as("p"), col("g"))
+        val bench = sp.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+        val cut = sp.filter(col("doc_id") % 97 =!= 0).join(broadcast(bench), "g")
+          .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("pos"))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_set(col("pos"))).as("cut"))
+        // survivors paired with their ORIGINAL 1-based positions
+        val kept = filter(
+          zip_with(col("toks"), sequence(lit(1), size(col("toks"))),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          x => !array_contains(col("cut"), x.getField("i").cast(lng)))
+        val stats = graft.Caching.pin(tk.join(cut, "doc_id")
+          .select(col("doc_id"), kept.as("kp"))
+          .select(col("doc_id"),
+            transform(col("kp"), x => x.getField("t")).as("kt"),
+            transform(col("kp"), x => x.getField("i")).as("ki"))
+          .select(col("doc_id"),
+            size(col("kt")).cast(lng).as("n_after"),
+            // a seam sits between survivors k and k+1 when their original
+            // positions were not adjacent (the cut removed tokens between)
+            when(size(col("ki")) >= 2,
+              size(filter(sequence(lit(1), size(col("ki")) - 1),
+                k => element_at(col("ki"), k + 1) - element_at(col("ki"), k) > 1)))
+              .otherwise(lit(0)).cast(lng).as("n_seams"),
+            // a gram at k spans a seam iff its 8 survivors cover an
+            // original-index range wider than 7
+            when(size(col("ki")) >= 8,
+              size(filter(sequence(lit(1), size(col("ki")) - 7),
+                k => element_at(col("ki"), k + 7) - element_at(col("ki"), k) > 7)))
+              .otherwise(lit(0)).cast(lng).as("n_seam_grams"),
+            Exprs.shingles(col("kt"), 8).as("grams")))
+        val hits = stats.select(col("doc_id"), explode(col("grams")).as("g"))
+          .join(broadcast(bench), "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_residual_hits"))
+        stats.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_after"), col("n_seams"),
+            col("n_seam_grams"),
+            coalesce(col("n_residual_hits"), lit(0L)).as("n_residual_hits"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(regexp_replace(lower(
+              CASE WHEN doc_id % 13 = 0
+                THEN substr(text, 1, 120) || ' held out benchmark question answer pairs must never leak into training ' || substr(text, 121)
+                ELSE text END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' the standardized test prompt appears verbatim in this document for evaluation' ELSE '' END
+            ), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+          FROM documents),
+        g8 AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM seq) u),
+        bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+        fl AS (SELECT g8.* FROM g8 JOIN bg USING (g) WHERE doc_id % 97 <> 0),
+        pos AS (
+          SELECT DISTINCT doc_id, p + o AS pos
+          FROM (SELECT doc_id, p, unnest(generate_series(0, 7)) AS o FROM fl) z),
+        toks AS (
+          SELECT doc_id, unnest(tk) AS tok,
+            unnest(generate_series(1, len(tk))) AS i
+          FROM seq),
+        keptl AS (
+          SELECT t.doc_id,
+            list(t.tok ORDER BY t.i) AS kt,
+            list(t.i ORDER BY t.i) AS ki
+          FROM toks t LEFT JOIN pos p ON p.doc_id = t.doc_id AND p.pos = t.i
+          WHERE p.doc_id IS NULL
+            AND t.doc_id IN (SELECT DISTINCT doc_id FROM pos)
+          GROUP BY t.doc_id),
+        stats AS (
+          SELECT doc_id, CAST(len(kt) AS BIGINT) AS n_after,
+            CAST(len(list_filter(range(1, len(ki)),
+              k -> ki[k+1] - ki[k] > 1)) AS BIGINT) AS n_seams,
+            CAST(len(list_filter(range(1, len(ki) - 6),
+              k -> ki[k+7] - ki[k] > 7)) AS BIGINT) AS n_seam_grams,
+            kt
+          FROM keptl),
+        rg AS (
+          SELECT doc_id,
+            kt[k] || ' ' || kt[k+1] || ' ' || kt[k+2] || ' ' || kt[k+3] || ' ' ||
+            kt[k+4] || ' ' || kt[k+5] || ' ' || kt[k+6] || ' ' || kt[k+7] AS g
+          FROM (SELECT doc_id, kt, unnest(generate_series(1, len(kt) - 7)) AS k
+                FROM stats) u),
+        res AS (SELECT rg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_residual_hits
+                FROM rg JOIN bg USING (g) GROUP BY 1)
+        -- anchored on the contaminated-doc set: a FULLY-cut doc has no
+        -- surviving tokens, hence no keptl group — it must still report a
+        -- zero card (Spark's side keeps it with an empty survivor array)
+        SELECT c.doc_id, COALESCE(s.n_after, 0) AS n_after,
+          COALESCE(s.n_seams, 0) AS n_seams,
+          COALESCE(s.n_seam_grams, 0) AS n_seam_grams,
+          COALESCE(r.n_residual_hits, 0) AS n_residual_hits
+        FROM (SELECT DISTINCT doc_id FROM pos) c
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN res r USING (doc_id)"""),
+      bench = true),
+
     // Greedy k-center coreset selection (Gonzalez 1985 farthest-point
     // traversal, the 2-approximation every diversity-pruning pipeline
     // builds on): seed = the min-id vector, each round adds the vector
