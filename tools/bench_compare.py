@@ -56,9 +56,17 @@ def main(old_path, new_path, flag=1.3):
         if diag:
             w = diag.get("freshWarm", diag.get("warm"))
             extra = f"  [sweep={diag.get('sweep')}, warm={w:.2f}s" if w else ""
+            if diag.get("warmSkipped"):
+                extra += f", warm=prior({diag.get('prior', -1):.2f}s)" if not extra else ", warmSkipped"
+            if "lateMedian" in diag and "mainMedian" in diag:
+                extra += (f", LATE-RERUN {diag['mainMedian']:.2f}->"
+                          f"{diag['lateMedian']:.2f}s")
             if "healMedian" in diag:
                 extra += (f", HEALED {diag['mainMedian']:.2f}->"
                           f"{diag['healMedian']:.2f}s")
+            ps = diag.get("passes")
+            if ps and len(ps) >= 2 and ps[0] > ps[-1] * 1.3:
+                extra += ", warming-staircase " + "->".join(f"{p:.2f}" for p in ps)
             if extra:
                 extra += "]"
         print(f"  mover {k}: {qo[k]:.2f}s -> {qn[k]:.2f}s ({r:.2f}x){extra}")
