@@ -102,6 +102,14 @@ import org.apache.spark.sql.SparkSession
   *     normalize by the host band state instead of re-litigating
   *     "host variance vs regression" each round.
   *
+  * The LAST stdout line is a COMPACT summary (round 14, VERDICT r13 #1):
+  * totals, row count, completeness and the top-10 medians (under "top10",
+  * never "queries") — ~600 chars, sized to survive the driver's
+  * ~2,000-char tail capture whole. BENCH_r12/r13 both recorded parsed:null
+  * on COMPLETE runs because the full artifact line (170 inlined medians,
+  * ~5 KB) was the last thing printed. The full line still prints at each
+  * phase boundary and the full map lives in bench.json.
+  *
   * Execution materializes every output column through the noop sink, so
   * projections can't be cheated away by a count-only plan. The JSON line is
   * ALSO written to bench.json next to the working directory — round 8's
@@ -120,10 +128,18 @@ object Bench {
   val lateThresholdSec: Double =
     sys.env.get("SPARK_GRAFT_BENCH_LATE_SEC").map(_.toDouble).getOrElse(5.0)
 
-  /** A row whose median exceeds this multiple of its freshest warm-up pass
-    * is re-measured in the self-healing session. Warm-up is JIT-cold and
-    * therefore an upper bound on the honest steady-state cost, so 2× is
-    * already anomalous; a 1 s floor keeps sub-second noise out. */
+  /** A row whose median exceeds this multiple of min(freshest warm-up,
+    * prior committed record) is re-measured in the self-healing session.
+    * Warm-up is JIT-cold and therefore an upper bound on the honest
+    * steady-state cost, so 2× is already anomalous; a 1 s floor keeps
+    * sub-second noise out. The PRIOR joins the bound (round 14, VERDICT
+    * r13 #2) because the warm pass can ride the same JVM-warmth staircase
+    * it guards against: the official r13 run committed q127 at 6.94 s
+    * (prior 2.71) and q169 at 3.49 s (prior 1.48) un-healed — their warm
+    * passes read 4.39/2.00 s, inflated by the very staircase that inflated
+    * the medians. A genuinely regressed row still commits its regression:
+    * the heal re-measures and commits min(main, heal), which confirms a
+    * real slowdown and only removes protocol inflation. */
   val healFactor: Double =
     sys.env.get("SPARK_GRAFT_BENCH_HEAL_FACTOR").map(_.toDouble).getOrElse(2.0)
 
@@ -170,6 +186,24 @@ object Bench {
     "q70_dup_clusters", "q72_dedup_purge", "q191_soft_dedup_weights",
     "q220_dedup_keep_best", "q226_cluster_safe_split",
     "q232_dup_cluster_histogram", "q236_dup_chain_audit")
+
+  /** The iterative graph family shares a JVM-warmth profile the way the
+    * factorization family shares memos: its rows are dominated by the same
+    * iterative join-loop machinery (per-round plan compile + JIT of the
+    * loop body), and a fresh session pays that warmth as a STAIRCASE —
+    * the official r13 run read q134's late passes at 16.7→12.1→2.8 s and
+    * q149's at 13.3→7.1→4.7 s while the canary held steady (host band
+    * innocent; VERDICT r13 #2). When any member lands in a fresh-session
+    * sweep (late or heal), the WHOLE family warms there first so the
+    * staircase is paid in warm-ups, not timed passes. No memo coupling —
+    * membership only affects fresh-session warm-up chaining. */
+  val graphWarmFamily = Set("q127_bfs_hops", "q134_hits", "q138_textrank",
+    "q147_shortest_paths", "q149_modularity", "q169_assortativity")
+
+  /** Fresh-session warm-up chains: when a sweep in a fresh session times
+    * ANY member of a chain, every member of that chain joins the session's
+    * warm-up pass (in catalog order) ahead of the timed slots. */
+  val warmChains: Seq[Set[String]] = Seq(lateAlways, graphWarmFamily)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -260,9 +294,9 @@ object Bench {
     // Checked against the full catalog so subset runs catch it too.
     locally {
       val catalog = SparkEntry.all.map(_.name).toSet
-      val unresolved = memoTouching.filterNot(catalog)
+      val unresolved = (memoTouching ++ warmChains.flatten).filterNot(catalog)
       require(unresolved.isEmpty,
-        s"Bench.lateAlways/memoTouching names not in the catalog (renamed?): ${unresolved.mkString(", ")}")
+        s"Bench.lateAlways/memoTouching/warmChains names not in the catalog (renamed?): ${unresolved.mkString(", ")}")
     }
 
     // LSA/PCA factorization memos are session-scoped product behavior: a
@@ -394,10 +428,20 @@ object Bench {
         s""","skipWarmSec":$skipWarmSec,"agreeFrac":$agreeFrac,"lateMoveFactor":$lateMoveFactor""" +
         s""","canary":$canaryJson,"diag":$diagJson,"queries":$qs}"""
     }
+    // temp-file + ATOMIC_MOVE (ADVICE r13): an in-place Files.write killed
+    // mid-write — the exact wall-clock-kill scenario the crash-safe artifact
+    // exists for — would leave a truncated file, losing both the partial
+    // record AND the next run's prior (disabling all three prior-gated cuts)
     def emitFile(phase: String, complete: Boolean): String = {
       val line = artifactLine(phase, complete)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
+      try {
+        val out = java.nio.file.Paths.get(outPath).toAbsolutePath
+        val tmp = java.nio.file.Files.createTempFile(out.getParent, ".bench", ".tmp")
+        java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
       line
     }
     def emit(phase: String, complete: Boolean): Unit = println(emitFile(phase, complete))
@@ -527,6 +571,10 @@ object Bench {
     // lateAlways family included (round 13) — is timed here.
     val mainQs = queries.filter(q => warmSecs.getOrElse(q.name, 0.0) <= lateThresholdSec)
     val costLate = queries.filter(q => warmSecs.getOrElse(q.name, 0.0) > lateThresholdSec)
+    // assigned BEFORE the main sweep (ADVICE r13): every crash-safe artifact
+    // written during warmup/main must already label cost-late rows, or a
+    // kill before the late sweep leaves them marked sweep:"main"
+    lateNames = costLate.map(_.name).toSet
     timedSweeps(mainQs, "main")
     harvest("main", mainQs)
     canaryPass("mid")
@@ -564,7 +612,6 @@ object Bench {
     val costLateNames = costLate.map(_.name).toSet
     val lateQs = queries.filter(q => costLateNames(q.name) || lateRerunNames(q.name))
     val lateRerun = lateQs.filter(q => lateRerunNames(q.name))
-    lateNames = costLate.map(_.name).toSet
     if (lateQs.nonEmpty) {
       System.err.println(
         s"[bench] final sweep (${lateQs.size} rows): ${lateQs.map(_.name).mkString(", ")}")
@@ -574,19 +621,20 @@ object Bench {
       memoSnaps.clear()
       spark = spark.newSession()
       canaryPass("late_open")
-      // When ANY factorization-family row re-measures here, the WHOLE family
-      // joins the fresh-session WARM-UP chain (still in catalog order) so
-      // the re-measured row's snapshot carries its predecessors' components
-      // — run 3 of the protocol rework had q105 go late alone and pay
-      // components 1+2 (7.3 s) against an empty memo, where its honest
-      // marginal (component 2, q103 warmed first) is ~5.6 s. Only the rows
-      // that NEED re-measuring are timed; the others' warm-ups just seed
-      // the memos (~15 s for the full family vs ~45 s to re-time it).
-      val lateWarmQs =
-        if (lateQs.exists(q => lateAlways(q.name)))
-          queries.filter(q => lateAlways(q.name) ||
-            costLateNames(q.name) || lateRerunNames(q.name))
-        else lateQs
+      // When ANY row of a warm chain re-measures here, the WHOLE chain
+      // joins the fresh-session WARM-UP pass (still in catalog order). For
+      // the factorization family that seeds the memos the re-measured row's
+      // snapshot inherits — run 3 of the protocol rework had q105 go late
+      // alone and pay components 1+2 (7.3 s) against an empty memo, where
+      // its honest marginal (component 2, q103 warmed first) is ~5.6 s.
+      // For the graph family (round 14) it pays the iterative-loop JIT
+      // staircase before any timed slot. Only the rows that NEED
+      // re-measuring are timed; the others' warm-ups just seed state
+      // (~15 s for the factorization family vs ~45 s to re-time it).
+      val lateChainNames =
+        warmChains.filter(c => lateQs.exists(q => c(q.name))).flatten.toSet
+      val lateWarmQs = queries.filter(q => lateChainNames(q.name) ||
+        costLateNames(q.name) || lateRerunNames(q.name))
       lateWarmQs.foreach { q => // fresh-session warm-up, memo snapshots retaken
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) {
@@ -609,8 +657,18 @@ object Bench {
     // session and commit the MIN of the two medians. q116 r11 is the
     // motivating case: fresh warm-up ~3 s, all three timed passes ~14.5 s —
     // this pass re-measures exactly that shape.
-    def honestWarm(name: String): Double =
-      freshWarm.getOrElse(name, warmSecs.getOrElse(name, Double.MaxValue))
+    // The gate bound is min(warm, PRIOR) (round 14, VERDICT r13 #2): the
+    // same-run warm pass can itself be inflated by the staircase the heal
+    // hunts — r13 committed q127 at 2.56× and q169 at 2.36× their priors
+    // un-healed because their warm passes rode the q134 staircase too. The
+    // prior is last round's committed steady state on the same box: a
+    // committed row landing >healFactor× above it deserves a re-measure
+    // attempt no matter what this run's warm pass read. A real regression
+    // survives the heal (min(main, heal) confirms it) — the heal only ever
+    // removes protocol inflation.
+    def honestWarm(name: String): Double = math.min(
+      freshWarm.getOrElse(name, warmSecs.getOrElse(name, Double.MaxValue)),
+      prior.getOrElse(name, Double.MaxValue))
     // capped at the 16 worst offenders by median/warm ratio: if a host band
     // shift inflates the WHOLE sweep ~2×, re-measuring everything would turn
     // the heal pass into a second full run — the protocol defect it hunts is
@@ -634,7 +692,14 @@ object Bench {
       spark = spark.newSession()
       canaryPass("heal_open")
       val healFailedBefore = failed.toSet
-      healQs.foreach { q =>
+      // warm-chain expansion (round 14): a healed graph/factorization row
+      // warms alongside its whole family so the heal passes measure past
+      // the staircase, not inside it (see the late-sweep note above)
+      val healNames = healQs.map(_.name).toSet
+      val healChainNames =
+        warmChains.filter(c => healQs.exists(q => c(q.name))).flatten.toSet
+      val healWarmQs = queries.filter(q => healNames(q.name) || healChainNames(q.name))
+      healWarmQs.foreach { q =>
         memoSnaps(q.name) = (ml.Lsa.memoSnapshot(), ml.Pca.memoSnapshot(), operators.DupClusters.memoSnapshot())
         guarded(q) { healWarm(q.name) = runOnce(q) }
       }
@@ -642,14 +707,37 @@ object Bench {
       timedSweeps(healQs, "heal")
       healQs.foreach(q => if (times(q.name).nonEmpty) healMedian(q.name) = medianOf(q.name))
       harvest("heal", healQs)
-      // a failure INSIDE the heal pass must not red-flag a row whose main
-      // measurement succeeded — the heal result is simply discarded
+      // a failure INSIDE the heal pass (timed slot OR chain warm-up) must
+      // not red-flag a row whose main measurement succeeded — the heal
+      // result is simply discarded
       failed --= failed.toSet.diff(healFailedBefore)
-        .filter(n => preHealMedian.getOrElse(n, -1.0) >= 0)
+        .filter(n => committed.get(n).exists(_ >= 0))
       canaryPass("heal_end")
     }
 
     emit("final", complete = true)
+
+    // COMPACT summary as the very LAST stdout line (VERDICT r13 #1): the
+    // full artifact line now spans ~5 KB (170 inlined medians) and the
+    // driver's ~2,000-char tail capture truncates it — BENCH_r12/r13 both
+    // recorded parsed:null on complete runs. The driver parses its captured
+    // tail as JSON, so the final line must fit the window whole: totals +
+    // the top-10 medians only; the full per-query map lives one line up
+    // and in bench.json (atomically written, complete:true).
+    locally {
+      val vals = queries.map(q => q.name ->
+          (if (failed(q.name)) -1.0 else committed.getOrElse(q.name, -1.0)))
+        .filter(_._2 >= 0)
+      val top = vals.sortBy(-_._2).take(10)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // "top10", NOT "queries": bench_compare.py (and anything else reading
+      // the driver's parsed record) treats a "queries" map as the complete
+      // median set — a partial map under that key would silently shrink
+      // every cross-round comparison to 10 rows
+      println(s"""{"metric":"total","value":${vals.map(_._2).sum},"unit":"sec"""" +
+        s""","sf":"$sfDir","n":${vals.size},"failed":${queries.count(q => failed(q.name))}""" +
+        s""","complete":true,"artifact":"$outPath","top10":$top}""")
+    }
     spark.stop()
   }
 }

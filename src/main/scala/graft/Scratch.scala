@@ -18,12 +18,24 @@ object Scratch {
     registered.forEach(p => delete(new java.io.File(p)))
   }))
 
+  /** This JVM's pid, baked into every issued path (ADVICE r13): two
+    * concurrent JVMs pointed at the same data dir (an sbt test run
+    * overlapping a Bench/Verify run) would otherwise compute the SAME
+    * scratch path, and the first to exit would recursively delete the
+    * other's live bucketed/partitioned layout mid-query. The trade — a
+    * SIGKILL'd JVM leaves its tree for the host's tmp reaper instead of a
+    * successor run overwriting it in place — is the right one: stale disk
+    * is recoverable, a deleted live layout is a wrong answer. */
+  private val pid: Long = java.lang.ProcessHandle.current().pid()
+
   /** Absolute path of a scratch directory under `java.io.tmpdir`, keyed by
-    * a collision-resistant digest of `key` (same key → same path, so
-    * re-runs stay overwrite-idempotent), cleaned up recursively when the
-    * JVM exits. The directory itself is NOT created — writers own that. */
+    * a collision-resistant digest of `key` plus this JVM's pid (same key →
+    * same path WITHIN a JVM, so re-runs stay overwrite-idempotent; disjoint
+    * across JVMs, so concurrent runs can't delete each other's layouts),
+    * cleaned up recursively when the JVM exits. The directory itself is
+    * NOT created — writers own that. */
   def dir(prefix: String, key: String): String = {
-    val f = new java.io.File(sys.props("java.io.tmpdir"), s"$prefix${tag(key)}")
+    val f = new java.io.File(sys.props("java.io.tmpdir"), s"$prefix${tag(key)}_p$pid")
     hook
     registered.add(f.getAbsolutePath)
     f.getAbsolutePath

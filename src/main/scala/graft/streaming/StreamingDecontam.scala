@@ -40,6 +40,53 @@ object StreamingDecontam {
     }
   }
 
+  /** Span-surgery EMISSION on a (doc_id, text) stream — the streaming twin
+    * of q238 (VERDICT r13 #4): q238 closes the batch decontamination loop
+    * (flag → account → emit the cleaned corpus); this is the same cut at
+    * ingest time, so a contaminated doc lands in the training shard
+    * already cleaned instead of being quarantined for a batch pass. Emits
+    * only contaminated docs — clean docs pass the gate untouched upstream
+    * — with q238's exact schema: (doc_id, n_before, n_removed, n_after,
+    * clean_text).
+    *
+    * The algebra is q238's, re-expressed row-locally (which is what makes
+    * it embarrassingly STATELESS): hit positions come from an
+    * indexed-lambda scan of the doc's own gram array against the broadcast
+    * suite map (no posexplode→join→groupBy — that chain is the batch
+    * shape; a single row needs no shuffle to collapse its own positions),
+    * the cut set is the union of [p, p+n-1] ranges over hits, and the
+    * survivors reassemble via the same indexed-lambda filter q238 uses.
+    * Per-row Column expressions only, append mode, no state store, no
+    * shuffle — unconditionally scalable on the stream side
+    * (StreamingDecontamSpec asserts zero stateful operators AND exact
+    * batch parity against q238's own output on a doc_id-ordered replay). */
+  def surgeryEmit(docs: DataFrame, bench: Map[String, Seq[Long]], n: Int = 8): DataFrame = {
+    val lng = org.apache.spark.sql.types.LongType
+    val lookup = typedlit(bench)
+    docs
+      .select(col("doc_id"), Exprs.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), Exprs.shingles(col("toks"), n).as("grams"))
+      // 1-based positions of flagged grams; transform's index lambda is
+      // 0-based, and the -1 sentinel keeps the element type non-nullable
+      .select(col("doc_id"), col("toks"),
+        filter(
+          transform(col("grams"),
+            (g, i) => when(element_at(lookup, g).isNotNull, i + 1).otherwise(lit(-1))),
+          p => p > 0).as("hitp"))
+      .filter(size(col("hitp")) > 0)
+      .select(col("doc_id"), col("toks"),
+        array_sort(array_distinct(flatten(transform(col("hitp"),
+          p => sequence(p.cast(lng), (p + lit(n - 1)).cast(lng)))))).as("cut"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(lng).as("n_before"),
+        size(col("cut")).cast(lng).as("n_removed"),
+        (size(col("toks")) - size(col("cut"))).cast(lng).as("n_after"),
+        array_join(
+          filter(col("toks"),
+            (_, i) => !array_contains(col("cut"), (i + lit(1)).cast(lng))),
+          " ").as("clean_text"))
+  }
+
   /** Flag + attribute contaminated docs on a (doc_id, text) stream (or a
     * batch frame — the parity twin). Emits only contaminated docs:
     * (doc_id, n_hit_grams, n_bench_docs, first_bench_doc). Tokens get

@@ -56,6 +56,50 @@ class StreamingDecontamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed span surgery equals q238's batch emission on an ordered replay") {
+    implicit val ctx = spark.sqlContext
+    // q238's exact corpus: the driver's sf0.001 documents table under the
+    // same deterministic enrichment (contaminating sentences appended on
+    // the %13/%7 arms) and the same %97 benchmark slice — the stream replays
+    // the ENRICHED ingest, doc_id-ordered, in micro-batch waves
+    val dir = "/root/testdata/sf0.001"
+    val e1 = " held out benchmark question answer pairs must never leak into training"
+    val e2 = " the standardized test prompt appears verbatim in this document for evaluation"
+    val enriched = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(e1)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(e2)).otherwise(lit(""))))
+    val bench = StreamingDecontam.benchmarkGrams(
+      enriched.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")))
+    val train = enriched.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.surgeryEmit(ms.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("surgery").outputMode("append")
+      .start()
+    try {
+      train.grouped(64).foreach { wave =>
+        ms.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("surgery")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val batch = SparkEntry.queries("q238_decontam_surgery_emit")(spark, dir)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      // non-emptiness first: equality of two empty sets would prove nothing
+      // (the q218/q224 lesson)
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // the ingest-time cut is stateless end to end — same contract as flag
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop()
+      graft.Caching.release()
+    }
+  }
+
   test("the streaming plan is stateless: no aggregation or join state") {
     implicit val ctx = spark.sqlContext
     val bench = StreamingDecontam.benchmarkGrams(benchDocs.toDF("doc_id", "text"))

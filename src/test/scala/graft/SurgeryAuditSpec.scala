@@ -29,21 +29,30 @@ class SurgeryAuditSpec extends SparkSpec {
       (1L, s"w1 w2 w3 w4 $c w5 w6 w7 w8"),
       (2L, "nothing suspicious in this document at all today")
     ).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_surgery_audit").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // deleted in the finally below (ADVICE r13): repeated runs were
+    // accumulating parquet trees in /tmp — the leak class Scratch fixed
+    val dirP = java.nio.file.Files.createTempDirectory("graft_surgery_audit")
+    val dir = dirP.toString
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val audit = SparkEntry.queries("q239_decontam_residual_audit")(spark, dir)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
-    // doc 1 only: 8 survivors, one seam (w4|w5), one seam-spanning gram —
-    // and that gram is W, a benchmark gram: residual hit counted.
-    assert(audit == Set((1L, 8L, 1L, 1L, 1L)))
+      val audit = SparkEntry.queries("q239_decontam_residual_audit")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // doc 1 only: 8 survivors, one seam (w4|w5), one seam-spanning gram —
+      // and that gram is W, a benchmark gram: residual hit counted.
+      assert(audit == Set((1L, 8L, 1L, 1L, 1L)))
 
-    // the q238 emission on the same corpus: the cleaned text is exactly W —
-    // the weld the audit flagged is really there in the deploy artifact
-    val emitted = SparkEntry.queries("q238_decontam_surgery_emit")(spark, dir)
-      .select(col("doc_id"), col("clean_text")).as[(Long, String)].collect().toSet
-    assert(emitted == Set((1L, w)))
-
-    graft.Caching.release()
+      // the q238 emission on the same corpus: the cleaned text is exactly W —
+      // the weld the audit flagged is really there in the deploy artifact
+      val emitted = SparkEntry.queries("q238_decontam_surgery_emit")(spark, dir)
+        .select(col("doc_id"), col("clean_text")).as[(Long, String)].collect().toSet
+      assert(emitted == Set((1L, w)))
+    } finally {
+      graft.Caching.release()
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(dirP.toFile)
+    }
   }
 }

@@ -16,16 +16,21 @@ import sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    # the driver's BENCH_rN.json wrapper: {n, rc, sf, tail, parsed} — use the
-    # parsed line when present, else salvage rows from the truncated tail
+    # the driver's BENCH_rN.json wrapper: {n, rc, sf, tail, parsed}. Since
+    # round 14 the parsed line is the COMPACT summary (totals + top10, full
+    # map in bench.json), so always merge: tail-salvaged rows (the truncated
+    # full artifact line precedes the compact one in the capture window)
+    # under whatever the parsed record carries.
     if "parsed" in d or "tail" in d:
-        if d.get("parsed"):
-            d = d["parsed"]
-        else:
-            import re
-            rows = re.findall(r'"(q\d+_[a-z0-9_]+)":(-?\d+(?:\.\d+)?)',
-                              d.get("tail", ""))
-            d = {"queries": {k: float(v) for k, v in rows}}
+        import re
+        salvaged = {k: float(v) for k, v in
+                    re.findall(r'"(q\d+_[a-z0-9_]+)":(-?\d+(?:\.\d+)?)',
+                               d.get("tail", ""))}
+        p = d.get("parsed") or {}
+        qmap = salvaged
+        qmap.update(p.get("queries") or p.get("top10") or {})
+        d = dict(p)
+        d["queries"] = qmap
     q = {k: v for k, v in d.get("queries", {}).items() if v is not None and v >= 0}
     return d, q
 
