@@ -28,7 +28,26 @@ python3 tools/check.py /root/testdata/sf0.1 /tmp/rc_sf01 VERIFY_sf01.json | tail
 # a hash-match on 0 rows is consistency, not coverage (the q218 lesson)
 python3 -c "import json; e=json.load(open('/tmp/rc_sf01/empty.json')); print('[round_close] zero-row queries:', ', '.join(e) if e else 'none')"
 
-echo "[round_close] 2/4 full test tier (GRAFT_SLOW_TESTS=1 sbt test)"
+echo "[round_close] 2a/4 default test tier (sbt test — the driver's run)"
+# measured separately from the full tier (VERDICT r13 #6): the default tier
+# is what the driver runs every round, and its wall must be visible at close
+# time so the next suite-growth episode (r11 5:22 -> r12 13:48) is caught
+# here, not judge-measured
+T0=$(date +%s)
+if sbt -batch test >/tmp/rc_tests_default.log 2>&1; then
+  DEF_RC=0
+else
+  DEF_RC=$?
+fi
+DEF_WALL=$(( $(date +%s) - T0 ))
+DEF_LINE=$(grep -E "^\[info\] Tests: " /tmp/rc_tests_default.log | tail -1 | sed 's/^\[info\] //')
+echo "[round_close] default tier rc=$DEF_RC wall=${DEF_WALL}s  $DEF_LINE"
+if [ "$DEF_RC" -ne 0 ]; then
+  echo "[round_close] DEFAULT TIER RED — fix before closing the round" >&2
+  exit "$DEF_RC"
+fi
+
+echo "[round_close] 2b/4 full test tier (GRAFT_SLOW_TESTS=1 sbt test)"
 T0=$(date +%s)
 if GRAFT_SLOW_TESTS=1 sbt -batch test >/tmp/rc_tests.log 2>&1; then
   TESTS_RC=0
@@ -50,9 +69,10 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
 BENCH_WALL=$(( $(date +%s) - T0 ))
 
 echo "[round_close] 4/4 ROUND.md stanza"
-python3 - "$TESTS_WALL" "$BENCH_WALL" "$TESTS_LINE" <<'EOF'
+python3 - "$TESTS_WALL" "$BENCH_WALL" "$TESTS_LINE" "$DEF_WALL" "$DEF_LINE" <<'EOF'
 import json, sys, datetime
 tests_wall, bench_wall, tests_line = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+def_wall, def_line = int(sys.argv[4]), sys.argv[5]
 b = json.load(open('bench.json'))
 v = json.load(open('VERIFY_sf01.json'))
 nv = sum(1 for r in v.values() if isinstance(r, dict)
@@ -62,6 +82,7 @@ can = ' '.join(f"{k}={x:.2f}" for k, x in b['canary'].items())
 stanza = (
     f"\n## {datetime.date.today().isoformat()}\n\n"
     f"- Verify sf0.1: {nv}/{len(v)} hash-match\n"
+    f"- Default test tier: {def_line} ({def_wall}s wall)\n"
     f"- Full test tier: {tests_line} ({tests_wall}s wall)\n"
     f"- Bench: {len(rows)} rows, {b['value']:.1f}s total, {bench_wall}s wall, "
     f"complete={b.get('complete')}\n"
