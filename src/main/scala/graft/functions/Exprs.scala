@@ -35,11 +35,42 @@ object Exprs {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
+  /** Sequential left-fold squared L2 distance over two double-array columns —
+    * the codegen [[SqDist]] expression (same fold order as the HOF
+    * formulation the L2 kernels previously inlined, so results stay
+    * bit-equal; removes the interpreted-lambda tax from the k-means / PQ /
+    * brute-L2 hot paths). */
+  def sqdist(a: Column, b: Column): Column = SqDist(a, b)
+
+  /** Interpreted HOF twin of [[sqdist]] — the cross-check oracle for
+    * [[SqDist]]'s bit-equality in tests (the exact expression the kernels
+    * used before the codegen swap). */
+  def sqdistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, v) => acc + v)
+
   /** Cosine similarity between two double-array columns (0.0 for zero vectors —
     * the reference emits a guard value for those, KNNMapper.java:139-143). */
   def cosine(a: Column, b: Column): Column = {
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
     when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Euclidean norm of a double-array column — [[cosine]]'s denominator
+    * factor, exposed so pairwise kernels can precompute it per ROW instead
+    * of per PAIR (sqrt(dot(v,v)) is the exact expression [[cosine]] inlines,
+    * so the precomputed value is the identical IEEE double). */
+  def vnorm(v: Column): Column = sqrt(dot(v, v))
+
+  /** [[cosine]] with the norms supplied by the caller: `na`/`nb` MUST be
+    * [[vnorm]] of the respective vectors. In an n×m pair kernel this turns
+    * 3 dot products per pair into 1 (norms are computed n+m times instead of
+    * 2·n·m) while producing bit-identical similarities — the zero-vector
+    * guard, the multiply and the divide are the same operations on the same
+    * doubles as [[cosine]]'s. */
+  def cosinePre(dotAB: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0d, lit(0.0d)).otherwise(dotAB / denom)
   }
 
   /** Reference tokenizer (TF_IDF_Compute.java:79-99 semantics): lowercase,

@@ -50,14 +50,21 @@ object KMeans {
 
   /** Nearest centroid per vector (squared L2, ties on centroid id). */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val dist2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("centroid_id").asc)
+    // codegen SqDist — bit-equal to the former HOF fold (Exprs.sqdistHof),
+    // without the interpreted-lambda tax on the n·k assignment rows
+    val dist2 = graft.functions.Exprs.sqdist(col("vec"), col("centroid"))
+    // argmin as min(struct(d2, centroid_id, vec)): lexicographic struct
+    // ordering IS (d2 asc, ties on centroid id) — centroid ids are unique
+    // within a group, so `vec` never reaches comparison. Selects exactly the
+    // row the previous rank-window form kept, but partial-aggregates
+    // map-side: the shuffle carries n argmin structs instead of sorting all
+    // n·k scored rows through an exchange (KMeansIvfSpec pins equality).
     emb.select(col("vec_id"), col("vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("centroid_id"))
+      .select(col("vec_id"),
+        struct(dist2.as("d2"), col("centroid_id"), col("vec")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("s")).as("s"))
+      .select(col("vec_id"), col("s.vec").as("vec"), col("s.centroid_id").as("centroid_id"))
   }
 }

@@ -28,11 +28,16 @@ object Knn {
   /** Top-k neighbors of each test row among train rows by cosine similarity
     * over double-array `vec` columns. Output: (q_id, n_id, n_label, sim, rk). */
   def neighbors(test: DataFrame, train: DataFrame, k: Int): DataFrame = {
+    // norms per ROW on both join inputs (one dot per pair instead of three;
+    // sims bit-identical — Exprs.cosinePre)
     val t = test.select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .withColumn("q_nrm", vnorm(col("q_vec")))
     val tr = train.select(col("id").as("n_id"), col("label").as("n_label"), col("vec").as("n_vec"))
+      .withColumn("n_nrm", vnorm(col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     t.crossJoin(broadcast(tr))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("n_label"), col("sim"), col("rk"))
@@ -97,10 +102,15 @@ object Knn {
     import spark.implicits._
     // both frames feed a bucket branch and a re-rank join → pin; the caller
     // releases via graft.Caching.release() once the result is consumed
+    // norms ride the pins: computed once per vector at materialization, so
+    // the re-rank join pays one dot per candidate pair instead of three
+    // (sims bit-identical — Exprs.cosinePre)
     val t = graft.Caching.pin(
-      test.select(col("id").as("q_id"), col("vec").as("q_vec")))
+      test.select(col("id").as("q_id"), col("vec").as("q_vec"))
+        .withColumn("q_nrm", vnorm(col("q_vec"))))
     val tr = graft.Caching.pin(
-      train.select(col("id").as("n_id"), col("label").as("n_label"), col("vec").as("n_vec")))
+      train.select(col("id").as("n_id"), col("label").as("n_label"), col("vec").as("n_vec"))
+        .withColumn("n_nrm", vnorm(col("n_vec"))))
     val first = tr.select(size(col("n_vec")).as("d")).head(1)
     require(first.nonEmpty, "classifyLsh: empty train set")
     val dim = first.head.getInt(0)
@@ -123,8 +133,9 @@ object Knn {
       .select(col("q_id"), col("n_id")).distinct()
     val scored = cand
       .join(t, "q_id")
-      .join(tr.select(col("n_id"), col("n_vec")), "n_id")
-      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .join(tr.select(col("n_id"), col("n_vec"), col("n_nrm")), "n_id")
+      .select(col("q_id"), col("n_id"), round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6).as("sim"))
     val top = scored.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => TopK.Scored(r._2, r._3))

@@ -30,6 +30,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Logistic {
 
+  /** Spark's `round(col, 12)` on a finite double, replicated for the
+    * driver-side weight update: java.math.BigDecimal.valueOf (the
+    * Double.toString-exact value scala.math.BigDecimal(d) wraps), setScale
+    * HALF_UP, back to double. NaN/Infinity pass through, as Round's do.
+    * VecDsumSpec pins parity against the Spark expression. */
+  private[graft] def round12(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** data: (id, x: array<double> — bias feature included by the caller,
     * y: double 0/1). Returns (pos, weight), pos 0-based over x.
     *
@@ -40,6 +50,7 @@ object Logistic {
   def train(data: DataFrame, lr: Double, iterations: Int): DataFrame = {
     require(iterations >= 0, s"Logistic.train iterations must be >= 0, got $iterations")
     require(!lr.isNaN && !lr.isInfinite, s"Logistic.train lr must be finite, got $lr")
+    val spark = data.sparkSession
     // coalesce to cluster width before persist: AQE partition coalescing
     // is DISABLED for cached plans (canChangeCachedPlanOutputPartitioning
     // defaults false), so a feature frame arriving through a
@@ -50,45 +61,45 @@ object Logistic {
     // coalesce (narrow, no shuffle) caps the cached frame at the
     // cluster's core count without losing scan parallelism.
     val e = data.select(col("id"), col("x"), col("y"))
-      .coalesce(data.sparkSession.sparkContext.defaultParallelism)
+      .coalesce(spark.sparkContext.defaultParallelism)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count().toDouble
-    // d+1 zero weights, dimension read from the data (no driver-side schema
-    // peek): one row's positions, zeroed. Eagerly checkpointed — it is the
-    // loop seed and must not re-derive from e after e is unpersisted.
-    // The weight frame is (d+1)-row — corpus-independent — so it must NOT
-    // inherit spark.sql.shuffle.partitions: at cluster-scale partition
-    // counts (2048) each round's weight shuffle + localCheckpoint schedules
-    // thousands of near-empty tasks, and the 16-round loop multiplies that
-    // into the dominant cost (the round-10 partition-count probe measured
-    // q97 6.8× slower at 2048 than at 32 from exactly this). coalesce(1)
-    // pins the bounded frames to one task; the corpus-sized gradient
-    // shuffle keeps its map-side parallelism (the reduce side reads
-    // mappers × (d+1) map-combined partials).
-    var weights = e.limit(1)
-      .select(posexplode(col("x")))
-      .select(col("pos"), lit(0.0d).as("w"))
-      .coalesce(1)
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to iterations) {
-      // d-row frame → 1-row array, sorted by pos (the KMeans assembly idiom)
-      val wArr = weights
-        .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("es"))
-        .select(transform(col("es"), x => x.getField("w")).as("wv"))
-      val scored = e.crossJoin(broadcast(wArr))
-        .withColumn("p",
-          round(lit(1.0d) / (lit(1.0d) + exp(-round(dot(col("x"), col("wv")), 12))), 10))
-      weights = weights.join(
-        scored.select(col("p"), col("y"), posexplode(col("x")).as(Seq("pos", "xj")))
-          .groupBy(col("pos"))
-          .agg((dsum(round((col("p") - col("y")) * col("xj"), 12), 12) / lit(n)).as("g")),
-        "pos")
-        .select(col("pos"), round(col("w") - lit(lr) * col("g"), 12).as("w"))
-        .coalesce(1)
-        .localCheckpoint(eager = true)
+    // Weights live on the DRIVER as a (d+1)-array — model state, feature-
+    // count-bounded, corpus-independent (the spark.ml iteration posture; the
+    // q208 bounded-collect discipline). The previous weight-FRAME loop paid
+    // per round: a collect_list job to build the broadcast, the n×(d+1)
+    // posexplode shuffled into a (d+1)-group hash aggregate, a weights join,
+    // and an eager localCheckpoint — ~3 jobs and a full row explosion per
+    // round. Now each round is ONE job: the per-row gradient terms ride an
+    // array column through the element-wise exact-DECIMAL [[VecDsum]] (bit-
+    // equal to posexplode+dsum — its scaladoc walks the ladder), and the
+    // d+1-double gradient is the round's only driver transfer. Every number
+    // is produced by the same arithmetic as before: p by the identical
+    // column expression over a literal weight vector (same doubles as the
+    // broadcast-join form), terms by the identical round((p−y)·x[j], 12),
+    // sums by the identical decimal ladder, updates by round12 — Spark's
+    // own Round arithmetic — applied to the same double products.
+    val dim = {
+      val r = e.select(size(col("x")).as("d")).head(1)
+      if (r.isEmpty) 0 else r.head.getInt(0)
+    }
+    var w = new Array[Double](dim) // zero-init, as the frame seed was
+    if (dim > 0) {
+      for (_ <- 1 to iterations) {
+        val wv = typedLit(w.toSeq)
+        val p = round(lit(1.0d) / (lit(1.0d) + exp(-round(dot(col("x"), wv), 12))), 10)
+        val sums = e.agg(graft.functions.VecDsum(col("x"), p - col("y"), 12).as("s"))
+          .head().getSeq[Double](0)
+        w = Array.tabulate(dim) { j =>
+          round12(w(j) - lr * (sums(j) / n))
+        }
+      }
     }
     e.unpersist(blocking = false)
-    weights.select(col("pos").cast(LongType).as("pos"), col("w").as("weight"))
+    import spark.implicits._
+    w.toSeq.zipWithIndex
+      .map { case (wt, pos) => (pos.toLong, wt) }
+      .toDF("pos", "weight")
   }
 
   /** Sigmoid scores for `data` (id, x) under trained `weights` (pos, weight):

@@ -50,15 +50,19 @@ object Pq {
     * codebook, sequential-fold squared L2 (the [[KMeans.assign]] fold),
     * ties on centroid id. Returns (vec_id, sub_id, sv, centroid_id). */
   private[ml] def assignCodes(sv: DataFrame, codebooks: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val d2 = graft.functions.Exprs.sqdist(col("sv"), col("centroid"))
+    // argmin as min(struct(d2, centroid_id, sv)) — the KMeans.assign
+    // restructure: identical deterministic selection (ties on centroid id;
+    // sv never compared — ids are unique per group), but the n·m·kc scored
+    // rows partial-aggregate map-side instead of sorting through a
+    // rank-window exchange (PqSpec's per-subspace parity pins it).
     sv.join(broadcast(codebooks), "sub_id")
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub_id"), col("sv"), col("centroid_id"))
+      .select(col("vec_id"), col("sub_id"),
+        struct(d2.as("d2"), col("centroid_id"), col("sv")).as("s"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(col("s")).as("s"))
+      .select(col("vec_id"), col("sub_id"), col("s.sv").as("sv"),
+        col("s.centroid_id").as("centroid_id"))
   }
 
   /** Train the m codebooks. emb: (vec_id, vec: array<double>). Returns
@@ -121,8 +125,7 @@ object Pq {
               m: Int, kc: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val d2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val d2 = graft.functions.Exprs.sqdist(col("sv"), col("centroid"))
     val dtab = subSlices(queries.select(col("vec_id"), col("vec")), m)
       .join(broadcast(codebooks), "sub_id")
       .select(col("vec_id").as("q_id"), col("sub_id"), col("centroid_id"), d2.as("d2"))
@@ -159,8 +162,7 @@ object Pq {
   def bruteL2TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val l2 = graft.functions.Exprs.sqdist(col("q_vec"), col("n_vec"))
     corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))))
       .filter(col("q_id") =!= col("n_id"))
@@ -187,8 +189,7 @@ object Pq {
                     corpus: DataFrame, m: Int, kc: Int, shortlist: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val l2 = graft.functions.Exprs.sqdist(col("q_vec"), col("n_vec"))
     adcTopK(queries, codes, codebooks, m, kc, shortlist)
       .select(col("q_id"), col("n_id"))
       .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
@@ -238,8 +239,7 @@ object Pq {
       .join(res.select(col("vec_id"), col("cell")), "vec_id")
       .compacted.localCheckpoint(eager = true)
     // probe list: each query's nprobe nearest coarse cells + residual query
-    val qd2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val qd2 = graft.functions.Exprs.sqdist(col("vec"), col("centroid"))
     val qw = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("centroid_id").asc)
     val qr = queries.select(col("vec_id").as("q_id"), col("vec"))
       .crossJoin(broadcast(coarse))
@@ -249,8 +249,7 @@ object Pq {
       .select(col("q_id"), col("centroid_id").as("cell"),
         zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("rv"))
     // per-(query, cell) ADC lookup tables over the residual query's slices
-    val sd2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val sd2 = graft.functions.Exprs.sqdist(col("sv"), col("centroid"))
     val dtab = qr
       .select(col("q_id"), col("cell"), col("rv"),
         explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
@@ -308,8 +307,7 @@ object Pq {
     val codes = encode(res.select(col("vec_id"), col("vec")), codebooks, m)
       .join(res.select(col("vec_id"), col("cell")), "vec_id")
       .compacted.localCheckpoint(eager = true)
-    val qd2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val qd2 = graft.functions.Exprs.sqdist(col("vec"), col("centroid"))
     val qw = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("centroid_id").asc)
     val qr = queries.select(col("vec_id").as("q_id"), col("vec"))
       .crossJoin(broadcast(coarse))
@@ -318,8 +316,7 @@ object Pq {
       .filter(col("rn") <= npMax)
       .select(col("q_id"), col("centroid_id").as("cell"), col("rn").cast(LongType).as("rn"),
         zip_with(col("vec"), col("centroid"), (x, c) => x - c).as("rv"))
-    val sd2 = aggregate(zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val sd2 = graft.functions.Exprs.sqdist(col("sv"), col("centroid"))
     val dtab = qr
       .select(col("q_id"), col("cell"), col("rn"), col("rv"),
         explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
@@ -378,8 +375,7 @@ object Pq {
     val adc = ivfPqTopK(queries, corpus, kCoarse, coarseIter, m, kc, pqIter,
         nprobe, slMax)
       .select(col("q_id"), col("n_id"), col("rk").as("adc_rk"))
-    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val l2 = graft.functions.Exprs.sqdist(col("q_vec"), col("n_vec"))
     val sls = shortlists.map(s => lit(s.toLong))
     adc
       .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
@@ -405,8 +401,7 @@ object Pq {
     require(shortlist >= k, s"need shortlist >= k, got $shortlist/$k")
     val spark = queries.sparkSession
     import spark.implicits._
-    val l2 = aggregate(zip_with(col("q_vec"), col("n_vec"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val l2 = graft.functions.Exprs.sqdist(col("q_vec"), col("n_vec"))
     ivfPqTopK(queries, corpus, kCoarse, coarseIter, m, kc, pqIter, nprobe, shortlist)
       .select(col("q_id"), col("n_id"))
       .join(corpus.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")

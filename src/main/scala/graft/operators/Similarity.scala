@@ -41,11 +41,15 @@ object Similarity {
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
       col("embedding").cast("array<double>").as("vec"))
     val w = Window.partitionBy(col("block")).orderBy(col("vec_id").asc)
+    // norm per ROW before the self-join: the pair kernel then computes one
+    // dot instead of three — bit-identical sims (Exprs.cosinePre contract)
     val capped = e.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBlock).drop("rn")
+      .withColumn("nrm", vnorm(col("vec")))
     capped.as("a").join(capped.as("b"),
       col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("a.vec"), col("b.vec")),
+        col("a.nrm"), col("b.nrm")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
   }
@@ -106,12 +110,17 @@ object Similarity {
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
     * corpus rows (self excluded). Corpus side is broadcast. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // norms per ROW on both join inputs (one dot per pair instead of three;
+    // sims bit-identical — Exprs.cosinePre)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", vnorm(col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", vnorm(col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     q.crossJoin(broadcast(c))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
@@ -126,11 +135,16 @@ object Similarity {
   def bruteTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // norms per ROW on both join inputs (one dot per pair instead of three;
+    // sims bit-identical — Exprs.cosinePre)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", vnorm(col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", vnorm(col("n_vec")))
     q.crossJoin(broadcast(c))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .select(col("q_id"), col("n_id"), round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6).as("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
@@ -157,11 +171,16 @@ object Similarity {
   def bruteCosTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // norms per ROW on both join inputs (one dot per pair instead of three;
+    // sims bit-identical — Exprs.cosinePre)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", vnorm(col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", vnorm(col("n_vec")))
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .select(col("q_id"), col("n_id"), round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6).as("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => graft.ml.TopK.Scored(r._2, r._3))
@@ -199,10 +218,14 @@ object Similarity {
                        broadcastMaxRows: Long = 1000000L): DataFrame = {
     val spark = anchors.sparkSession
     import spark.implicits._
+    // norms per ROW on both join inputs (one dot per pair instead of three;
+    // sims bit-identical — Exprs.cosinePre)
     val q = anchors.select(col("vec_id").as("q_id"), col("label").as("q_label"),
       col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", vnorm(col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"),
       col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", vnorm(col("n_vec")))
     val limitN = math.min(broadcastMaxRows + 1, Int.MaxValue.toLong).toInt
     val cSide =
       if (corpus.select(col("vec_id")).limit(limitN).count() <= broadcastMaxRows)
@@ -211,7 +234,8 @@ object Similarity {
     q.crossJoin(cSide)
       .filter(col("q_label") =!= col("n_label"))
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+        round(cosinePre(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), 6).as("sim"))
       .as[(Long, Int, Long, Int, Double)]
       .groupByKey(r => (r._1, r._2))
       .mapValues(r => graft.ml.TopK.Scored(r._3, r._5))
@@ -250,7 +274,9 @@ object Similarity {
     require(dim >= 1, s"dim=$dim")
     (0 until planes).map { p =>
       val signs = array((0 until dim).map(d => lit(planeSign(rep, p, d))): _*)
-      val dot = aggregate(zip_with(qvec, signs, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      // codegen integer dot — bit-equal to the HOF fold (exact 64-bit
+      // arithmetic), evaluated planes·reps times per row in the bucket scan
+      val dot = graft.functions.DotProductLong(qvec, signs)
       when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -266,20 +292,24 @@ object Similarity {
     val centroids = graft.Caching.pin(graft.ml.KMeans.fit(e, nlist, kmeansIters))
     val buckets = graft.ml.KMeans.assign(e, centroids)
     // each query probes its nprobe nearest centroid buckets
-    val dist2 = aggregate(zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, v) => acc + v)
+    val dist2 = graft.functions.Exprs.sqdist(col("vec"), col("centroid"))
     val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("centroid_id").asc)
     val probes = e.crossJoin(broadcast(centroids))
       .withColumn("d2", dist2)
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("centroid_id"))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        vnorm(col("vec")).as("q_nrm"), col("centroid_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    // norms per ROW before the bucket join — one dot per candidate pair
+    // instead of three; sims bit-identical (Exprs.cosinePre)
     probes
-      .join(buckets.select(col("vec_id").as("n_id"), col("vec").as("n_vec"), col("centroid_id")),
+      .join(buckets.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
+        vnorm(col("vec")).as("n_nrm"), col("centroid_id")),
         "centroid_id")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
@@ -320,11 +350,15 @@ object Similarity {
     // joins — materialize once via Caching.pin; the caller releases it with
     // graft.Caching.release() once the result is consumed (the round-2
     // session-lifetime pin is gone).
+    // nrm rides the pin: computed once per vector at materialization, so the
+    // re-rank joins below pay one dot per candidate pair instead of three
+    // (sims bit-identical — Exprs.cosinePre)
     val q = graft.Caching.pin(e.withColumn("qv",
       when(size(col("vec")) === dim, quantize(col("vec")))
         .otherwise(raise_error(concat(
           lit(s"lshTopK requires fixed dim=$dim embeddings; got dim "),
-          size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string"))))))
+          size(col("vec")).cast("string"), lit(" for vec_id "), col("vec_id").cast("string")))))
+      .withColumn("nrm", vnorm(col("vec"))))
     // flip masks for query-side multi-probing: 0 (the exact bucket) plus
     // each single bit — applied BEFORE the rep offset folds in
     val probeMasks = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
@@ -349,9 +383,12 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     cand
-      .join(q.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), "q_id")
-      .join(q.select(col("vec_id").as("n_id"), col("vec").as("n_vec")), "n_id")
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .join(q.select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
+        col("nrm").as("n_nrm")), "n_id")
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("n_vec")),
+        col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk"))
@@ -406,8 +443,11 @@ object Similarity {
                 lambda: Double): DataFrame = {
     require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
     require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    // vn rides every candidate/selected row: one dot per (candidate,
+    // selected) pair instead of three — sims bit-identical (Exprs.cosinePre)
     val vecs = corpus.select(col("vec_id").as("n_id"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", vnorm(col("v")))
     var remaining = bruteTopKAgg(queries, corpus, n)
       .select(col("q_id"), col("n_id"), col("sim").as("rel"))
       .join(vecs, "n_id")
@@ -418,9 +458,10 @@ object Similarity {
         if (selected == null)
           remaining.select(col("q_id"), col("n_id"), col("rel"), lit(0.0d).as("ms"))
         else remaining
-          .join(selected.select(col("q_id"), col("v").as("sv")), Seq("q_id"), "left")
+          .join(selected.select(col("q_id"), col("v").as("sv"), col("vn").as("svn")),
+            Seq("q_id"), "left")
           .select(col("q_id"), col("n_id"), col("rel"),
-            round(cosine(col("v"), col("sv")), 6).as("cs"))
+            round(cosinePre(dot(col("v"), col("sv")), col("vn"), col("svn")), 6).as("cs"))
           .groupBy(col("q_id"), col("n_id"), col("rel"))
           .agg(coalesce(max(col("cs")), lit(0.0d)).as("ms"))
       val pick = withSim

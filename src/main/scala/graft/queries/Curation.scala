@@ -459,16 +459,20 @@ object Curation {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val cents = graft.ml.KMeans.fit(e, k = 8, iterations = 3)
-    val asg = graft.Caching.pin(graft.ml.KMeans.assign(e, cents))
+    // norm rides the pin: one dot per (anchor, candidate) pair instead of
+    // three — sims bit-identical (Exprs.cosinePre)
+    val asg = graft.Caching.pin(graft.ml.KMeans.assign(e, cents)
+      .withColumn("nrm", Exprs.vnorm(col("vec"))))
     val anchors = asg.filter(anchorPred)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        col("centroid_id").as("q_cid"))
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cid"))
     val cand = asg.select(col("vec_id").as("n_id"), col("vec").as("n_vec"),
-      col("centroid_id").as("n_cid"))
+      col("nrm").as("n_nrm"), col("centroid_id").as("n_cid"))
     val sims = graft.Caching.pin(cand
       .join(broadcast(anchors), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_cid"), col("n_id"), col("n_cid"),
-        round(Exprs.cosine(col("q_vec"), col("n_vec")), 6).as("sim")))
+        round(Exprs.cosinePre(Exprs.dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), 6).as("sim")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     val pos = sims.filter(col("q_cid") === col("n_cid"))
@@ -1587,7 +1591,8 @@ object Curation {
     // with a learned parametric model instead of count statistics).
     QueryDef("q97_lr_filter",
       (s, dir) => {
-        val feats = lrFeatures(s, dir)
+        // pinned: the quality-feature pipeline feeds trainer AND scorer
+        val feats = graft.Caching.pin(lrFeatures(s, dir))
         val w = graft.ml.Logistic.train(feats, lr = 1.0, iterations = 8)
         graft.ml.Logistic.score(feats, w)
           .withColumn("keep", col("score") >= lit(0.5d))
@@ -1660,7 +1665,8 @@ object Curation {
     // they claim. One grouped pass downstream of the trained scorer.
     QueryDef("q155_lr_calibration",
       (s, dir) => {
-        val feats = lrFeatures(s, dir)
+        // pinned: feeds trainer, scorer and the y-join
+        val feats = graft.Caching.pin(lrFeatures(s, dir))
         val w = graft.ml.Logistic.train(feats, lr = 1.0, iterations = 8)
         graft.ml.Logistic.score(feats, w)
           .join(feats.select(col("id"), col("y")), "id")
@@ -2623,10 +2629,17 @@ object Curation {
         val q = e.withColumn("qv",
           Similarity.quantizeInt8(col("v")).cast("array<double>"))
         val w = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+        // norms per ROW before the self-join: one dot per pair per kernel
+        // instead of three — sims bit-identical (Exprs.cosinePre)
         val capped = q.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10000).drop("rn")
-        val err = round(abs(round(Exprs.cosine(col("a.v"), col("b.v")), 6) -
-          round(Exprs.cosine(col("a.qv"), col("b.qv")), 6)), 6)
+          .withColumn("vn", Exprs.vnorm(col("v")))
+          .withColumn("qn", Exprs.vnorm(col("qv")))
+        val err = round(abs(
+          round(Exprs.cosinePre(Exprs.dot(col("a.v"), col("b.v")),
+            col("a.vn"), col("b.vn")), 6) -
+          round(Exprs.cosinePre(Exprs.dot(col("a.qv"), col("b.qv")),
+            col("a.qn"), col("b.qn")), 6)), 6)
         capped.as("a").join(capped.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"), err.as("abs_err"))
@@ -4586,7 +4599,10 @@ object Curation {
     // stance).
     QueryDef("q176_hashed_lr_filter",
       (s, dir) => {
-        val feats = hashedLrFeats(s, dir)
+        // pinned: the hashed-feature pipeline (tokenize → hash → two grouped
+        // passes → dense assembly) previously re-ran for the trainer, the
+        // scorer AND the label join — three consumers, one materialization
+        val feats = graft.Caching.pin(hashedLrFeats(s, dir))
         val wts = graft.ml.Logistic.train(feats, lr = 0.1, iterations = 16)
         scoredLrReport(feats, wts)
       },
@@ -4613,7 +4629,9 @@ object Curation {
     // runs, and corpus growth (previously sampled docs stay sampled).
     QueryDef("q195_sampled_lr_filter",
       (s, dir) => {
-        val feats = hashedLrFeats(s, dir)
+        // pinned like q176 — trainer sample, scorer and label join all read
+        // the one materialized feature frame
+        val feats = graft.Caching.pin(hashedLrFeats(s, dir))
         val train = feats.filter(
           Exprs.h60(concat(lit("lrs:"), col("id"))) % 1000L < 250L)
         val wts = graft.ml.Logistic.train(train, lr = 0.1, iterations = 16)
