@@ -2210,34 +2210,42 @@ object Curation {
           .distinct())
         val srcs = st.select(col("source")).distinct()
         val nu = st.agg(countDistinct(col("gram")).as("nu"))
-        var covered = st.select(col("gram")).limit(0)
+        // Iteration state is the SHRINKING uncovered frame (st minus every
+        // covered gram) instead of a growing covered-gram accumulator
+        // (round 14): per-round gain is then a straight groupBy over uncov
+        // — the old st-vs-covered anti-join is gone — and the per-round
+        // update anti-joins against ONE pick's gram set instead of
+        // re-distincting the whole covered union. Same greedy trajectory
+        // row for row: uncov_r = st ANTI covered_r by construction, and
+        // covered count = nu − |distinct grams in uncov|.
+        var uncov = st
         var picked = srcs.limit(0)
         val rows = (1 to 5).map { r =>
           val remaining = srcs.join(picked, Seq("source"), "left_anti")
-          val gcnt = st.join(covered, Seq("gram"), "left_anti")
-            .groupBy(col("source")).agg(count(lit(1)).as("g"))
+          val gcnt = uncov.groupBy(col("source")).agg(count(lit(1)).as("g"))
           val gains = remaining.join(gcnt, Seq("source"), "left")
             .select(col("source"), coalesce(col("g"), lit(0L)).as("gain"))
           // localCheckpoint, not pin: each round's frames embed the
-          // previous round's TWICE (the anti-join and the union), so an
-          // in-plan accumulator doubles the logical tree per round —
-          // measured 58 s cold at sf0.1 unpinned, and pinning still OOM'd
-          // the 8g bench driver on Catalyst plan size alone. Checkpointing
-          // cuts the lineage: plans stay linear in rounds (the LSA/
-          // UnigramLm loop discipline), the iteration state is 1-row/
-          // type-space-bounded.
+          // previous round's (the anti-join), so an in-plan accumulator
+          // grows the logical tree per round — measured 58 s cold at sf0.1
+          // unpinned in the pre-r14 shape, and pinning OOM'd the 8g bench
+          // driver on Catalyst plan size alone. Checkpointing cuts the
+          // lineage: plans stay linear in rounds (the LSA/UnigramLm loop
+          // discipline), the iteration state is 1-row/census-bounded.
           import graft.Par.ParOps
           val pick = gains.orderBy(col("gain").desc, col("source").asc).limit(1)
             .onePart.localCheckpoint(true)
-          covered = covered
-            .union(st.join(pick.select(col("source")), "source").select(col("gram")))
-            .distinct().compacted.localCheckpoint(true)
+          val pickGrams = uncov.join(pick.select(col("source")), "source")
+            .select(col("gram"))
+          uncov = uncov.join(pickGrams, Seq("gram"), "left_anti")
+            .compacted.localCheckpoint(true)
           picked = picked.unionByName(pick.select(col("source")))
             .onePart.localCheckpoint(true)
-          val cc = covered.agg(count(lit(1)).as("covered"))
-          pick.crossJoin(broadcast(cc)).crossJoin(broadcast(nu))
+          val ucnt = uncov.agg(countDistinct(col("gram")).as("u"))
+          pick.crossJoin(broadcast(ucnt)).crossJoin(broadcast(nu))
             .select(lit(r.toLong).as("pick_round"), col("source"), col("gain"),
-              col("covered"), expr("(1000000 * covered) div nu").as("coverage_ppm"))
+              (col("nu") - col("u")).as("covered"),
+              expr("(1000000 * (nu - u)) div nu").as("coverage_ppm"))
         }
         rows.reduce(_ unionByName _)
       },
