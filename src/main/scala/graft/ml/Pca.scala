@@ -177,18 +177,25 @@ object Pca {
       val muArr = mu.agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("es"))
         .select(transform(col("es"), x => x.getField("mu")).as("mu_arr"))
       val n = e.agg(count(lit(1)).cast("double").as("n"))
-      // centered products for ALL (i, j) pairs, generated inside one row —
-      // no join touches anything n-sized, and the groupBy's map-side
-      // partials bound the exchange at d² rows per partition
+      // centered outer products fold through OuterDsum (round 14): the
+      // pre-r14 shape exploded n·d² (i, j, p) structs into a d²-group hash
+      // aggregate; the imperative aggregate folds the same rounded products
+      // into the same exact-DECIMAL slots row-locally (bit-parity pinned in
+      // VecDsumSpec), so nothing n·d²-sized is ever materialized. Slots with
+      // no addend surface as null and are dropped — the exploded form simply
+      // had no such group (dense rows have none either way).
+      val dim = {
+        val r = e.select(size(col("v")).as("d")).head(1)
+        if (r.isEmpty) 0 else r.head.getInt(0)
+      }
       val cells = e.crossJoin(broadcast(muArr))
         .select(zip_with(col("v"), col("mu_arr"), (x, m) => round(x - m, 12)).as("cv"))
-        .select(explode(flatten(transform(col("cv"), (xi, i) =>
-          transform(col("cv"), (xj, j) =>
-            struct((i + 1).cast(LongType).as("i"), (j + 1).cast(LongType).as("j"),
-              round(xi * xj, 12).as("p")))))).as("t"))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(round(dsum(col("p"), 12), 12).as("s"))
+        .agg(graft.functions.OuterDsum(col("cv"), 12).as("sv"))
+        .select(posexplode(col("sv")).as(Seq("k", "sraw")))
+        .filter(col("sraw").isNotNull)
+        .select((floor(col("k") / lit(math.max(dim, 1))) + 1).cast(LongType).as("i"),
+          (col("k") % lit(math.max(dim, 1)) + 1).cast(LongType).as("j"),
+          round(col("sraw"), 12).as("s"))
         .crossJoin(broadcast(n))
         .select(col("i"), col("j"), round(col("s") / col("n"), 12).as("c"))
         .compacted.localCheckpoint(eager = true)

@@ -53,6 +53,38 @@ class VecDsumSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("OuterDsum equals the exploded (i, j, p) covariance form, slot by slot") {
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(5)
+    val d = 7
+    val df = Seq.tabulate(300)(_ =>
+      Tuple1(Array.fill(d)(math.floor((rnd.nextDouble() - 0.5) * 1e10) / 1e10)))
+      .toDF("cv")
+    // the pre-round-14 Pca.cov expansion
+    val exploded = df
+      .select(explode(flatten(transform(col("cv"), (xi, i) =>
+        transform(col("cv"), (xj, j) =>
+          struct((i + 1).cast(LongType).as("i"), (j + 1).cast(LongType).as("j"),
+            round(xi * xj, 12).as("p")))))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(Exprs.dsum(col("p"), 12), 12).as("s"))
+      .orderBy(col("i"), col("j"))
+      .as[(Long, Long, Double)].collect()
+    val outer = df.agg(graft.functions.OuterDsum(col("cv"), 12).as("sv"))
+      .select(posexplode(col("sv")).as(Seq("k", "sraw")))
+      .filter(col("sraw").isNotNull)
+      .select((floor(col("k") / lit(d)) + 1).cast(LongType).as("i"),
+        (col("k") % lit(d) + 1).cast(LongType).as("j"),
+        round(col("sraw"), 12).as("s"))
+      .orderBy(col("i"), col("j"))
+      .as[(Long, Long, Double)].collect()
+    assert(exploded.length == d * d && outer.length == d * d)
+    exploded.zip(outer).foreach { case ((ie, je, se), (io, jo, so)) =>
+      assert(ie == io && je == jo && se == so, s"($ie,$je): explode=$se outer=$so")
+    }
+  }
+
   test("driver-side round12 matches Spark's round(col, 12) on random doubles") {
     val rnd = new scala.util.Random(11)
     val vals = Array.fill(4000)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(8) - 3)) ++
