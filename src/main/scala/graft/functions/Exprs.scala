@@ -88,8 +88,15 @@ object Exprs {
 
   /** Sparse cosine over two MapType(idx → weight) columns — the reference's
     * kNN kernel shape (KNNMapper.java:118-143 iterates a HashMap<Int,Double>).
-    * Dot is over the key intersection; norms over each map's own values. */
-  def mapCosine(a: Column, b: Column): Column = {
+    * Dot is over the key intersection; norms over each map's own values.
+    * Compiled as the codegen [[MapCosine]] expression (bit-equal to the HOF
+    * form below — MapCosineSpec pins parity). */
+  def mapCosine(a: Column, b: Column): Column = MapCosine(a, b)
+
+  /** Interpreted HOF twin of [[mapCosine]] — the cross-check oracle for
+    * [[MapCosine]]'s bit-equality in tests (the exact expression the sparse
+    * kernel used before the codegen swap). */
+  def mapCosineHof(a: Column, b: Column): Column = {
     def dotMaps(x: Column, y: Column): Column =
       aggregate(
         map_values(map_zip_with(x, y, (_, u, v) => coalesce(u, lit(0.0d)) * coalesce(v, lit(0.0d)))),

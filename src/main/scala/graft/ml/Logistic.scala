@@ -88,7 +88,8 @@ object Logistic {
       for (_ <- 1 to iterations) {
         val wv = typedLit(w.toSeq)
         val p = round(lit(1.0d) / (lit(1.0d) + exp(-round(dot(col("x"), wv), 12))), 10)
-        val sums = e.agg(graft.functions.VecDsum(col("x"), p - col("y"), 12).as("s"))
+        val sums = graft.OpsExplain.dump("Logistic.train GD round body",
+            e.agg(graft.functions.VecDsum(col("x"), p - col("y"), 12).as("s")))
           .head().getSeq[Double](0)
         w = Array.tabulate(dim) { j =>
           round12(w(j) - lr * (sums(j) / n))

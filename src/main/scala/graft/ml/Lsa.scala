@@ -30,12 +30,15 @@ import org.apache.spark.storage.StorageLevel
   * vocab-keyed dots join + one vocab-keyed apply join regardless of how
   * many components have been deflated, on top of the two cell-table passes.
   *
-  * Scale: per round two equi-shuffle join+sum passes over the cell table
-  * (A v by term, Aᵀ u by doc) and 1-row/k-row broadcasts — the vector
-  * frames are vocab-/corpus-keyed and are NEVER broadcast or collected,
-  * so nothing bounds the matrix size but the shuffle. The cell table is
-  * cached across rounds; vectors are eagerly checkpointed so the loop
-  * plan stays flat.
+  * Scale: per round two join+sum passes over the cell table (A v by term,
+  * Aᵀ u by doc) — the cell table is cached across rounds TWICE,
+  * pre-partitioned by term and by doc_id, so neither pass re-exchanges the
+  * corpus-sized side (guide §2.4); the vector frames are vocab-/corpus-
+  * keyed and are NEVER broadcast or collected (the only collected value is
+  * the 1-double norm — bounded driver state), so nothing bounds the matrix
+  * size but the shuffle. Each round eagerly checkpoints one frame (the
+  * deflated product vv) so the loop plan stays flat; the normalize rides
+  * into the next round as a lazy projection.
   *
   * Extracted components are memoized per (session, cells-plan, iterations):
   * q103 (component 1), q105 (component 2) and q109 (components 1–3) share
@@ -161,8 +164,10 @@ object Lsa {
   def docScores(cells: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"Lsa.docScores iterations must be >= 1, got $iterations")
     val v = comps(cells, 1, iterations).last.v
+    // shuffle_hash build on the vocab-keyed vector: the corpus-sized cell
+    // side streams unsorted (no SMJ sort of the big side, guide §3.1)
     cells.select(col("doc_id"), col("term"), col("w"))
-      .join(v, "term")
+      .join(v.hint("shuffle_hash"), "term")
       .groupBy(col("doc_id"))
       .agg(round(round(dsum(round(col("w") * col("v"), 12), 12), 12), 8).as("score"))
   }
@@ -191,16 +196,27 @@ object Lsa {
       var acc = if (existing == null) Vector.empty[Comp] else existing
       if (acc.size >= k) acc
       else {
-        val c = sel.compacted.persist(StorageLevel.MEMORY_AND_DISK)
+        // The cell table is persisted TWICE, pre-partitioned on each join
+        // key the loop needs (guide §2.4, remove shuffles outright): every
+        // round joins A by term (A·v) and by doc_id (Aᵀ·u), and with the
+        // hash partitioning materialized in the cache neither pass
+        // re-exchanges the corpus-sized side — only the vocab-/doc-keyed
+        // vector frames move. Deliberately NOT `compacted`: coalesce would
+        // erase the very partitioning the cache exists to provide, and
+        // cells is the corpus-sized frame where full shuffle width is the
+        // right task count (Par.scala's contract).
+        val cT = sel.repartition(col("term")).persist(StorageLevel.MEMORY_AND_DISK)
+        val cD = sel.repartition(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
         while (acc.size < k) {
-          val v = iterate(c, iterations, acc)
+          val v = iterate(cT, cD, iterations, acc)
           acc :+= new Comp(v, () =>
-            c.join(v, "term")
+            cT.join(v.hint("shuffle_hash"), "term")
               .groupBy(col("doc_id"))
               .agg(round(dsum(round(col("w") * col("v"), 12), 12), 12).as("u"))
               .agg(round(dsum(round(col("u") * col("u"), 12), 12), 12).as("lam")))
         }
-        c.unpersist(blocking = false)
+        cT.unpersist(blocking = false)
+        cD.unpersist(blocking = false)
         acc
       }
     }).take(k)
@@ -211,7 +227,7 @@ object Lsa {
     * where defl subtracts Σⱼ λⱼ(vⱼ·v)vⱼ over all previously extracted
     * components with the rounding ladder the oracles unroll. Returns
     * (term, v). */
-  private def iterate(c: DataFrame, iterations: Int, prev: Vector[Comp]): DataFrame = {
+  private def iterate(cT: DataFrame, cD: DataFrame, iterations: Int, prev: Vector[Comp]): DataFrame = {
     // all previous components as ONE long frame + one k-row eigenvalue
     // frame: per-round deflation cost is independent of the component count
     val defl = if (prev.isEmpty) None else Some((
@@ -221,19 +237,20 @@ object Lsa {
       prev.zipWithIndex
         .map { case (p, j) => p.lam.select(lit(j).as("comp"), col("lam")) }
         .reduce(_.union(_)).compacted.localCheckpoint(eager = true)))
-    var v = c.select(col("term")).distinct()
+    // all-ones start; the distinct reuses cT's cached term partitioning
+    var v = cT.select(col("term")).distinct()
       .withColumn("v", lit(1.0d)).compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
-      val u = c.join(v, "term")
+      val u = cT.join(v.hint("shuffle_hash"), "term")
         .groupBy(col("doc_id"))
         .agg(round(dsum(round(col("w") * col("v"), 12), 12), 12).as("u"))
-      val raw = c.join(u, "doc_id")
+      val raw = cD.join(u.hint("shuffle_hash"), "doc_id")
         .groupBy(col("term"))
         .agg(round(dsum(round(col("w") * col("u"), 12), 12), 12).as("vv"))
       // materialize the round's product ONCE: without this checkpoint the
-      // norm aggregate and the normalize both re-derive the two cell-table
+      // norm aggregate and the next round both re-derive the two cell-table
       // joins from scratch — every round paid its heavy work twice
-      val vv = (defl match {
+      val vv = graft.OpsExplain.dump(s"Lsa.iterate round body (comp ${prev.size + 1})", defl match {
         case None => raw
         case Some((pvs, lams)) =>
           val dots = pvs.join(v.select(col("term"), col("v").as("s")), "term")
@@ -247,11 +264,23 @@ object Lsa {
           raw.join(d, "term")
             .select(col("term"), round(col("vv") - col("d"), 12).as("vv"))
       }).compacted.localCheckpoint(eager = true)
-      val nm = vv.agg(round(sqrt(dsum(round(col("vv") * col("vv"), 12), 12)), 10).as("nm"))
-      v = vv.crossJoin(broadcast(nm))
-        .select(col("term"), round(col("vv") / col("nm"), 12).as("v"))
-        .compacted.localCheckpoint(eager = true)
+      // the norm is ONE double — bounded driver state (the adjudicated
+      // Logistic-trainer posture, never corpus-sized): collect it and fold
+      // the normalize into the next round as a lazy projection over the
+      // checkpointed vv, dropping the per-round normalized-v checkpoint +
+      // broadcast-norm job the loop used to pay (guide §1.2: one
+      // materialization per round, not two). round(vv / lit(nm), 12) is the
+      // identical IEEE divide on the identical doubles the old
+      // crossJoin(broadcast(nm)) form produced — bit-equal (LsaParitySpec).
+      val nmRow = vv
+        .agg(round(sqrt(dsum(round(col("vv") * col("vv"), 12), 12)), 10)).head()
+      // nm is null only when vv is empty; the projection over an empty vv
+      // is empty either way, so the placeholder value never reaches a row
+      val nm = if (nmRow.isNullAt(0)) Double.NaN else nmRow.getDouble(0)
+      v = vv.select(col("term"), round(col("vv") / lit(nm), 12).as("v"))
     }
-    v
+    // the loop leaves v as a lazy projection over the last round's vv; the
+    // memo holds materialized frames, so pin the final iterate once
+    v.compacted.localCheckpoint(eager = true)
   }
 }

@@ -188,7 +188,7 @@ object Pca {
         val r = e.select(size(col("v")).as("d")).head(1)
         if (r.isEmpty) 0 else r.head.getInt(0)
       }
-      val cells = e.crossJoin(broadcast(muArr))
+      val cells = graft.OpsExplain.dump("Pca.cov cells body", e.crossJoin(broadcast(muArr))
         .select(zip_with(col("v"), col("mu_arr"), (x, m) => round(x - m, 12)).as("cv"))
         .agg(graft.functions.OuterDsum(col("cv"), 12).as("sv"))
         .select(posexplode(col("sv")).as(Seq("k", "sraw")))
@@ -197,7 +197,7 @@ object Pca {
           (col("k") % lit(math.max(dim, 1)) + 1).cast(LongType).as("j"),
           round(col("sraw"), 12).as("s"))
         .crossJoin(broadcast(n))
-        .select(col("i"), col("j"), round(col("s") / col("n"), 12).as("c"))
+        .select(col("i"), col("j"), round(col("s") / col("n"), 12).as("c")))
         .compacted.localCheckpoint(eager = true)
       e.unpersist(blocking = false)
       new Cov(cells, mu)

@@ -464,14 +464,14 @@ object Similarity {
             round(cosinePre(dot(col("v"), col("sv")), col("vn"), col("svn")), 6).as("cs"))
           .groupBy(col("q_id"), col("n_id"), col("rel"))
           .agg(coalesce(max(col("cs")), lit(0.0d)).as("ms"))
-      val pick = withSim
+      val pick = graft.OpsExplain.dump(s"Similarity.mmrRerank round $r pick", withSim
         .select(col("q_id"), col("n_id"), col("rel"),
           round(lit(lambda) * col("rel") - lit(1.0d - lambda) * col("ms"), 8).as("score"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("n_id"), lit(r.toLong).as("mmr_rank"), col("score").as("mmr_score"))
-        .join(vecs, "n_id")
+        .join(vecs, "n_id"))
         .compacted.localCheckpoint(eager = true)
       selected = if (selected == null) pick else selected.union(pick).compacted.localCheckpoint(eager = true)
       remaining = remaining.join(pick.select(col("q_id"), col("n_id")),

@@ -3590,9 +3590,10 @@ object Curation {
     // RANKS bad docs above good ones before you pick its gate threshold.
     // Exact rank statistic with average-rank tie handling, kept integral
     // by the ×2 trick: U2 = Σ_values np·(2·nn_below + nn_at); AUC =
-    // U2 / (2·np·nn), emitted as integer millionths. The one ordered
-    // window runs over the DISTINCT-score census (value-bounded, the q48
-    // exact-order-stat posture), never the corpus.
+    // U2 / (2·np·nn), emitted as integer millionths. The cumulative rank
+    // count is a TWO-LEVEL prefix sum over the distinct-score census —
+    // bucket-partitioned windows plus a broadcast bucket-offset frame —
+    // so no single-partition window ever sees a corpus-scaling frame.
     QueryDef("q203_signal_auc",
       (s, dir) => {
         import graft.functions.Exprs
@@ -3615,9 +3616,24 @@ object Curation {
           .select(col("ppl"), when(!col("keep"), 1L).otherwise(0L).as("y"))
         val cen = scored.groupBy(col("ppl"))
           .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-        val w = Window.orderBy(col("ppl").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        cen.withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+        // two-level exclusive prefix sum (guide §2.4) instead of a global
+        // single-partition window over the distinct-ppl census (which grows
+        // with the corpus): a monotone value bucket (1/64-wide in ppl-space,
+        // so ≤ 15625 distinct 6-dp ppl values per bucket — a hard bound)
+        // keys a partitioned window; the per-bucket totals cumsum on the
+        // value-bounded offsets frame and broadcast back. Integer sums —
+        // nn_below is identical row for row to the global-window form.
+        val bk = cen.withColumn("bkt", floor(col("ppl") * lit(64.0d)).cast("long"))
+        val inBkt = bk.withColumn("nn_in", coalesce(sum(col("nn")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("ppl").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val offs = bk.groupBy(col("bkt")).agg(sum(col("nn")).as("t"))
+          .withColumn("off", coalesce(sum(col("t")).over(
+            Window.orderBy(col("bkt").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        inBkt.join(broadcast(offs), "bkt")
+          .withColumn("nn_below", col("off") + col("nn_in"))
           .agg(sum(expr("np * (2 * nn_below + nn)")).as("u2"),
             sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
           .select(lit("ppl_vs_gopher").as("signal"),
@@ -3783,9 +3799,10 @@ object Curation {
     // cross-multiplication (|cum_s·n_rest − cum_rest·n_s| over the shared
     // denominator n_s·n_rest), reported as millionths with the argmax
     // step value. The grid is sources × distinct token counts — census-
-    // bounded — and the cumulative windows are per-source-partitioned
-    // (plus one census-sized global cum for the corpus CDF, the q203
-    // posture). The card that catches a feed whose length profile shifted
+    // bounded — and every cumulative window is a TWO-LEVEL prefix sum
+    // ((source,)bucket-partitioned ≤1024-row windows + broadcast bucket
+    // offsets, the q203 posture), so no window partition scales with the
+    // census. The card that catches a feed whose length profile shifted
     // even when its PSI buckets stayed flat.
     QueryDef("q205_ks_drift",
       (s, dir) => {
@@ -3800,21 +3817,43 @@ object Curation {
         val values = cen.select(col("v")).distinct()
         val srcN = cen.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
         val nAll = srcN.agg(sum(col("n_s")).as("n_all"))
-        // corpus-wide cumulative counts on the census grid (global window
-        // over distinct values — value-bounded, the q203 posture)
-        val allCum = cen.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
-          .withColumn("cum_all", sum(col("c_all"))
-            .over(Window.orderBy(col("v").asc)
+        // corpus-wide cumulative counts on the census grid: a TWO-LEVEL
+        // prefix sum (guide §2.4, the q203 posture) — the 1024-wide value
+        // bucket (shiftright is monotone on the non-negative counts) keys a
+        // partitioned window with ≤1024 rows per partition, and the
+        // per-bucket totals cumsum on the small offsets frame
+        val ac = cen.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+          .withColumn("bkt", shiftright(col("v"), 10))
+        val acOffs = ac.groupBy(col("bkt")).agg(sum(col("c_all")).as("t"))
+          .withColumn("off", coalesce(sum(col("t")).over(
+            Window.orderBy(col("bkt").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val allCum = ac.withColumn("cum_in", sum(col("c_all"))
+            .over(Window.partitionBy(col("bkt")).orderBy(col("v").asc)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select(col("v"), col("cum_all"))
+          .join(broadcast(acOffs), "bkt")
+          .select(col("v"), (col("off") + col("cum_in")).as("cum_all"))
         // full grid: every source at every step value
         val grid = srcN.crossJoin(values)
           .join(cen, Seq("source", "v"), "left")
           .select(col("source"), col("n_s"), col("v"),
             coalesce(col("c"), lit(0L)).as("c"))
-        val perSrcCum = grid.withColumn("cum_s", sum(col("c"))
-            .over(Window.partitionBy(col("source")).orderBy(col("v").asc)
+        // per-source CDF on the same two-level plan: (source, bucket)
+        // partitions bound every window at 1024 rows regardless of how many
+        // distinct counts the census holds; offsets cumsum per source over
+        // the bucket-count-sized frame
+        val gb = grid.withColumn("bkt", shiftright(col("v"), 10))
+        val srcOffs = gb.groupBy(col("source"), col("bkt")).agg(sum(col("c")).as("t"))
+          .withColumn("off", coalesce(sum(col("t")).over(
+            Window.partitionBy(col("source")).orderBy(col("bkt").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("bkt"), col("off"))
+        val perSrcCum = gb.withColumn("cum_in", sum(col("c"))
+            .over(Window.partitionBy(col("source"), col("bkt")).orderBy(col("v").asc)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(srcOffs), Seq("source", "bkt"))
+          .withColumn("cum_s", col("off") + col("cum_in"))
           .join(allCum, "v")
           .crossJoin(broadcast(nAll))
           .select(col("source"), col("n_s"), col("v"),
@@ -4447,9 +4486,13 @@ object Curation {
           .join(comp, Seq("doc_id"), "left")
           .filter(coalesce(col("label"), col("doc_id")) === col("doc_id"))
           .drop("label")
-        // stage 2: decontamination vs the benchmark slice (q73 semantics)
-        val sh = graft.Caching.pin(
-          Dedup.shingleSet(d, 3).select(col("doc_id"), col("shingle")))
+        // stage 2: decontamination vs the benchmark slice (q73 semantics).
+        // Pin the UN-projected shingle set: stage 1's minhashLshPairs pins
+        // the plan-identical frame internally, and Caching refcounts by
+        // canonicalized plan — so both stages share ONE corpus-sized
+        // materialization instead of caching the shingle set twice (§1.2).
+        val sh = graft.Caching.pin(Dedup.shingleSet(d, 3))
+          .select(col("doc_id"), col("shingle"))
         val benchSh = sh.filter(col("doc_id") % 97 === 0)
           .select(col("shingle")).distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

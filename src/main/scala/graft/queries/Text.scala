@@ -221,10 +221,12 @@ object Text {
     // vector of the TF-IDF matrix by power iteration on AᵀA, every round
     // bit-portable (products→12 dp→DECIMAL sums→12 dp, sqrt→10 dp,
     // normalize→12 dp; sign pinned by the non-negative start). Per round:
-    // two equi-shuffle join+sum passes over the cell table and a 1-row norm
-    // broadcast — the vector frames are never collected or broadcast, so
-    // vocabulary size only bounds the shuffle. The oracle unrolls all four
-    // rounds as CTEs on top of q21's TF-IDF chain.
+    // two join+sum passes over the cell table, cached twice pre-partitioned
+    // by each join key so neither pass re-exchanges the corpus-sized side,
+    // and one collected 1-double norm — the vector frames are never
+    // collected or broadcast, so vocabulary size only bounds the shuffle.
+    // The oracle unrolls all four rounds as CTEs on top of q21's TF-IDF
+    // chain.
     QueryDef("q103_lsa_component",
       (s, dir) => {
         val t = toks(s, dir)
@@ -1007,19 +1009,33 @@ object Text {
     // ln rank (the log-log slope a natural corpus sits near −1; synthetic
     // or templated corpora deviate — a corpus-forensics signal). The
     // frequency rank is TWO-PHASE like the A4 vocab build: per-frequency
-    // windows + a distinct-frequency offset frame, so no vocabulary-sized
-    // single partition exists; the regression is the q150 closed form over
-    // 10-dp ln points with exact DECIMAL sufficient statistics.
+    // windows + a distinct-frequency offset frame whose own cumsum is a
+    // two-level bucketed prefix sum, so neither the vocabulary nor the
+    // frequency census ever crosses a single-partition window; the
+    // regression is the q150 closed form over 10-dp ln points with exact
+    // DECIMAL sufficient statistics.
     QueryDef("q159_zipf_fit",
       (s, dir) => {
         import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
         val tf = toks(s, dir).groupBy(col("term")).agg(count(lit(1)).as("f"))
         val rn = tf.withColumn("rn", row_number().over(
           Window.partitionBy(col("f")).orderBy(col("term"))).cast(LongType))
-        val offs = tf.groupBy(col("f")).agg(count(lit(1)).as("c"))
-          .withColumn("off",
-            (sum(col("c")).over(Window.orderBy(col("f").desc)) - col("c")).cast(LongType))
-          .select(col("f"), col("off"))
+        // two-level prefix sum over the distinct-frequency frame (the q203
+        // posture): 1024-wide frequency buckets bound every window partition
+        // at 1024 rows; bucket offsets cumsum on the far smaller bucket
+        // frame and broadcast back — no single-partition census-sized window
+        val fc = tf.groupBy(col("f")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", shiftright(col("f"), 10))
+        val bOffs = fc.groupBy(col("bkt")).agg(sum(col("c")).as("t"))
+          .withColumn("boff", coalesce(sum(col("t")).over(
+            Window.orderBy(col("bkt").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("boff"))
+        val offs = fc.withColumn("cum_in", sum(col("c")).over(
+            Window.partitionBy(col("bkt")).orderBy(col("f").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(bOffs), "bkt")
+          .select(col("f"), (col("boff") + col("cum_in") - col("c")).cast(LongType).as("off"))
         val pts = rn.join(broadcast(offs), "f")
           .select(round(log((col("off") + col("rn")).cast(DoubleType)), 10).as("x"),
             round(log(col("f").cast(DoubleType)), 10).as("y"))
