@@ -30,15 +30,15 @@ import org.apache.spark.storage.StorageLevel
   * vocab-keyed dots join + one vocab-keyed apply join regardless of how
   * many components have been deflated, on top of the two cell-table passes.
   *
-  * Scale: per round two join+sum passes over the cell table (A v by term,
-  * Aᵀ u by doc) — the cell table is cached across rounds TWICE,
-  * pre-partitioned by term and by doc_id, so neither pass re-exchanges the
-  * corpus-sized side (guide §2.4); the vector frames are vocab-/corpus-
-  * keyed and are NEVER broadcast or collected (the only collected value is
-  * the 1-double norm — bounded driver state), so nothing bounds the matrix
-  * size but the shuffle. Each round eagerly checkpoints one frame (the
-  * deflated product vv) so the loop plan stays flat; the normalize rides
-  * into the next round as a lazy projection.
+  * Scale: per round two equi-shuffle join+sum passes over the cell table
+  * (A v by term, Aᵀ u by doc) — the vector frames are vocab-/corpus-keyed
+  * and are NEVER explicitly broadcast or collected (the only collected
+  * value is the 1-double norm — bounded driver state), so nothing bounds
+  * the matrix size but the shuffle; AQE upgrades the vector side to a
+  * runtime broadcast where it is in fact small. The cell table is cached
+  * across rounds; each round eagerly checkpoints ONE frame (the deflated
+  * product vv) and the normalize rides into the next round as a lazy
+  * projection.
   *
   * Extracted components are memoized per (session, cells-plan, iterations):
   * q103 (component 1), q105 (component 2) and q109 (components 1–3) share
@@ -164,10 +164,8 @@ object Lsa {
   def docScores(cells: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"Lsa.docScores iterations must be >= 1, got $iterations")
     val v = comps(cells, 1, iterations).last.v
-    // shuffle_hash build on the vocab-keyed vector: the corpus-sized cell
-    // side streams unsorted (no SMJ sort of the big side, guide §3.1)
     cells.select(col("doc_id"), col("term"), col("w"))
-      .join(v.hint("shuffle_hash"), "term")
+      .join(v, "term")
       .groupBy(col("doc_id"))
       .agg(round(round(dsum(round(col("w") * col("v"), 12), 12), 12), 8).as("score"))
   }
@@ -196,27 +194,28 @@ object Lsa {
       var acc = if (existing == null) Vector.empty[Comp] else existing
       if (acc.size >= k) acc
       else {
-        // The cell table is persisted TWICE, pre-partitioned on each join
-        // key the loop needs (guide §2.4, remove shuffles outright): every
-        // round joins A by term (A·v) and by doc_id (Aᵀ·u), and with the
-        // hash partitioning materialized in the cache neither pass
-        // re-exchanges the corpus-sized side — only the vocab-/doc-keyed
-        // vector frames move. Deliberately NOT `compacted`: coalesce would
-        // erase the very partitioning the cache exists to provide, and
-        // cells is the corpus-sized frame where full shuffle width is the
-        // right task count (Par.scala's contract).
-        val cT = sel.repartition(col("term")).persist(StorageLevel.MEMORY_AND_DISK)
-        val cD = sel.repartition(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        // ONE compacted cache of the cell table, joined per round by term
+        // and by doc_id. Round 15 measured the two alternatives the guide
+        // suggests and rejected both (OPTIMIZATION_r15.md): (a) caching the
+        // table twice pre-partitioned by each join key — under AQE the
+        // InMemoryTableScan of an adaptively-planned cache does not expose
+        // its hash partitioning at planning time, so EnsureRequirements
+        // re-exchanges the cached side anyway (plan dump committed) and the
+        // second cache is pure cost; (b) shuffle_hash hints on the vector
+        // side — they forbid the runtime SMJ→broadcast upgrade AQE applies
+        // when the post-shuffle vector side is small, which is exactly the
+        // scale-adaptive behavior wanted (broadcast locally, equi-shuffle
+        // at 100 TB where the vocab outgrows the threshold).
+        val c = sel.compacted.persist(StorageLevel.MEMORY_AND_DISK)
         while (acc.size < k) {
-          val v = iterate(cT, cD, iterations, acc)
+          val v = iterate(c, iterations, acc)
           acc :+= new Comp(v, () =>
-            cT.join(v.hint("shuffle_hash"), "term")
+            c.join(v, "term")
               .groupBy(col("doc_id"))
               .agg(round(dsum(round(col("w") * col("v"), 12), 12), 12).as("u"))
               .agg(round(dsum(round(col("u") * col("u"), 12), 12), 12).as("lam")))
         }
-        cT.unpersist(blocking = false)
-        cD.unpersist(blocking = false)
+        c.unpersist(blocking = false)
         acc
       }
     }).take(k)
@@ -227,7 +226,7 @@ object Lsa {
     * where defl subtracts Σⱼ λⱼ(vⱼ·v)vⱼ over all previously extracted
     * components with the rounding ladder the oracles unroll. Returns
     * (term, v). */
-  private def iterate(cT: DataFrame, cD: DataFrame, iterations: Int, prev: Vector[Comp]): DataFrame = {
+  private def iterate(c: DataFrame, iterations: Int, prev: Vector[Comp]): DataFrame = {
     // all previous components as ONE long frame + one k-row eigenvalue
     // frame: per-round deflation cost is independent of the component count
     val defl = if (prev.isEmpty) None else Some((
@@ -237,14 +236,13 @@ object Lsa {
       prev.zipWithIndex
         .map { case (p, j) => p.lam.select(lit(j).as("comp"), col("lam")) }
         .reduce(_.union(_)).compacted.localCheckpoint(eager = true)))
-    // all-ones start; the distinct reuses cT's cached term partitioning
-    var v = cT.select(col("term")).distinct()
+    var v = c.select(col("term")).distinct()
       .withColumn("v", lit(1.0d)).compacted.localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
-      val u = cT.join(v.hint("shuffle_hash"), "term")
+      val u = c.join(v, "term")
         .groupBy(col("doc_id"))
         .agg(round(dsum(round(col("w") * col("v"), 12), 12), 12).as("u"))
-      val raw = cD.join(u.hint("shuffle_hash"), "doc_id")
+      val raw = c.join(u, "doc_id")
         .groupBy(col("term"))
         .agg(round(dsum(round(col("w") * col("u"), 12), 12), 12).as("vv"))
       // materialize the round's product ONCE: without this checkpoint the

@@ -3623,7 +3623,11 @@ object Curation {
         // keys a partitioned window; the per-bucket totals cumsum on the
         // value-bounded offsets frame and broadcast back. Integer sums —
         // nn_below is identical row for row to the global-window form.
-        val bk = cen.withColumn("bkt", floor(col("ppl") * lit(64.0d)).cast("long"))
+        // pinned: the bucketed census feeds BOTH the in-bucket window and
+        // the offsets branch — without the pin the whole upstream ppl
+        // pipeline would run once per branch (census-sized, scale-safe)
+        val bk = graft.Caching.pin(
+          cen.withColumn("bkt", floor(col("ppl") * lit(64.0d)).cast("long")))
         val inBkt = bk.withColumn("nn_in", coalesce(sum(col("nn")).over(
           Window.partitionBy(col("bkt")).orderBy(col("ppl").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -3822,8 +3826,10 @@ object Curation {
         // bucket (shiftright is monotone on the non-negative counts) keys a
         // partitioned window with ≤1024 rows per partition, and the
         // per-bucket totals cumsum on the small offsets frame
-        val ac = cen.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
-          .withColumn("bkt", shiftright(col("v"), 10))
+        // pinned: feeds both the offsets branch and the in-bucket window
+        val ac = graft.Caching.pin(
+          cen.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+            .withColumn("bkt", shiftright(col("v"), 10)))
         val acOffs = ac.groupBy(col("bkt")).agg(sum(col("c_all")).as("t"))
           .withColumn("off", coalesce(sum(col("t")).over(
             Window.orderBy(col("bkt").asc)
@@ -3843,7 +3849,7 @@ object Curation {
         // partitions bound every window at 1024 rows regardless of how many
         // distinct counts the census holds; offsets cumsum per source over
         // the bucket-count-sized frame
-        val gb = grid.withColumn("bkt", shiftright(col("v"), 10))
+        val gb = graft.Caching.pin(grid.withColumn("bkt", shiftright(col("v"), 10)))
         val srcOffs = gb.groupBy(col("source"), col("bkt")).agg(sum(col("c")).as("t"))
           .withColumn("off", coalesce(sum(col("t")).over(
             Window.partitionBy(col("source")).orderBy(col("bkt").asc)

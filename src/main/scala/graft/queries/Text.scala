@@ -221,9 +221,9 @@ object Text {
     // vector of the TF-IDF matrix by power iteration on AᵀA, every round
     // bit-portable (products→12 dp→DECIMAL sums→12 dp, sqrt→10 dp,
     // normalize→12 dp; sign pinned by the non-negative start). Per round:
-    // two join+sum passes over the cell table, cached twice pre-partitioned
-    // by each join key so neither pass re-exchanges the corpus-sized side,
-    // and one collected 1-double norm — the vector frames are never
+    // two equi-shuffle join+sum passes over the cached cell table and one
+    // collected 1-double norm (one checkpoint per round — the normalize is
+    // a lazy projection into the next round) — the vector frames are never
     // collected or broadcast, so vocabulary size only bounds the shuffle.
     // The oracle unrolls all four rounds as CTEs on top of q21's TF-IDF
     // chain.
@@ -1024,8 +1024,9 @@ object Text {
         // posture): 1024-wide frequency buckets bound every window partition
         // at 1024 rows; bucket offsets cumsum on the far smaller bucket
         // frame and broadcast back — no single-partition census-sized window
-        val fc = tf.groupBy(col("f")).agg(count(lit(1)).as("c"))
-          .withColumn("bkt", shiftright(col("f"), 10))
+        // pinned: feeds both the offsets branch and the in-bucket window
+        val fc = graft.Caching.pin(tf.groupBy(col("f")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", shiftright(col("f"), 10)))
         val bOffs = fc.groupBy(col("bkt")).agg(sum(col("c")).as("t"))
           .withColumn("boff", coalesce(sum(col("t")).over(
             Window.orderBy(col("bkt").desc)

@@ -106,6 +106,39 @@ class LsaParitySpec extends SparkSpec {
     graft.ml.Lsa.clearMemo()
   }
 
+  test("round-15 loop schedules strictly fewer Spark jobs than the pre-round-15 loop") {
+    // the folded normalize drops one eager checkpoint (= one job) per
+    // power-iteration round plus the per-round broadcast-norm build; job
+    // counts are deterministic where wall-clock medians are band-noisy
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(counter)
+      counter.jobs.set(0)
+      try {
+        body
+        // listener delivery is async — poll until the count stabilizes
+        var last = -1
+        while (counter.jobs.get() != last) { last = counter.jobs.get(); Thread.sleep(200) }
+      } finally spark.sparkContext.removeSparkListener(counter)
+      counter.jobs.get()
+    }
+    graft.ml.Lsa.clearMemo()
+    val cells = corpus(nDocs = 120, nTerms = 37, seed = 23)
+      .localCheckpoint(eager = true)
+    val oldJobs = countJobs { oldComps(cells, k = 3, iterations = 4).foreach(_.collect()) }
+    val newJobs = countJobs {
+      graft.ml.Lsa.topK(cells, k = 3, iterations = 4).collect(); ()
+    }
+    graft.ml.Lsa.clearMemo()
+    info(s"scheduled jobs: old loop $oldJobs, round-15 loop $newJobs")
+    assert(newJobs < oldJobs, s"expected fewer jobs, got old=$oldJobs new=$newJobs")
+  }
+
   test("docScores over the memoized component matches the manual A·v pass bit for bit") {
     graft.ml.Lsa.clearMemo()
     val cells = corpus(nDocs = 80, nTerms = 23, seed = 7)
